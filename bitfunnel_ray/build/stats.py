@@ -1,0 +1,142 @@
+"""Corpus statistics pipelines — the ``BitFunnel statistics`` analog.
+
+The reference scans the corpus once and emits (a) a per-term document
+frequency table and (b) a document-length histogram, accumulated in
+global-mutex hashmaps (reference:
+src/Index/src/DocumentFrequencyTableBuilder.cpp:33-58,
+src/Index/src/DocumentHistogramBuilder.cpp:35-42; driven by
+tools/BitFunnel/src/StatisticsBuilder.cpp:114-187 — single-threaded there).
+
+Here both are lock-free Ray Data aggregations with a map-side combiner:
+``map_batches`` emits one partial row per key per batch (the per-batch
+tokenize already dedups postings per doc), then a small
+``groupby().aggregate(Sum)`` finishes — the shuffle moves only partials,
+never raw postings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+from bitfunnel_ray.config import EngineConfig
+from bitfunnel_ray.stages.tokenize import tokenize_batch
+
+
+class PartialTermStats:
+    """Per-batch combiner: (term, gram) → (partial df, partial cf)."""
+
+    def __init__(self, max_gram: int = 1, emit_text: bool = True):
+        self.max_gram = max_gram
+        self.emit_text = emit_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        r = tokenize_batch(batch["text"], self.max_gram, emit_text=self.emit_text)
+        if len(r.term_hash) == 0:
+            cols = {
+                "term_hash": pa.array([], pa.uint64()),
+                "gram_size": pa.array([], pa.uint8()),
+                "df_part": pa.array([], pa.int64()),
+                "cf_part": pa.array([], pa.int64()),
+            }
+            if self.emit_text:
+                cols["term"] = pa.array([], pa.string())
+            return pa.table(cols)
+        # postings are already unique per (row, term): df partial = run count
+        order = np.lexsort((r.gram_size, r.term_hash))
+        h, g, tf = r.term_hash[order], r.gram_size[order], r.tf[order]
+        b = np.empty(len(h), dtype=bool)
+        b[0] = True
+        b[1:] = (h[1:] != h[:-1]) | (g[1:] != g[:-1])
+        starts = np.flatnonzero(b)
+        counts = np.diff(np.append(starts, len(h)))
+        cf = np.add.reduceat(tf.astype(np.int64), starts)
+        cols = {
+            "term_hash": pa.array(h[starts], pa.uint64()),
+            "gram_size": pa.array(g[starts], pa.uint8()),
+            "df_part": pa.array(counts.astype(np.int64)),
+            "cf_part": pa.array(cf),
+        }
+        if self.emit_text:
+            cols["term"] = pa.array(r.term[order][starts].tolist(), pa.string())
+        return pa.table(cols)
+
+
+def document_frequency_table(
+    corpus: "ray.data.Dataset", cfg: EngineConfig | None = None, emit_text: bool = True
+) -> "ray.data.Dataset":
+    """term_hash, gram_size[, term], df, cf — the DocFreqTable analog
+    (columns per src/Index/src/DocumentFrequencyTable.cpp:149-182; the
+    required decreasing-frequency ordering is applied by callers that need
+    it via ``.sort('df', descending=True)`` on this small table,
+    DocumentFrequencyTable.cpp:110-115)."""
+    cfg = cfg or EngineConfig()
+    keys = ["term_hash", "gram_size"] + (["term"] if emit_text else [])
+    partial = corpus.select_columns(["text"]).map_batches(
+        PartialTermStats(cfg.max_gram, emit_text), batch_format="pyarrow"
+    )
+    return partial.groupby(keys).aggregate(
+        Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf")
+    )
+
+
+class PartialDoclenHist:
+    def __init__(self, max_gram: int = 1):
+        self.max_gram = max_gram
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        r = tokenize_batch(batch["text"], self.max_gram, emit_text=False)
+        vals, counts = np.unique(r.n_postings, return_counts=True)
+        return pa.table(
+            {
+                "n_postings": pa.array(vals.astype(np.int64)),
+                "n_docs_part": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+
+def doclen_histogram(
+    corpus: "ray.data.Dataset", cfg: EngineConfig | None = None
+) -> "ray.data.Dataset":
+    """(n_postings, n_docs) — the DocumentHistogram analog
+    (DocumentHistogramBuilder.cpp:75-84), keyed by unique-posting count."""
+    cfg = cfg or EngineConfig()
+    partial = corpus.select_columns(["text"]).map_batches(
+        PartialDoclenHist(cfg.max_gram), batch_format="pyarrow"
+    )
+    return partial.groupby("n_postings").aggregate(Sum("n_docs_part", alias_name="n_docs"))
+
+
+class DocMetaBatch:
+    """doc_id, url, doclen, n_postings, n_bytes per document (the DocTable /
+    ingestion-totals analog, Ingestor.cpp:108-128). Tokenize-light: doclen
+    needs only the whitespace split; n_postings needs the dedup pass."""
+
+    def __init__(self, max_gram: int = 1):
+        self.max_gram = max_gram
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        r = tokenize_batch(batch["text"], self.max_gram, emit_text=False)
+        import pyarrow.compute as pc
+
+        nbytes = pc.binary_length(batch["text"].cast(pa.binary())).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url": batch["url"],
+                "doclen": pa.array(r.doclen),
+                "n_postings": pa.array(r.n_postings),
+                "n_bytes": pa.array(nbytes),
+            }
+        )
+
+
+def doc_meta(corpus: "ray.data.Dataset", cfg: EngineConfig | None = None) -> "ray.data.Dataset":
+    cfg = cfg or EngineConfig()
+    return corpus.select_columns(["doc_id", "url", "text"]).map_batches(
+        DocMetaBatch(cfg.max_gram), batch_format="pyarrow"
+    )

@@ -1,0 +1,52 @@
+"""Engine configuration.
+
+The analog of the reference's IConfiguration + ShardDefinition + treatment
+density knobs (reference: src/Index/src/Configuration.cpp:41-75,
+src/Common/Configuration/src/ShardDefinition.cpp:49-78,
+tools/BitFunnel/src/TermTableBuilderTool.cpp:61-73), re-expressed as the
+knobs an exact posting-list index actually needs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- tokenization (reference: Document::AddTerm ring buffer,
+    # src/Chunks/src/Document.cpp:105-181; max gram 7 per Term.h:79-80) ---
+    max_gram: int = 2
+
+    # --- BM25 (public Robertson/Okapi formula; the reference has no scoring
+    # — north_star requires BM25 top-k) ---
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- posting-list layout ---
+    # docs per block for skip/block-max metadata (standard block-max WAND
+    # block size; plays the role of the reference's rank-granularity
+    # skipping, ByteCodeInterpreter RankDown)
+    block_size: int = 128
+
+    # --- the build shuffle ---
+    # number of term-hash buckets = number of shuffle groups = number of
+    # segment partition files. At 100 TB this is the unit of parallelism for
+    # the merge shuffle and of resume granularity; scale ~ (corpus bytes /
+    # 1 GiB), test-scale default kept small.
+    num_buckets: int = 16
+    # head-term skew split (reference isolates hot terms into private rows,
+    # TermTableBuilder.cpp:268-287): postings of terms with df >
+    # head_df_threshold are salted by doc_id >> salt_shift so no single
+    # shuffle group exceeds ~2**salt_shift postings per term.
+    head_df_threshold: int = 1 << 20
+    salt_shift: int = 20
+
+    # --- query ---
+    top_k: int = 10
+    max_query_terms: int = 500  # reference caps rows/query at 500 (BitFunnelTypes.h:102-104)
+
+    # system/reserved stream ids (reference: Term::StreamId, default body=0)
+    default_stream: int = 0
+
+    extra: dict = field(default_factory=dict, compare=False)

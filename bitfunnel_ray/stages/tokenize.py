@@ -1,0 +1,152 @@
+"""Tokenization → unique-posting extraction, vectorized over Arrow batches.
+
+This is the Ray-Data re-expression of the reference's Document build
+(reference: src/Chunks/src/Document.cpp:105-181): each document's token
+stream is pushed through a 1..max_gram sliding window and every n-gram
+prefix becomes a Term; postings are de-duplicated per document (the
+reference keeps *presence only* — Document.cpp:178-181).  We additionally
+keep the term frequency ``tf`` per (doc, term) because BM25 scoring needs
+it (the reference drops it), and the unigram token count ``doclen`` for
+BM25 length normalization.
+
+Matching semantics inherited exactly:
+- a term's identity is (murmur64a(text, seed 123456789), gram_size)
+  combined left-to-right with rotl64^ for n-grams (Term.cpp:39-44,141-152);
+- phrases at query time are the AND of their constituent n-gram terms
+  (unordered co-occurrence, TermMatchTreeConverter.cpp:156-179) — which is
+  why ingest indexes every 1..max_gram window.
+
+Tokenization itself is whitespace splitting (the reference's chunk format
+carries pre-tokenized text, ChunkReader.cpp:103-115; the corpus ``text``
+column holds space-joined tokens with the byte-identical-per-url
+invariant).  All kernels are pyarrow/numpy — no per-row Python in the hot
+path except hashing the (memoized) unique vocabulary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from bitfunnel_ray.functions.hashing import combine_ngram, hash_terms
+
+
+def flat_tokens(texts: pa.Array | pa.ChunkedArray):
+    """Split a string column on whitespace → (flat token array [np object],
+    doc_of [int64 per token], doclen [int64 per row]).
+
+    Empty tokens from leading/trailing/repeated whitespace are dropped;
+    null text rows tokenize to zero tokens.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    lists = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+    lens = pc.fill_null(pc.list_value_length(lists), 0).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(lists)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not mask.all():
+        keep = np.flatnonzero(mask)
+        flat = flat.take(pa.array(keep))
+        doc_of = doc_of[keep]
+    doclen = np.bincount(doc_of, minlength=n).astype(np.int64)
+    return flat, doc_of, doclen
+
+
+def hash_token_array(flat: pa.Array) -> np.ndarray:
+    """Hash a flat token array via dictionary encoding (hash unique vocab
+    once, scatter by index)."""
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64)
+    d = pc.dictionary_encode(flat)
+    idx = d.indices.to_numpy()
+    vocab = np.asarray(d.dictionary.to_pylist(), dtype=object)
+    return hash_terms(vocab)[idx]
+
+
+@dataclass
+class TokenizeResult:
+    """Flattened unique postings for one batch of documents."""
+
+    row: np.ndarray        # int64 — ordinal of the source row within the batch
+    term_hash: np.ndarray  # uint64
+    gram_size: np.ndarray  # uint8
+    tf: np.ndarray         # uint32 — occurrences within the doc
+    term: np.ndarray | None  # object — term text (space-joined for n-grams)
+    doclen: np.ndarray     # int64 per source row — unigram token count
+    n_postings: np.ndarray  # int64 per source row — unique 1..max_gram terms
+
+
+def tokenize_batch(
+    texts: pa.Array | pa.ChunkedArray, max_gram: int = 1, emit_text: bool = False
+) -> TokenizeResult:
+    """Tokenize a batch → deduplicated postings with tf.
+
+    The n-gram window is the vectorized equivalent of the reference's ring
+    buffer (Document.cpp:105-181): gram g at token position i covers tokens
+    i..i+g-1 and is valid iff all positions fall in the same document.
+    """
+    flat, doc_of, doclen = flat_tokens(texts)
+    n_tok = len(flat)
+    h1 = hash_token_array(flat)
+    t1 = np.asarray(flat.to_pylist(), dtype=object) if emit_text else None
+
+    rows_parts, hash_parts, gram_parts, text_parts = [], [], [], []
+    h_prev = h1  # hashes of (g-1)-grams starting at positions 0..n-g+1
+    t_prev = t1
+    for g in range(1, max_gram + 1):
+        if g == 1:
+            h_g, t_g = h1, t1
+            valid = np.ones(n_tok, dtype=bool)
+            starts = doc_of
+        else:
+            m = n_tok - g + 1
+            if m <= 0:
+                break
+            h_g = combine_ngram(h_prev[:m], h1[g - 1 :])
+            starts = doc_of[:m]
+            valid = starts == doc_of[g - 1 :]
+            if emit_text:
+                t_g = np.array(
+                    [a + " " + b for a, b in zip(t_prev[:m], t1[g - 1 :])],
+                    dtype=object,
+                ) if m else np.empty(0, dtype=object)
+        sel = np.flatnonzero(valid) if not valid.all() else slice(None)
+        rows_parts.append(starts[sel] if isinstance(sel, np.ndarray) else starts)
+        hash_parts.append(h_g[sel] if isinstance(sel, np.ndarray) else h_g)
+        gram_parts.append(
+            np.full(len(rows_parts[-1]), g, dtype=np.uint8)
+        )
+        if emit_text:
+            text_parts.append(t_g[sel] if isinstance(sel, np.ndarray) else t_g)
+        h_prev, t_prev = h_g, (t_g if emit_text else None)
+
+    rows = np.concatenate(rows_parts) if rows_parts else np.empty(0, np.int64)
+    hashes = np.concatenate(hash_parts) if hash_parts else np.empty(0, np.uint64)
+    grams = np.concatenate(gram_parts) if gram_parts else np.empty(0, np.uint8)
+    texts_all = np.concatenate(text_parts) if emit_text and text_parts else None
+
+    n_rows = len(doclen)
+    if len(rows) == 0:
+        return TokenizeResult(
+            rows.astype(np.int64), hashes, grams,
+            np.empty(0, np.uint32), texts_all, doclen,
+            np.zeros(n_rows, np.int64),
+        )
+
+    # dedup (row, term_hash, gram) → tf, keeping first occurrence's text
+    order = np.lexsort((grams, hashes, rows))
+    r_s, h_s, g_s = rows[order], hashes[order], grams[order]
+    boundary = np.empty(len(order), dtype=bool)
+    boundary[0] = True
+    boundary[1:] = (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1]) | (g_s[1:] != g_s[:-1])
+    starts_idx = np.flatnonzero(boundary)
+    tf = np.diff(np.append(starts_idx, len(order))).astype(np.uint32)
+    u_rows, u_hash, u_gram = r_s[starts_idx], h_s[starts_idx], g_s[starts_idx]
+    u_text = texts_all[order][starts_idx] if emit_text else None
+    n_postings = np.bincount(u_rows, minlength=n_rows).astype(np.int64)
+    return TokenizeResult(u_rows, u_hash, u_gram, tf, u_text, doclen, n_postings)
