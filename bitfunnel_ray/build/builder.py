@@ -1,0 +1,226 @@
+"""The index build pipeline — the Ray-Data re-expression of
+``Ingestor::Add`` + ``TermTableBuilder`` (reference:
+src/Index/src/Ingestor.cpp:210-269, src/Index/src/TermTableBuilder.cpp:68-434).
+
+Where the reference routes each document through shared mutable state
+(shard slice locks, interlocked SetBit, a global-mutex docfreq hashmap —
+SURVEY.md §4 contention points), this build is three streaming Dataset
+passes with no shared mutable state:
+
+1. doc-meta pass   — doc_id, url, doclen per doc → ``docmeta/`` parquet;
+                     n_docs and avgdl for BM25 norms.
+2. head-term pass  — optional df scan to find terms with df >
+                     ``head_df_threshold``; their postings are salted by
+                     ``doc_id >> salt_shift`` so no shuffle group explodes
+                     (the skew analog of the reference giving hot terms
+                     private rows, TermTableBuilder.cpp:268-287).  Skipped
+                     when n_docs <= threshold (no term can qualify).
+3. postings pass   — tokenize → posting rows (fixed-width numerics only;
+                     term text never enters the big shuffle) →
+                     ``groupby(bucket).map_groups(encode)`` → one dict
+                     parquet per bucket, atomically renamed (resume unit).
+
+Resume: existing bucket files are skipped *before* the shuffle (their
+postings are filtered out map-side), so a rerun after a kill only pays
+for the missing buckets.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from bitfunnel_ray.build import segment
+from bitfunnel_ray.build.encode import encode_bucket
+from bitfunnel_ray.build.stats import DocMetaBatch, document_frequency_table
+from bitfunnel_ray.config import EngineConfig
+from bitfunnel_ray.stages.tokenize import tokenize_batch
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("term_hash", pa.uint64()),
+        ("gram_size", pa.uint8()),
+        ("salt", pa.uint32()),
+        ("doc_id", pa.uint64()),
+        ("tf", pa.uint32()),
+        ("doclen", pa.uint32()),
+    ]
+)
+
+
+def assign_buckets(term_hash: np.ndarray, salt: np.ndarray, num_buckets: int) -> np.ndarray:
+    """bucket = (term_hash ^ (salt * golden)) % B — salt spreads a head
+    term's chunks across buckets; salt=0 keeps plain term_hash % B."""
+    mixed = term_hash ^ (salt.astype(np.uint64) * _GOLDEN)
+    return (mixed % np.uint64(num_buckets)).astype(np.int32)
+
+
+class TokenizePostings:
+    """corpus batch → posting rows. Stateful actor stage: the head-term
+    hash set is fetched from the object store once per actor (broadcast
+    lookup, not re-shipped per batch)."""
+
+    def __init__(
+        self,
+        cfg: EngineConfig,
+        head_ref=None,
+        skip_buckets: frozenset[int] = frozenset(),
+    ):
+        self.cfg = cfg
+        self.skip = skip_buckets
+        if head_ref is not None:
+            heads = ray.get(head_ref) if isinstance(head_ref, ray.ObjectRef) else head_ref
+            self.head_hashes = np.sort(np.asarray(heads, dtype=np.uint64))
+        else:
+            self.head_hashes = np.empty(0, dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        r = tokenize_batch(batch["text"], cfg.max_gram, emit_text=False)
+        doc_ids = batch["doc_id"].to_numpy().astype(np.uint64)[r.row]
+        doclen = r.doclen[r.row].astype(np.uint32)
+        salt = np.zeros(len(r.term_hash), dtype=np.uint32)
+        if self.head_hashes.size:
+            pos = np.searchsorted(self.head_hashes, r.term_hash)
+            pos[pos == len(self.head_hashes)] = 0
+            is_head = self.head_hashes[pos] == r.term_hash
+            salt[is_head] = (doc_ids[is_head] >> np.uint64(cfg.salt_shift)).astype(np.uint32)
+        bucket = assign_buckets(r.term_hash, salt, cfg.num_buckets)
+        keep = ~np.isin(bucket, list(self.skip)) if self.skip else slice(None)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket[keep], pa.int32()),
+                "term_hash": pa.array(r.term_hash[keep], pa.uint64()),
+                "gram_size": pa.array(r.gram_size[keep], pa.uint8()),
+                "salt": pa.array(salt[keep], pa.uint32()),
+                "doc_id": pa.array(doc_ids[keep], pa.uint64()),
+                "tf": pa.array(r.tf[keep], pa.uint32()),
+                "doclen": pa.array(doclen[keep], pa.uint32()),
+            },
+            schema=POSTINGS_SCHEMA,
+        )
+
+
+def encode_bucket_group(group: pa.Table, *, out_dir: str, avgdl: float, cfg: EngineConfig) -> pa.Table:
+    """map_groups stage: one shuffle bucket → encode → atomic dict file."""
+    bucket = int(group["bucket"][0].as_py())
+    tbl = encode_bucket(
+        group["term_hash"].to_numpy(zero_copy_only=False),
+        group["gram_size"].to_numpy(zero_copy_only=False),
+        group["salt"].to_numpy(zero_copy_only=False),
+        group["doc_id"].to_numpy(zero_copy_only=False),
+        group["tf"].to_numpy(zero_copy_only=False),
+        group["doclen"].to_numpy(zero_copy_only=False),
+        avgdl,
+        cfg.k1,
+        cfg.b,
+        cfg.block_size,
+    )
+    segment.write_bucket_atomic(tbl, out_dir, bucket)
+    return pa.table(
+        {
+            "bucket": pa.array([bucket], pa.int32()),
+            "n_chunks": pa.array([len(tbl)], pa.int64()),
+            "n_postings": pa.array([int(pa.compute.sum(tbl["n_postings"]).as_py() or 0)], pa.int64()),
+            "payload_bytes": pa.array([tbl.nbytes], pa.int64()),
+        }
+    )
+
+
+def build_index(
+    corpus: "ray.data.Dataset",
+    out_dir: str,
+    cfg: EngineConfig | None = None,
+) -> dict:
+    """Build (or resume) one index segment from a corpus Dataset.
+
+    Returns the manifest dict.  Idempotent: a completed segment returns
+    immediately; a partial one rebuilds only missing buckets.
+    """
+    cfg = cfg or EngineConfig()
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    existing = segment.load_manifest(out_dir)
+    if existing is not None and existing.get("complete"):
+        return existing
+
+    # --- pass 1: doc meta (skipped on resume if already written) --------
+    meta_dir = os.path.join(out_dir, "docmeta")
+    meta_done = os.path.join(meta_dir, "_DONE")
+    if not os.path.exists(meta_done):
+        tmp_meta = meta_dir + ".tmp"
+        if os.path.exists(tmp_meta):
+            import shutil
+
+            shutil.rmtree(tmp_meta)
+        corpus.map_batches(DocMetaBatch(cfg.max_gram), batch_format="pyarrow").write_parquet(
+            tmp_meta
+        )
+        if os.path.exists(meta_dir):
+            import shutil
+
+            shutil.rmtree(meta_dir)
+        os.replace(tmp_meta, meta_dir)
+        with open(meta_done, "w") as f:
+            f.write("ok")
+    meta_tbl = pq.read_table(meta_dir, columns=["doclen"])
+    n_docs = len(meta_tbl)
+    sum_dl = int(pa.compute.sum(meta_tbl["doclen"]).as_py() or 0)
+    avgdl = (sum_dl / n_docs) if n_docs else 1.0
+
+    # --- pass 2: head terms for skew salting ----------------------------
+    head_ref = None
+    if n_docs > cfg.head_df_threshold:
+        heads = (
+            document_frequency_table(corpus, cfg, emit_text=False)
+            .filter(lambda row: row["df"] > cfg.head_df_threshold)
+            .to_pandas()
+        )
+        if len(heads):
+            head_ref = ray.put(heads["term_hash"].to_numpy().astype(np.uint64))
+
+    # --- pass 3: postings shuffle + per-bucket encode -------------------
+    done = frozenset(segment.completed_buckets(out_dir))
+    bucket_stats: list[dict] = []
+    if len(done) < cfg.num_buckets:
+        postings = corpus.select_columns(["doc_id", "text"]).map_batches(
+            TokenizePostings(cfg, head_ref, done), batch_format="pyarrow"
+        )
+        from functools import partial
+
+        enc = postings.groupby("bucket").map_groups(
+            partial(encode_bucket_group, out_dir=out_dir, avgdl=avgdl, cfg=cfg),
+            batch_format="pyarrow",
+        )
+        bucket_stats = enc.to_pandas().to_dict("records")
+
+    manifest = {
+        "format_version": 1,
+        "complete": True,
+        "n_docs": n_docs,
+        "sum_doclen": sum_dl,
+        "avgdl": avgdl,
+        "config": {
+            "max_gram": cfg.max_gram,
+            "k1": cfg.k1,
+            "b": cfg.b,
+            "block_size": cfg.block_size,
+            "num_buckets": cfg.num_buckets,
+            "head_df_threshold": cfg.head_df_threshold,
+            "salt_shift": cfg.salt_shift,
+        },
+        "buckets_completed": sorted(segment.completed_buckets(out_dir)),
+        "bucket_stats": {int(r["bucket"]): {k: int(v) for k, v in r.items() if k != "bucket"} for r in bucket_stats},
+        "build_seconds": round(time.time() - t0, 3),
+    }
+    segment.write_manifest(out_dir, manifest)
+    return manifest

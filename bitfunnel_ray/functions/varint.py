@@ -18,12 +18,18 @@ import numpy as np
 _THRESH = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
 
 
+def byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value (int64)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    return (np.searchsorted(_THRESH, v, side="right") + 1).astype(np.int64)
+
+
 def encode(values: np.ndarray) -> np.ndarray:
     """uint64 array → uint8 LEB128 stream."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.empty(0, dtype=np.uint8)
-    nbytes = (np.searchsorted(_THRESH, v, side="right") + 1).astype(np.int64)
+    nbytes = byte_lengths(v)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(ends[-1], dtype=np.uint8)

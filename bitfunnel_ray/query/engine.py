@@ -1,0 +1,305 @@
+"""Exact boolean matching + BM25 top-k over index segments.
+
+This replaces the reference's whole query backend — row plan, rank-down
+compiler and bytecode/JIT row-intersection engines (reference:
+src/Plan/src/QueryPlanner.cpp:51-117, src/Plan/src/ByteCodeInterpreter.cpp:
+163-331, src/Plan/src/NativeCodeGenerator.cpp) — with exact posting-list
+set algebra in numpy:
+
+- Unigram  → its posting list (no false positives, unlike the reference's
+  probabilistic rows, TermMatchTreeConverter.cpp:182-194);
+- Phrase   → AND of all 1..max_gram sliding-window terms — the reference's
+  unordered co-occurrence semantics, reproduced exactly
+  (TermMatchTreeConverter.cpp:156-179 + ProcessNGramBuffer:216-229);
+- AND/OR/NOT → sorted-array intersect/union/difference
+  (ByteCodeInterpreter AndRow/Or/Not, :183-276);
+- soft delete → tombstone doc_id set subtracted from every match set (the
+  DocumentActive row analog, Ingestor.cpp:302-327).
+
+Scoring contract (rank-identity with the pytest oracle, SURVEY.md §7.5):
+float64 BM25, contributions of the query's distinct positive terms added
+in ascending (gram_size, term_hash) order, ties broken (score desc,
+doc_id asc).
+
+One ``SearchEngine`` instance is the actor state for serving (the
+ConfigureForServing analog, SimpleIndex.cpp:219-270): dictionaries load
+once per actor; queries then run against read-only in-memory state.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from bitfunnel_ray.build import segment as seglib
+from bitfunnel_ray.build.encode import decode_chunk
+from bitfunnel_ray.functions.hashing import murmur64a, ngram_hash
+from bitfunnel_ray.query import ast
+from bitfunnel_ray.query.parser import parse_query
+
+
+class _Segment:
+    """In-memory dictionary of one segment directory."""
+
+    def __init__(self, seg_dir: str):
+        self.dir = seg_dir
+        man = seglib.load_manifest(seg_dir)
+        if man is None:
+            raise FileNotFoundError(f"no manifest in {seg_dir}")
+        self.manifest = man
+        self.n_docs = int(man["n_docs"])
+        self.sum_doclen = int(man["sum_doclen"])
+        self.avgdl = float(man["avgdl"])
+        cfg = man["config"]
+        self.max_gram = int(cfg["max_gram"])
+        self.k1, self.b = float(cfg["k1"]), float(cfg["b"])
+        files = sorted(glob.glob(os.path.join(seg_dir, "dict-*.parquet")))
+        tables = [pq.read_table(f) for f in files]
+        self.dict = (
+            pa.concat_tables(tables) if tables else None
+        )
+        if self.dict is not None and len(self.dict):
+            self.dict = self.dict.combine_chunks()
+            self._hash = self.dict["term_hash"].to_numpy()
+            self._gram = self.dict["gram_size"].to_numpy()
+            self._salt = self.dict["salt"].to_numpy()
+            self._np = self.dict["n_postings"].to_numpy()
+            self._order = np.lexsort((self._salt, self._gram, self._hash))
+            self._h_sorted = self._hash[self._order]
+        else:
+            self._h_sorted = np.empty(0, dtype=np.uint64)
+
+    def chunk_rows(self, term_hash: int, gram: int) -> list[int]:
+        """dict row indices for a term, ascending salt (= ascending
+        doc-id range, ranges disjoint by construction)."""
+        if not len(self._h_sorted):
+            return []
+        lo = np.searchsorted(self._h_sorted, term_hash, side="left")
+        hi = np.searchsorted(self._h_sorted, term_hash, side="right")
+        rows = [int(self._order[i]) for i in range(lo, hi) if self._gram[self._order[i]] == gram]
+        return rows
+
+    def decode_rows(self, rows: list[int]):
+        docs_col = self.dict["docs_payload"]
+        tf_col = self.dict["tf_payload"]
+        dl_col = self.dict["dl_payload"]
+        parts = [
+            decode_chunk(
+                docs_col[r].as_py(), tf_col[r].as_py(), dl_col[r].as_py(), int(self._np[r])
+            )
+            for r in rows
+        ]
+        return parts
+
+
+class Postings:
+    """Merged posting list of one term across segments."""
+
+    __slots__ = ("doc_ids", "tf", "doclen", "df")
+
+    def __init__(self, doc_ids, tf, doclen, df):
+        self.doc_ids, self.tf, self.doclen, self.df = doc_ids, tf, doclen, df
+
+
+_EMPTY = Postings(
+    np.empty(0, np.uint64), np.empty(0, np.uint64), np.empty(0, np.uint64), 0
+)
+
+
+class SearchEngine:
+    """Query engine over one or more segments (usable directly or as a
+    map_batches actor via ``bitfunnel_ray.query.runner.QueryActor``)."""
+
+    def __init__(
+        self,
+        index_dirs: str | list[str],
+        load_urls: bool = True,
+        tombstones: np.ndarray | None = None,
+    ):
+        if isinstance(index_dirs, str):
+            index_dirs = [index_dirs]
+        self.segments = [_Segment(d) for d in index_dirs]
+        self.n_docs = sum(s.n_docs for s in self.segments)
+        self.avgdl = (
+            sum(s.sum_doclen for s in self.segments) / self.n_docs if self.n_docs else 1.0
+        )
+        s0 = self.segments[0]
+        self.max_gram, self.k1, self.b = s0.max_gram, s0.k1, s0.b
+        metas = []
+        for s in self.segments:
+            cols = ["doc_id", "url"] if load_urls else ["doc_id"]
+            metas.append(pq.read_table(os.path.join(s.dir, "docmeta"), columns=cols))
+        meta = pa.concat_tables(metas)
+        ids = meta["doc_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        self.all_docs = ids[order].astype(np.uint64)
+        self.urls = (
+            np.asarray(meta["url"].to_pylist(), dtype=object)[order] if load_urls else None
+        )
+        self.tombstones = (
+            np.sort(np.asarray(tombstones, dtype=np.uint64))
+            if tombstones is not None and len(tombstones)
+            else None
+        )
+        self._cache: dict[tuple[int, int], Postings] = {}
+
+    # --- posting access --------------------------------------------------
+    def postings(self, term_hash: int, gram: int) -> Postings:
+        key = (int(term_hash), int(gram))
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        parts = []
+        for s in self.segments:
+            rows = s.chunk_rows(term_hash, gram)
+            parts.extend(s.decode_rows(rows))
+        if not parts:
+            out = _EMPTY
+        else:
+            docs = np.concatenate([p.doc_ids for p in parts])
+            tf = np.concatenate([p.tf for p in parts])
+            dl = np.concatenate([p.doclen for p in parts])
+            if len(parts) > 1 and not np.all(docs[1:] > docs[:-1]):
+                order = np.argsort(docs, kind="stable")
+                docs, tf, dl = docs[order], tf[order], dl[order]
+            out = Postings(docs, tf, dl, len(docs))
+        if len(self._cache) < 100_000:
+            self._cache[key] = out
+        return out
+
+    def term_postings(self, text: str) -> Postings:
+        return self.postings(murmur64a(text), 1)
+
+    # --- term extraction --------------------------------------------------
+    def _phrase_grams(self, tokens: tuple[str, ...]) -> list[tuple[int, int]]:
+        """All 1..max_gram sliding-window (hash, gram) pairs of a phrase —
+        exactly the reference's ring-buffer emission
+        (TermMatchTreeConverter::ProcessNGramBuffer)."""
+        h1 = [murmur64a(t) for t in tokens]
+        out = []
+        n = len(tokens)
+        for i in range(n):
+            for g in range(1, min(self.max_gram, n - i) + 1):
+                out.append((ngram_hash(h1[i : i + g]), g))
+        return out
+
+    def scoring_terms(self, node: ast.Node) -> list[tuple[int, int]]:
+        """Distinct positive (hash, gram) terms, ascending (gram, hash) —
+        the canonical BM25 accumulation order."""
+        acc: set[tuple[int, int]] = set()
+
+        def walk(n: ast.Node, negated: bool):
+            if isinstance(n, ast.Not):
+                walk(n.child, not negated)
+            elif isinstance(n, (ast.And, ast.Or)):
+                for c in n.children:
+                    walk(c, negated)
+            elif isinstance(n, ast.Term):
+                if not negated:
+                    acc.add((murmur64a(n.text), 1))
+            elif isinstance(n, ast.Phrase):
+                if not negated:
+                    acc.update(self._phrase_grams(n.tokens))
+
+        walk(node, False)
+        return sorted(acc, key=lambda p: (p[1], p[0]))
+
+    # --- boolean evaluation ----------------------------------------------
+    def eval(self, node: ast.Node) -> np.ndarray:
+        """Sorted unique doc_id array matching the node."""
+        m = self._eval(node)
+        if self.tombstones is not None:
+            m = np.setdiff1d(m, self.tombstones, assume_unique=True)
+        return m
+
+    def _eval(self, node: ast.Node) -> np.ndarray:
+        if isinstance(node, ast.Term):
+            return self.term_postings(node.text).doc_ids
+        if isinstance(node, ast.Phrase):
+            grams = self._phrase_grams(node.tokens)
+            lists = [self.postings(h, g).doc_ids for h, g in grams]
+            lists.sort(key=len)
+            m = lists[0]
+            for d in lists[1:]:
+                if not len(m):
+                    return m
+                m = np.intersect1d(m, d, assume_unique=True)
+            return m
+        if isinstance(node, ast.And):
+            pos = [c for c in node.children if not isinstance(c, ast.Not)]
+            neg = [c for c in node.children if isinstance(c, ast.Not)]
+            if pos:
+                lists = sorted((self._eval(c) for c in pos), key=len)
+                m = lists[0]
+                for d in lists[1:]:
+                    if not len(m):
+                        break
+                    m = np.intersect1d(m, d, assume_unique=True)
+            else:
+                m = self.all_docs
+            for c in neg:
+                if not len(m):
+                    break
+                m = np.setdiff1d(m, self._eval(c.child), assume_unique=True)
+            return m
+        if isinstance(node, ast.Or):
+            m = np.empty(0, dtype=np.uint64)
+            for c in node.children:
+                d = (
+                    np.setdiff1d(self.all_docs, self._eval(c.child), assume_unique=True)
+                    if isinstance(c, ast.Not)
+                    else self._eval(c)
+                )
+                m = np.union1d(m, d)
+            return m
+        if isinstance(node, ast.Not):
+            return np.setdiff1d(self.all_docs, self._eval(node.child), assume_unique=True)
+        raise TypeError(f"unknown node {node!r}")
+
+    # --- scoring ----------------------------------------------------------
+    def score(self, node: ast.Node, matches: np.ndarray) -> np.ndarray:
+        """float64 BM25 score of each match (canonical accumulation order)."""
+        scores = np.zeros(len(matches), dtype=np.float64)
+        if not len(matches):
+            return scores
+        k1, b = self.k1, self.b
+        for h, g in self.scoring_terms(node):
+            p = self.postings(h, g)
+            if not p.df:
+                continue
+            idx = np.searchsorted(p.doc_ids, matches)
+            idx[idx == len(p.doc_ids)] = 0
+            present = p.doc_ids[idx] == matches
+            if not present.any():
+                continue
+            tf = p.tf[idx[present]].astype(np.float64)
+            dl = p.doclen[idx[present]].astype(np.float64)
+            idf = np.log((self.n_docs - p.df + 0.5) / (p.df + 0.5) + 1.0)
+            tfn = tf / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+            scores[present] += idf * (k1 + 1.0) * tfn
+        return scores
+
+    # --- top-k ------------------------------------------------------------
+    def search(self, query: str, k: int = 10) -> pa.Table:
+        """Parse → match → score → top-k (score desc, doc_id asc)."""
+        node = parse_query(query)
+        matches = self.eval(node)
+        scores = self.score(node, matches)
+        order = np.lexsort((matches, -scores))[:k]
+        doc_ids = matches[order]
+        cols = {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.uint32)),
+            "doc_id": pa.array(doc_ids, pa.uint64()),
+            "score": pa.array(scores[order], pa.float64()),
+        }
+        if self.urls is not None:
+            pos = np.searchsorted(self.all_docs, doc_ids)
+            cols["url"] = pa.array(self.urls[pos].tolist(), pa.string())
+        return pa.table(cols)
+
+    def match_count(self, query: str) -> int:
+        return int(len(self.eval(parse_query(query))))

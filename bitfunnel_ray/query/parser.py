@@ -1,0 +1,158 @@
+"""Query parser with the reference's grammar (reference:
+inc/BitFunnel/Plan/QueryParser.h:78-104, src/Plan/src/QueryParser.cpp:142-262):
+
+    OR     := AND ('|' AND)*
+    AND    := SIMPLE (['&'] SIMPLE)*          # whitespace is implicit AND
+    SIMPLE := '-' SIMPLE | '(' OR ')' | TERM
+    TERM   := '"' token+ '"'                  # phrase, >= 2 tokens
+            | token ':' ('"' token+ '"' | token)   # stream-qualified
+            | token
+    token  := chars until whitespace or one of  & | ( ) : - "
+              with backslash escapes of  space \t \f \v & | \\ ( ) " : -
+
+Stream names resolve via a {name: id} map (StreamConfiguration analog,
+src/Common/Configuration/src/StreamConfiguration.cpp:52-143); fixtures use
+the default stream 0 ("body").
+"""
+
+from __future__ import annotations
+
+from bitfunnel_ray.query.ast import And, Node, Not, Or, Phrase, Term
+
+_END_OF_TOKEN = set('&|():-"')
+_SPACE = set(" \t\f\v\r\n")
+
+
+class ParseError(ValueError):
+    def __init__(self, msg: str, pos: int):
+        super().__init__(f"{msg} (at position {pos})")
+        self.pos = pos
+
+
+class QueryParser:
+    def __init__(self, text: str, streams: dict[str, int] | None = None):
+        self.text = text
+        self.pos = 0
+        self.streams = streams or {"body": 0}
+
+    # --- char helpers ---------------------------------------------------
+    def _peek(self) -> str:
+        return self.text[self.pos] if self.pos < len(self.text) else "\0"
+
+    def _get(self) -> str:
+        c = self._peek()
+        self.pos += 1
+        return c
+
+    def _skip_white(self) -> None:
+        while self._peek() in _SPACE:
+            self.pos += 1
+
+    def _expect(self, c: str) -> None:
+        if self._peek() != c:
+            raise ParseError(f"Expected {c!r}, got {self._peek()!r}", self.pos)
+        self.pos += 1
+
+    # --- grammar --------------------------------------------------------
+    def parse(self) -> Node:
+        self._skip_white()
+        if self._peek() == "\0":
+            raise ParseError("Empty query", self.pos)
+        node = self._parse_or()
+        self._skip_white()
+        if self._peek() != "\0":
+            raise ParseError(f"Unexpected {self._peek()!r}", self.pos)
+        return node
+
+    def _parse_or(self) -> Node:
+        children = [self._parse_and()]
+        while True:
+            self._skip_white()
+            if self._peek() == "|":
+                self._get()
+                children.append(self._parse_and())
+            else:
+                break
+        return children[0] if len(children) == 1 else Or(tuple(children))
+
+    def _parse_and(self) -> Node:
+        children = [self._parse_simple()]
+        while True:
+            self._skip_white()
+            c = self._peek()
+            if c == "&":
+                self._get()
+                children.append(self._parse_simple())
+            elif c not in ("\0", "|", ")"):
+                children.append(self._parse_simple())
+            else:
+                break
+        return children[0] if len(children) == 1 else And(tuple(children))
+
+    def _parse_simple(self) -> Node:
+        self._skip_white()
+        c = self._peek()
+        if c == "-":
+            self._get()
+            self._skip_white()
+            return Not(self._parse_simple())
+        if c == "(":
+            self._get()
+            node = self._parse_or()
+            self._skip_white()
+            self._expect(")")
+            return node
+        return self._parse_term()
+
+    def _parse_term(self) -> Node:
+        self._skip_white()
+        if self._peek() == '"':
+            return self._parse_phrase(0)
+        left = self._parse_token()
+        if self._peek() == ":":
+            self._get()
+            stream = self._stream_id(left)
+            if self._peek() == '"':
+                return self._parse_phrase(stream)
+            return Term(self._parse_token(), stream)
+        return Term(left, 0)
+
+    def _parse_phrase(self, stream: int) -> Node:
+        self._expect('"')
+        tokens = []
+        while True:
+            self._skip_white()
+            if self._peek() == '"':
+                self._get()
+                break
+            if self._peek() == "\0":
+                raise ParseError("Unterminated phrase", self.pos)
+            tokens.append(self._parse_token())
+        if len(tokens) < 2:
+            # reference rejects 1-token phrases (QueryParser.cpp:238-247)
+            raise ParseError("A phrase in double-quotes must have at least two terms", self.pos)
+        return Phrase(tuple(tokens), stream)
+
+    def _parse_token(self) -> str:
+        out = []
+        while True:
+            c = self._peek()
+            if c == "\0" or c in _SPACE or c in _END_OF_TOKEN:
+                break
+            if c == "\\":
+                self._get()
+                out.append(self._get())
+            else:
+                out.append(self._get())
+        if not out:
+            raise ParseError("Expected token", self.pos)
+        return "".join(out)
+
+    def _stream_id(self, name: str) -> int:
+        if name not in self.streams:
+            raise ParseError(f"Unknown stream {name!r}", self.pos)
+        return self.streams[name]
+
+
+def parse_query(text: str, streams: dict[str, int] | None = None) -> Node:
+    return QueryParser(text, streams).parse()

@@ -1,0 +1,155 @@
+"""End-to-end: build segments → query → rank-identical to the brute-force
+oracle (the verify-one-query analog, VerifyOneQuery.cpp:47-125 — but our
+index is exact, so FP = FN = 0 and scores must be bit-identical)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from bitfunnel_ray.build.builder import build_index
+from bitfunnel_ray.config import EngineConfig
+from bitfunnel_ray.query.engine import SearchEngine
+from bitfunnel_ray.sources.corpus import (
+    corpus_from_documents,
+    make_prime_factors_corpus,
+)
+from tests.oracle import OracleIndex
+
+QUERIES = [
+    "table",
+    "spark join",
+    "table & join",
+    "merge | window",
+    "table -join",
+    "(spark | vector) batch",
+    '"batch batch"',
+    "table join merge sort",
+    "-the",
+    "spark | -join",
+]
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx") / "seg0")
+    cfg = EngineConfig(max_gram=2, num_buckets=7)
+    corpus = corpus_from_documents("/root/testdata/sf0.001")
+    manifest = build_index(corpus, out, cfg)
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    oracle = OracleIndex(
+        docs["doc_id"].to_pylist(), docs["text"].to_pylist(), max_gram=2
+    )
+    return out, cfg, manifest, oracle
+
+
+def test_manifest_sane(built):
+    out, cfg, manifest, oracle = built
+    assert manifest["complete"] and manifest["n_docs"] == 500
+    assert manifest["avgdl"] == pytest.approx(oracle.avgdl)
+
+
+def test_match_sets_and_scores_rank_identical(built):
+    out, cfg, manifest, oracle = built
+    eng = SearchEngine(out)
+    for q in QUERIES:
+        want = oracle.search(q, k=10)
+        from bitfunnel_ray.query.parser import parse_query
+
+        node = parse_query(q)
+        got_matches = eng.eval(node)
+        assert got_matches.tolist() == want["matches"], f"match set differs for {q!r}"
+        got = eng.search(q, k=10)
+        got_pairs = list(zip(got["doc_id"].to_pylist(), got["score"].to_pylist()))
+        assert [d for d, _ in got_pairs] == [d for d, _ in want["topk"]], f"rank differs for {q!r}"
+        for (gd, gs), (wd, ws) in zip(got_pairs, want["topk"]):
+            assert gs == ws, f"score differs for {q!r} doc {gd}: {gs} != {ws}"
+
+
+def test_salted_build_identical_results(built, tmp_path):
+    """Head-term salting (skew split) must not change any result."""
+    out, cfg, manifest, oracle = built
+    salted_dir = str(tmp_path / "salted")
+    cfg2 = EngineConfig(max_gram=2, num_buckets=5, head_df_threshold=3, salt_shift=5)
+    corpus = corpus_from_documents("/root/testdata/sf0.001")
+    build_index(corpus, salted_dir, cfg2)
+    a, b = SearchEngine(out), SearchEngine(salted_dir)
+    for q in QUERIES:
+        ta, tb = a.search(q, 10), b.search(q, 10)
+        assert ta["doc_id"].to_pylist() == tb["doc_id"].to_pylist(), q
+        assert ta["score"].to_pylist() == tb["score"].to_pylist(), q
+
+
+def test_prime_factors_closed_form(tmp_path):
+    """Conjunctive queries over the PrimeFactors corpus = divisibility
+    (the IngestorTest analog, src/Index/test/IngestorTest.cpp:87-130)."""
+    out = str(tmp_path / "pf")
+    corpus = rd.from_arrow(make_prime_factors_corpus(64))
+    build_index(corpus, out, EngineConfig(max_gram=1, num_buckets=3))
+    eng = SearchEngine(out)
+    for q, divisor in [("2", 2), ("3", 3), ("2 3", 6), ("2 5", 10), ("7", 7)]:
+        got = eng.eval(__import__("bitfunnel_ray.query.parser", fromlist=["parse_query"]).parse_query(q))
+        want = [d for d in range(2, 64) if d % divisor == 0]
+        assert got.tolist() == want, q
+
+
+def test_tombstones_soft_delete(built):
+    out, cfg, manifest, oracle = built
+    dead = np.array([1, 3, 5, 7, 11], dtype=np.uint64)
+    eng = SearchEngine(out, tombstones=dead)
+    for q in ["table", "spark join", "-the"]:
+        want = oracle.search(q, k=10, tombstones=dead)
+        node = __import__("bitfunnel_ray.query.parser", fromlist=["parse_query"]).parse_query(q)
+        assert eng.eval(node).tolist() == want["matches"], q
+
+
+def test_multi_segment_merge(tmp_path):
+    """Two half-corpus segments must give identical results to one segment
+    (additive segments = incremental ingest, SURVEY.md §1.4)."""
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    half1, half2 = docs.slice(0, 250), docs.slice(250)
+    from bitfunnel_ray.sources.corpus import _lift_documents_batch
+
+    cfg = EngineConfig(max_gram=2, num_buckets=4)
+    s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    build_index(rd.from_arrow(_lift_documents_batch(half1)), s1, cfg)
+    build_index(rd.from_arrow(_lift_documents_batch(half2)), s2, cfg)
+    full = str(tmp_path / "full")
+    build_index(corpus_from_documents("/root/testdata/sf0.001"), full, cfg)
+    merged = SearchEngine([s1, s2])
+    single = SearchEngine(full)
+    assert merged.n_docs == single.n_docs == 500
+    for q in QUERIES:
+        ta, tb = merged.search(q, 10), single.search(q, 10)
+        assert ta["doc_id"].to_pylist() == tb["doc_id"].to_pylist(), q
+        # scores: same avgdl/df/N across the two layouts → bit-identical
+        assert ta["score"].to_pylist() == tb["score"].to_pylist(), q
+
+
+def test_resume_after_partial_build(tmp_path):
+    """Kill-and-rerun: delete the manifest + some bucket files, rebuild,
+    results identical (per-partition checkpoint, SURVEY.md §4)."""
+    import os
+
+    cfg = EngineConfig(max_gram=2, num_buckets=6)
+    full = str(tmp_path / "full")
+    corpus = corpus_from_documents("/root/testdata/sf0.001")
+    build_index(corpus, full, cfg)
+    ref_res = SearchEngine(full).search("spark join", 10)
+
+    partial = str(tmp_path / "partial")
+    build_index(corpus_from_documents("/root/testdata/sf0.001"), partial, cfg)
+    # simulate a kill mid-build: drop manifest + two bucket files
+    os.remove(os.path.join(partial, "manifest.json"))
+    removed = 0
+    for b in [1, 4]:
+        p = os.path.join(partial, f"dict-{b:05d}.parquet")
+        if os.path.exists(p):
+            os.remove(p)
+            removed += 1
+    assert removed == 2
+    m = build_index(corpus_from_documents("/root/testdata/sf0.001"), partial, cfg)
+    assert m["complete"]
+    got = SearchEngine(partial).search("spark join", 10)
+    assert got["doc_id"].to_pylist() == ref_res["doc_id"].to_pylist()
+    assert got["score"].to_pylist() == ref_res["score"].to_pylist()

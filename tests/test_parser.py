@@ -1,0 +1,54 @@
+import pytest
+
+from bitfunnel_ray.query.ast import And, Not, Or, Phrase, Term
+from bitfunnel_ray.query.parser import ParseError, parse_query
+
+
+def test_unigram():
+    assert parse_query("cat") == Term("cat", 0)
+
+
+def test_implicit_and_and_ampersand():
+    assert parse_query("cat dog") == And((Term("cat"), Term("dog")))
+    assert parse_query("cat & dog") == And((Term("cat"), Term("dog")))
+    assert parse_query("cat&dog") == And((Term("cat"), Term("dog")))
+
+
+def test_or_and_precedence():
+    # '|' binds looser than implicit AND (QueryParser.cpp ParseOr/ParseAnd)
+    q = parse_query("a b | c")
+    assert q == Or((And((Term("a"), Term("b"))), Term("c")))
+
+
+def test_not_and_grouping():
+    assert parse_query("-cat") == Not(Term("cat"))
+    assert parse_query("a -b") == And((Term("a"), Not(Term("b"))))
+    assert parse_query("(a | b) c") == And((Or((Term("a"), Term("b"))), Term("c")))
+    assert parse_query("--a") == Not(Not(Term("a")))
+
+
+def test_phrase():
+    assert parse_query('"alpha beta"') == Phrase(("alpha", "beta"))
+    with pytest.raises(ParseError):
+        parse_query('"alpha"')  # 1-token phrase rejected (QueryParser.cpp:238-247)
+    with pytest.raises(ParseError):
+        parse_query('"alpha beta')  # unterminated
+
+
+def test_stream_prefix():
+    assert parse_query("body:cat") == Term("cat", 0)
+    assert parse_query('body:"a b"') == Phrase(("a", "b"), 0)
+    with pytest.raises(ParseError):
+        parse_query("nosuch:cat")
+
+
+def test_escapes():
+    assert parse_query(r"a\-b") == Term("a-b", 0)
+    assert parse_query(r"a\ b") == Term("a b", 0)
+    assert parse_query(r"a\\b") == Term("a\\b", 0)
+
+
+def test_errors():
+    for bad in ["", "   ", "(a", "a )", "&", "|a"]:
+        with pytest.raises(ParseError):
+            parse_query(bad)
