@@ -1,0 +1,132 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), every batch does one numpy matmul against it and emits its
+local top-k, and a tiny final reduce merges the per-batch partials (the
+map-side-combine pattern: the shuffle carries ≤ k rows per query per
+batch, never the vectors).
+
+Scale path: hyperplane-LSH bucketing (``lsh_topk``) — vectors are grouped
+by sign-pattern bucket; queries probe only their own (and optionally
+neighboring single-bit-flip) buckets.  Recall < 1 by construction; the
+bucket fan-out is the knob.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _batch_topk(
+    t: pa.Table, *, q_ref, k: int, id_col: str, vec_col: str
+) -> pa.Table:
+    queries = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref  # (nq, dim), unit rows
+    vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+    unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    sims = unit @ queries.T  # (n, nq)
+    ids = t[id_col].to_numpy()
+    n, nq = sims.shape
+    kk = min(k, n)
+    top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+    out_q = np.repeat(np.arange(nq, dtype=np.int64), kk)
+    out_id = ids[top.T.ravel()]
+    out_sim = sims[top.T.ravel(), out_q]
+    return pa.table(
+        {
+            "query_id": pa.array(out_q),
+            "vec_id": pa.array(out_id.astype(np.int64)),
+            "cosine": pa.array(out_sim, pa.float64()),
+        }
+    )
+
+
+def _final_topk(g, k: int):
+    import pandas as pd
+
+    g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g
+
+
+def brute_force_topk(
+    embeddings: "ray.data.Dataset",
+    query_vectors: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Exact cosine top-k for each query row → (query_id, rank, vec_id,
+    cosine)."""
+    q = np.asarray(query_vectors, dtype=np.float64)
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put(q)
+    partials = embeddings.select_columns([id_col, vec_col]).map_batches(
+        partial(_batch_topk, q_ref=q_ref, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+    )
+    return partials.groupby("query_id").map_groups(
+        partial(_final_topk, k=k), batch_format="pandas"
+    )
+
+
+def lsh_topk(
+    embeddings: "ray.data.Dataset",
+    query_vectors: np.ndarray,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 4321,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 1,
+) -> "ray.data.Dataset":
+    """Approximate top-k: only vectors whose hyperplane sign bucket matches
+    the query's bucket (or is within ``multiprobe`` bit flips) are scored.
+    Same output schema as ``brute_force_topk``; recall traded for a
+    ~2^n_planes candidate reduction."""
+    rng = np.random.default_rng(seed)
+    q = np.asarray(query_vectors, dtype=np.float64)
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    dim = q.shape[1]
+    planes = rng.standard_normal((dim, n_planes))
+
+    def bucket_of(mat: np.ndarray) -> np.ndarray:
+        signs = (mat @ planes) > 0
+        key = np.zeros(len(mat), dtype=np.uint64)
+        for b in range(n_planes):
+            key |= signs[:, b].astype(np.uint64) << np.uint64(b)
+        return key
+
+    q_buckets = bucket_of(q)
+    allowed: set[int] = set()
+    for qb in q_buckets.tolist():
+        allowed.add(qb)
+        if multiprobe >= 1:
+            for b in range(n_planes):
+                allowed.add(qb ^ (1 << b))
+    allowed_ref = ray.put(allowed)
+    q_ref = ray.put(q)
+
+    def filtered_topk(t: pa.Table) -> pa.Table:
+        ok = ray.get(allowed_ref)
+        vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        keys = bucket_of(unit)
+        keep = np.array([int(x) in ok for x in keys], dtype=bool)
+        if not keep.any():
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+            )
+        return _batch_topk(t.filter(pa.array(keep)), q_ref=q_ref, k=k, id_col=id_col, vec_col=vec_col)
+
+    partials = embeddings.select_columns([id_col, vec_col]).map_batches(
+        filtered_topk, batch_format="pyarrow"
+    )
+    return partials.groupby("query_id").map_groups(
+        partial(_final_topk, k=k), batch_format="pandas"
+    )

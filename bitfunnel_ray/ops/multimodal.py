@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by actor-pool ``map_batches``
+stages.
+
+The decode kernels themselves are STUBS — image/audio libraries are not
+in this container — but the Ray-side contract is real and tested: schema,
+actor signature, batch sizing, and output layout are exactly what a real
+decoder would drop into (swap ``_decode_stub`` for PIL/libav in
+``__init__``-loaded form).
+
+Batch-size guidance: binary payload rows are wide — size ``batch_size``
+so batch_bytes × concurrency fits the worker heap (e.g. 32 rows of 4 MB
+images per batch, not 4096).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.uint64()),
+        ("media_type", pa.string()),   # "image" | "audio" | "video"
+        ("payload", pa.large_binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+class DecodeFeatures:
+    """Actor stage: binary payload → fixed-dim feature vector.
+
+    ``backend="stub"`` raises NotImplementedError (the honest default);
+    ``backend="fake"`` produces a deterministic hash-derived vector so the
+    downstream plumbing (ANN, dedup) is testable end-to-end.
+    A real deployment loads its model ONCE here in ``__init__``.
+    """
+
+    def __init__(self, backend: str = "stub", dim: int = 16):
+        self.backend = backend
+        self.dim = dim
+        if backend not in ("stub", "fake"):
+            raise ValueError(f"unknown backend {backend!r}")
+
+    def _decode_stub(self, payloads):
+        raise NotImplementedError(
+            "no image/audio codec in this environment; use backend='fake' "
+            "for deterministic plumbing tests"
+        )
+
+    def _decode_fake(self, payloads) -> np.ndarray:
+        from bitfunnel_ray.functions.hashing import murmur64a
+
+        out = np.empty((len(payloads), self.dim), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            h = murmur64a(bytes(p or b""))
+            seeds = np.arange(self.dim, dtype=np.uint64) + np.uint64(h)
+            vals = (seeds * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(11)
+            out[i] = (vals.astype(np.float64) / float(1 << 53) - 0.5).astype(np.float32)
+        return out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        feats = (
+            self._decode_fake(payloads) if self.backend == "fake" else self._decode_stub(payloads)
+        )
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "media_type": t["media_type"],
+                "features": pa.array([row.tolist() for row in feats], pa.list_(pa.float32())),
+            }
+        )
+
+
+def extract_features(
+    media: "ray.data.Dataset",
+    backend: str = "stub",
+    dim: int = 16,
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    import functools
+
+    cls = functools.partial(DecodeFeatures, backend=backend, dim=dim)
+    # callable-class actor pool: decode state loads once per actor
+    return media.map_batches(
+        DecodeFeatures,
+        fn_constructor_kwargs={"backend": backend, "dim": dim},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def html_to_media(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Adapter: treat the corpus ``html`` binary column as media payloads
+    (exercises the binary-column path on the standard test corpus)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "media_id": t["doc_id"].cast(pa.uint64()),
+                "media_type": pa.array(["image"] * n, pa.string()),
+                "payload": t["html"].cast(pa.large_binary()),
+                "width": pa.array(np.zeros(n, np.int32)),
+                "height": pa.array(np.zeros(n, np.int32)),
+                "duration_ms": pa.array(np.zeros(n, np.int32)),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return corpus.select_columns(["doc_id", "html"]).map_batches(f, batch_format="pyarrow")

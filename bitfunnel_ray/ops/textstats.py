@@ -1,0 +1,172 @@
+"""Text analysis stages for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+These have no reference analog (BitFunnel ingests pre-tokenized text);
+they are the corpus-hygiene operators a 100 TB web-text pipeline needs
+before indexing.  All are stateless vectorized ``map_batches`` stages
+over the canonical corpus schema.  Deterministic by construction — fixed
+constants, no RNG.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from bitfunnel_ray.stages.tokenize import flat_tokens
+
+# fixed stopword list shared with oracle SQL (values present in the
+# synthetic vocab so ratios are exercised)
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def token_count_batch(t: pa.Table) -> pa.Table:
+    _, _, doclen = flat_tokens(t["text"])
+    return pa.table({"doc_id": t["doc_id"], "n_tokens": pa.array(doclen, pa.int64())})
+
+
+def token_count(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+
+
+def quality_score_batch(t: pa.Table) -> pa.Table:
+    """Length / uniqueness / stopword-ratio quality features + a single
+    deterministic quality score in [0,1]."""
+    flat, doc_of, doclen = flat_tokens(t["text"])
+    n = len(t)
+    tok_np = flat.to_numpy(zero_copy_only=False)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+    sum_len = np.bincount(doc_of, weights=tok_len, minlength=n)
+    is_stop = np.isin(tok_np, np.asarray(STOPWORDS, dtype=object))
+    n_stop = np.bincount(doc_of, weights=is_stop.astype(np.float64), minlength=n)
+    # unique tokens per doc
+    if len(tok_np):
+        order = np.lexsort((tok_np, doc_of))
+        d_s, t_s = doc_of[order], tok_np[order]
+        newrun = np.empty(len(order), bool)
+        newrun[0] = True
+        newrun[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+        n_unique = np.bincount(d_s[np.flatnonzero(newrun)], minlength=n)
+    else:
+        n_unique = np.zeros(n, dtype=np.int64)
+    dl = doclen.astype(np.float64)
+    safe = np.maximum(dl, 1.0)
+    avg_token_len = sum_len / safe
+    stopword_ratio = n_stop / safe
+    uniq_ratio = n_unique / safe
+    # deterministic composite: favors mid-length docs with diverse tokens
+    quality = (
+        np.clip(dl / 64.0, 0.0, 1.0) * 0.4
+        + np.clip(uniq_ratio, 0.0, 1.0) * 0.4
+        + np.clip(1.0 - stopword_ratio, 0.0, 1.0) * 0.2
+    )
+    quality[doclen == 0] = 0.0
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(doclen, pa.int64()),
+            "n_unique": pa.array(n_unique.astype(np.int64)),
+            "avg_token_len": pa.array(avg_token_len),
+            "stopword_ratio": pa.array(stopword_ratio),
+            "quality": pa.array(quality),
+        }
+    )
+
+
+def quality_score(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pyarrow"
+    )
+
+
+# --- language ID (n-gram/marker heuristic; actor stage so profiles are
+# built once per actor) ---------------------------------------------------
+
+_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to in is was for on that it with as at by".split()),
+    "de": frozenset("der die das und ist von zu mit den nicht auf ein eine".split()),
+    "es": frozenset("el la de que y los en un una es por con para".split()),
+    "fr": frozenset("le la les de et des en un une est que pour dans".split()),
+    "zh": frozenset("的 是 了 在 我 有 和 不 人 这".split()),
+}
+
+
+class LangId:
+    """Marker-word language classifier (stub-grade heuristic: real models
+    aren't in this container; the Ray plumbing — actor pool, batch shape,
+    output schema — is the real deliverable)."""
+
+    def __init__(self, profiles: dict[str, frozenset[str]] | None = None):
+        self.profiles = profiles or _PROFILES
+        self.langs = sorted(self.profiles)
+        self.vocab: dict[str, int] = {}
+        for li, lang in enumerate(self.langs):
+            for w in self.profiles[lang]:
+                self.vocab.setdefault(w, 0)
+                self.vocab[w] |= 1 << li
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        flat, doc_of, doclen = flat_tokens(t["text"])
+        n = len(t)
+        scores = np.zeros((n, len(self.langs)), dtype=np.float64)
+        toks = flat.to_numpy(zero_copy_only=False)
+        masks = np.array([self.vocab.get(w, 0) for w in toks.tolist()], dtype=np.int64)
+        for li in range(len(self.langs)):
+            hit = (masks >> li) & 1
+            scores[:, li] = np.bincount(doc_of, weights=hit.astype(np.float64), minlength=n)
+        best = np.argmax(scores, axis=1)
+        conf = scores[np.arange(n), best] / np.maximum(doclen, 1)
+        pred = np.where(scores.sum(axis=1) > 0, np.asarray(self.langs, object)[best], "und")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang_pred": pa.array(pred.tolist(), pa.string()),
+                "lang_conf": pa.array(conf),
+            }
+        )
+
+
+def lang_id(corpus: "ray.data.Dataset", concurrency: int | None = None) -> "ray.data.Dataset":
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=concurrency or 2
+    )
+
+
+# --- document fingerprint (rolling hash over tokens) ---------------------
+
+_FP_BASE = np.uint64(1099511628211)
+
+
+def fingerprint_batch(t: pa.Table) -> pa.Table:
+    """Order-sensitive 64-bit rolling fingerprint of the token stream
+    (content-defined identity: same token sequence ⇒ same fingerprint)."""
+    from bitfunnel_ray.stages.tokenize import hash_token_array
+
+    flat, doc_of, doclen = flat_tokens(t["text"])
+    n = len(t)
+    h = hash_token_array(flat)
+    fp = np.zeros(n, dtype=np.uint64)
+    if len(h):
+        # segmented polynomial hash: fp = Σ h_i * BASE^(pos_in_doc) — computed
+        # by per-doc cumulative powers (vectorized via segmented cumsum trick)
+        pos = np.arange(len(h), dtype=np.int64)
+        starts = np.flatnonzero(np.diff(doc_of, prepend=-1))
+        pos = pos - np.repeat(pos[starts], np.diff(np.append(starts, len(h))))
+        # BASE^k mod 2^64 lookup table (one cumprod), then gather by position
+        maxp = int(pos.max()) if len(pos) else 0
+        pows = np.full(maxp + 1, _FP_BASE, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        pows = np.multiply.accumulate(pows, dtype=np.uint64)
+        contrib = h * pows[pos]
+        np.add.at(fp, doc_of, contrib)
+    return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(fp, pa.uint64())})
+
+
+def fingerprint(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )

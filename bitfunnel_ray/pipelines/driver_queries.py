@@ -1,0 +1,493 @@
+"""Driver-facing query registry: one entry per implemented operator
+(SURVEY.md §2), each with a DuckDB oracle SQL where expressible.
+
+Contract (see __ray_entry__.py): each callable takes ``sf_dir`` and
+returns a Dataset / pandas DataFrame / pyarrow Table whose column NAMES
+and values match the oracle SQL run over the same parquet tables.
+Ray is initialised by the caller.
+
+Search queries run against a real index segment built (once per sf_dir,
+cached under /tmp) by the full build pipeline — they exercise the
+tokenize→shuffle→encode→serve path, not a shortcut.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from bitfunnel_ray.build.builder import build_index
+from bitfunnel_ray.build.stats import doc_meta, doclen_histogram, document_frequency_table
+from bitfunnel_ray.config import EngineConfig
+from bitfunnel_ray.query.engine import SearchEngine
+from bitfunnel_ray.query.parser import parse_query
+from bitfunnel_ray.sources.corpus import corpus_from_documents
+from bitfunnel_ray.stages import filters
+from bitfunnel_ray.ops import ann, dedup, textstats
+from bitfunnel_ray.ops.textstats import STOPWORDS
+
+_CFG = EngineConfig(max_gram=2, num_buckets=8)
+_ENGINES: dict[str, SearchEngine] = {}
+
+SHARD_BOUNDARIES = (32, 64, 128)  # ShardDefinition-style posting-count splits
+
+
+def get_engine(sf_dir: str) -> SearchEngine:
+    """Build (cached) and load the index segment for a testdata dir."""
+    eng = _ENGINES.get(sf_dir)
+    if eng is None:
+        tag = sf_dir.strip("/").replace("/", "_")
+        idx_dir = f"/tmp/bfr_idx_cache/{tag}"
+        os.makedirs(os.path.dirname(idx_dir), exist_ok=True)
+        build_index(corpus_from_documents(sf_dir), idx_dir, _CFG)
+        eng = SearchEngine(idx_dir, load_urls=False)
+        _ENGINES[sf_dir] = eng
+    return eng
+
+
+def _search_docs(sf_dir: str, query: str) -> pa.Table:
+    eng = get_engine(sf_dir)
+    docs = eng.eval(parse_query(query))
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64), pa.int64())})
+
+
+def _tokens_sql(where: str = "") -> str:
+    return (
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents" + where
+    )
+
+
+# ---------------------------------------------------------------------------
+# each entry: name -> (callable(sf_dir), oracle_sql or None)
+# ---------------------------------------------------------------------------
+
+
+def q_df_table(sf_dir):
+    ds = document_frequency_table(corpus_from_documents(sf_dir), EngineConfig(max_gram=1))
+    return ds.select_columns(["term", "df", "cf"])
+
+
+SQL_DF_TABLE = f"""
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM ({_tokens_sql()}) GROUP BY term
+"""
+
+
+def q_doclen_histogram(sf_dir):
+    return doclen_histogram(corpus_from_documents(sf_dir), EngineConfig(max_gram=1))
+
+
+SQL_DOCLEN_HISTOGRAM = f"""
+SELECT n_postings, count(*) AS n_docs FROM (
+  SELECT count(DISTINCT term) AS n_postings FROM ({_tokens_sql()}) GROUP BY doc_id
+) GROUP BY n_postings
+"""
+
+
+def q_doc_meta(sf_dir):
+    ds = doc_meta(corpus_from_documents(sf_dir), EngineConfig(max_gram=1))
+    return ds.select_columns(["doc_id", "doclen", "n_bytes"])
+
+
+SQL_DOC_META = """
+SELECT doc_id, len(string_split(text, ' ')) AS doclen, length(text) AS n_bytes
+FROM documents
+"""
+
+
+def q_ingest_totals(sf_dir):
+    ds = doc_meta(corpus_from_documents(sf_dir), EngineConfig(max_gram=1))
+    out = ds.aggregate(
+        Count(alias_name="n_docs"),
+        Sum("doclen", alias_name="total_tokens"),
+        Sum("n_bytes", alias_name="total_bytes"),
+    )
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
+
+
+SQL_INGEST_TOTALS = """
+SELECT count(*) AS n_docs,
+       sum(len(string_split(text,' '))) AS total_tokens,
+       sum(length(text)) AS total_bytes
+FROM documents
+"""
+
+
+def q_search_and(sf_dir):
+    return _search_docs(sf_dir, "spark join")
+
+
+SQL_SEARCH_AND = f"""
+SELECT doc_id FROM documents
+WHERE list_contains(string_split(text,' '), 'spark')
+  AND list_contains(string_split(text,' '), 'join')
+"""
+
+
+def q_search_or(sf_dir):
+    return _search_docs(sf_dir, "merge | window")
+
+
+SQL_SEARCH_OR = """
+SELECT doc_id FROM documents
+WHERE list_contains(string_split(text,' '), 'merge')
+   OR list_contains(string_split(text,' '), 'window')
+"""
+
+
+def q_search_not(sf_dir):
+    return _search_docs(sf_dir, "table -join")
+
+
+SQL_SEARCH_NOT = """
+SELECT doc_id FROM documents
+WHERE list_contains(string_split(text,' '), 'table')
+  AND NOT list_contains(string_split(text,' '), 'join')
+"""
+
+
+def q_search_phrase(sf_dir):
+    return _search_docs(sf_dir, '"batch batch"')
+
+
+SQL_SEARCH_PHRASE = """
+SELECT doc_id FROM documents
+WHERE ' ' || text || ' ' LIKE '% batch batch %'
+"""
+
+
+def q_search_boolean_mix(sf_dir):
+    return _search_docs(sf_dir, "(spark | vector) batch -window")
+
+
+SQL_SEARCH_BOOLEAN_MIX = """
+SELECT doc_id FROM documents
+WHERE (list_contains(string_split(text,' '), 'spark')
+       OR list_contains(string_split(text,' '), 'vector'))
+  AND list_contains(string_split(text,' '), 'batch')
+  AND NOT list_contains(string_split(text,' '), 'window')
+"""
+
+
+_BM25_TERMS = ("spark", "join")
+
+
+def q_bm25_topk(sf_dir):
+    eng = get_engine(sf_dir)
+    t = eng.search(" ".join(_BM25_TERMS), k=10)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+# BM25(k1=1.2, b=0.75) with AND(spark, join) match semantics; two-term sum
+# is order-independent in IEEE double, so scores are bit-comparable after
+# round(.,6).
+SQL_BM25_TOPK = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join') GROUP BY term),
+matches AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_sample_filter(sf_dir):
+    ds = filters.sample_filter(corpus_from_documents(sf_dir), 0.25)
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SAMPLE_FILTER = """
+SELECT doc_id FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < 0.25 * 4294967296
+"""
+
+
+def q_posting_count_filter(sf_dir):
+    ds = filters.posting_count_filter(
+        corpus_from_documents(sf_dir), 25, 35, EngineConfig(max_gram=1)
+    )
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_POSTING_COUNT_FILTER = f"""
+SELECT doc_id FROM (
+  SELECT doc_id, count(DISTINCT term) AS np FROM ({_tokens_sql()}) GROUP BY doc_id
+) WHERE np BETWEEN 25 AND 35
+"""
+
+
+def q_first_n(sf_dir):
+    ds = filters.first_n(corpus_from_documents(sf_dir), 100)
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()), "lang": t["lang"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FIRST_N = "SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 100"
+
+
+def q_select_columns(sf_dir):
+    return rd.read_parquet(f"{sf_dir}/part.parquet").select_columns(
+        ["p_partkey", "p_name"]
+    )
+
+
+SQL_SELECT_COLUMNS = "SELECT p_partkey, p_name FROM part"
+
+
+def q_source_histogram(sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    en = ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["lang"], "en")), batch_format="pyarrow"
+    )
+    return en.groupby("source").aggregate(Count(alias_name="n_docs"))
+
+
+SQL_SOURCE_HISTOGRAM = (
+    "SELECT source, count(*) AS n_docs FROM documents WHERE lang = 'en' GROUP BY source"
+)
+
+
+def q_shard_assign(sf_dir):
+    bounds = SHARD_BOUNDARIES
+
+    def f(t: pa.Table) -> pa.Table:
+        from bitfunnel_ray.stages.tokenize import tokenize_batch
+
+        r = tokenize_batch(t["text"], 1, emit_text=False)
+        shard = np.searchsorted(np.asarray(bounds), r.n_postings, side="right").astype(
+            np.int64
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()), "shard": pa.array(shard)}
+        )
+
+    return corpus_from_documents(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+SQL_SHARD_ASSIGN = f"""
+SELECT doc_id,
+       CASE WHEN np < 32 THEN 0 WHEN np < 64 THEN 1 WHEN np < 128 THEN 2 ELSE 3 END AS shard
+FROM (SELECT doc_id, count(DISTINCT term) AS np FROM ({_tokens_sql()}) GROUP BY doc_id)
+"""
+
+
+def q_token_count(sf_dir):
+    return textstats.token_count(corpus_from_documents(sf_dir))
+
+
+SQL_TOKEN_COUNT = "SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM documents"
+
+
+def q_quality_score(sf_dir):
+    ds = textstats.quality_score(corpus_from_documents(sf_dir))
+
+    def r6(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_tokens": t["n_tokens"],
+                "n_unique": t["n_unique"],
+                "avg_token_len": pa.array(np.round(t["avg_token_len"].to_numpy(), 6)),
+                "stopword_ratio": pa.array(np.round(t["stopword_ratio"].to_numpy(), 6)),
+                "quality": pa.array(np.round(t["quality"].to_numpy(), 6)),
+            }
+        )
+
+    return ds.map_batches(r6, batch_format="pyarrow")
+
+
+_STOP_SQL = ",".join(f"'{w}'" for w in STOPWORDS)
+SQL_QUALITY_SCORE = f"""
+WITH t AS ({_tokens_sql()}),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique,
+         sum(CASE WHEN term IN ({_STOP_SQL}) THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(term)) AS sum_len
+  FROM t GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_unique,
+       round(sum_len * 1.0 / n_tokens, 6) AS avg_token_len,
+       round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+       round(least(n_tokens / 64.0, 1.0) * 0.4
+           + least(n_unique * 1.0 / n_tokens, 1.0) * 0.4
+           + least(1.0 - n_stop * 1.0 / n_tokens, 1.0) * 0.2, 6) AS quality
+FROM agg
+"""
+
+
+def q_exact_dedup(sf_dir):
+    ds = dedup.exact_dedup_keep(corpus_from_documents(sf_dir))
+    return ds.select_columns(["doc_id"]).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EXACT_DEDUP = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_events_hourly(sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def f(t: pa.Table) -> pa.Table:
+        secs = t["ts"].cast(pa.int64()).to_numpy() // 1_000_000
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour_bucket": pa.array(secs // 3600, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow").groupby(
+        ["event_type", "hour_bucket"]
+    ).aggregate(Count(alias_name="n"))
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       count(*) AS n
+FROM events GROUP BY event_type, hour_bucket
+"""
+
+
+_ANN_QUERY_IDS = (0, 1, 2)
+
+
+def _ann_query_matrix(sf_dir):
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = tbl.to_pandas().set_index("vec_id")
+    return np.stack([np.asarray(df.loc[i, "embedding"], dtype=np.float64) for i in _ANN_QUERY_IDS])
+
+
+def q_ann_topk(sf_dir):
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ann.brute_force_topk(emb, _ann_query_matrix(sf_dir), k=10).to_pandas()
+    out["query_id"] = out["query_id"].map(lambda i: _ANN_QUERY_IDS[int(i)]).astype(np.int64)
+    out["cosine"] = np.round(out["cosine"].to_numpy(), 5)
+    return out[["query_id", "rank", "vec_id", "cosine"]]
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+sims AS (SELECT q.qid AS query_id, e.vec_id,
+                list_cosine_similarity(e.embedding, q.qe) AS cosine
+         FROM embeddings e CROSS JOIN q),
+ranked AS (SELECT query_id, vec_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+           FROM sims)
+SELECT query_id, rank, vec_id, round(cosine, 5) AS cosine
+FROM ranked WHERE rank <= 10
+"""
+
+
+# --- rows-only entries (no faithful ANSI-SQL oracle) ----------------------
+
+
+def q_minhash_dedup(sf_dir):
+    return dedup.minhash_dedup_pairs(corpus_from_documents(sf_dir), k=3, bands=16, threshold=0.5)
+
+
+def q_simhash(sf_dir):
+    return dedup.simhash(corpus_from_documents(sf_dir))
+
+
+def q_embedding_dup_pairs(sf_dir):
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.embedding_dup_pairs(emb, threshold=0.9)
+
+
+def q_lang_id(sf_dir):
+    return textstats.lang_id(corpus_from_documents(sf_dir))
+
+
+def q_fingerprint(sf_dir):
+    return textstats.fingerprint(corpus_from_documents(sf_dir))
+
+
+def q_ann_lsh_topk(sf_dir):
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.lsh_topk(emb, _ann_query_matrix(sf_dir), k=10)
+
+
+def q_multimodal_features(sf_dir):
+    from bitfunnel_ray.ops.multimodal import extract_features, html_to_media
+
+    media = html_to_media(corpus_from_documents(sf_dir))
+    feats = extract_features(media, backend="fake", dim=8)
+    return feats.map_batches(
+        lambda t: pa.table(
+            {
+                "media_id": t["media_id"].cast(pa.int64()),
+                "f0": pa.array([row[0] for row in t["features"].to_pylist()], pa.float32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+REGISTRY: dict[str, tuple] = {
+    "df_table": (q_df_table, SQL_DF_TABLE),
+    "doclen_histogram": (q_doclen_histogram, SQL_DOCLEN_HISTOGRAM),
+    "doc_meta": (q_doc_meta, SQL_DOC_META),
+    "ingest_totals": (q_ingest_totals, SQL_INGEST_TOTALS),
+    "search_and": (q_search_and, SQL_SEARCH_AND),
+    "search_or": (q_search_or, SQL_SEARCH_OR),
+    "search_not": (q_search_not, SQL_SEARCH_NOT),
+    "search_phrase": (q_search_phrase, SQL_SEARCH_PHRASE),
+    "search_boolean_mix": (q_search_boolean_mix, SQL_SEARCH_BOOLEAN_MIX),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "sample_filter": (q_sample_filter, SQL_SAMPLE_FILTER),
+    "posting_count_filter": (q_posting_count_filter, SQL_POSTING_COUNT_FILTER),
+    "first_n": (q_first_n, SQL_FIRST_N),
+    "select_columns": (q_select_columns, SQL_SELECT_COLUMNS),
+    "source_histogram": (q_source_histogram, SQL_SOURCE_HISTOGRAM),
+    "shard_assign": (q_shard_assign, SQL_SHARD_ASSIGN),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    # rows-only (non-SQL-expressible: sketch/LSH/model-stub operators)
+    "minhash_dedup": (q_minhash_dedup, None),
+    "simhash": (q_simhash, None),
+    "embedding_dup_pairs": (q_embedding_dup_pairs, None),
+    "lang_id": (q_lang_id, None),
+    "fingerprint": (q_fingerprint, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "multimodal_features": (q_multimodal_features, None),
+}

@@ -1,0 +1,70 @@
+"""Document filters — the IDocumentFilter surface re-expressed as
+vectorized Dataset transforms (reference:
+src/Chunks/src/DocumentFilters.cpp: NopFilter:35-41, RandomDocumentFilter
+:60-70, PostingCountFilter:78-89, DocumentCountFilter:97-112,
+CompositeFilter:115-123; driven by the ``BitFunnel filter`` tool,
+tools/BitFunnel/src/FilterChunks.cpp:82-155).
+
+Design deltas for parallel safety (SURVEY.md §2.2):
+- RandomDocumentFilter used a *sequential seeded RNG* — order-dependent,
+  so not reproducible under parallel ingest.  ``sample_filter`` replaces
+  it with a Knuth multiplicative hash of the stable doc_id: deterministic,
+  partition-order-free, and exactly expressible in ANSI SQL for the
+  oracle.
+- DocumentCountFilter ("first N") depended on ingest order; ``first_n``
+  pins the order to ascending doc_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from bitfunnel_ray.config import EngineConfig
+from bitfunnel_ray.functions.hashing import KNUTH
+from bitfunnel_ray.stages.tokenize import tokenize_batch
+
+
+def lang_filter(corpus: "ray.data.Dataset", lang: str) -> "ray.data.Dataset":
+    return corpus.map_batches(
+        lambda t, lang=lang: t.filter(pc.equal(t["lang"], lang)), batch_format="pyarrow"
+    )
+
+
+def sample_filter(corpus: "ray.data.Dataset", fraction: float) -> "ray.data.Dataset":
+    """Deterministic sample: keep doc iff (doc_id * 2654435761) mod 2^32
+    < fraction * 2^32 (parallel-safe RandomDocumentFilter replacement)."""
+    threshold = np.uint64(int(fraction * (1 << 32)))
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        keep = ((ids * np.uint64(KNUTH)) & np.uint64(0xFFFFFFFF)) < threshold
+        return t.filter(pa.array(keep))
+
+    return corpus.map_batches(f, batch_format="pyarrow")
+
+
+def posting_count_filter(
+    corpus: "ray.data.Dataset",
+    min_count: int,
+    max_count: int,
+    cfg: EngineConfig | None = None,
+) -> "ray.data.Dataset":
+    """Keep docs whose unique-posting count lies in [min_count, max_count]
+    (PostingCountFilter semantics, DocumentFilters.cpp:78-89)."""
+    cfg = cfg or EngineConfig()
+
+    def f(t: pa.Table) -> pa.Table:
+        r = tokenize_batch(t["text"], cfg.max_gram, emit_text=False)
+        keep = (r.n_postings >= min_count) & (r.n_postings <= max_count)
+        return t.filter(pa.array(keep))
+
+    return corpus.map_batches(f, batch_format="pyarrow")
+
+
+def first_n(corpus: "ray.data.Dataset", n: int) -> "ray.data.Dataset":
+    """First N documents by ascending doc_id (DocumentCountFilter analog
+    with a deterministic order; ``sort`` is the wide op here)."""
+    return corpus.sort("doc_id").limit(n)

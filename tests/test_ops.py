@@ -1,0 +1,173 @@
+"""Unit tests for the training-data ops: dedup family, ANN, text stats,
+multimodal plumbing — with planted duplicates / known neighbors."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from bitfunnel_ray.ops import ann, dedup, textstats
+from bitfunnel_ray.sources.corpus import _lift_documents_batch
+
+
+def _corpus(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return rd.from_arrow(
+        _lift_documents_batch(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts),
+                    "lang": pa.array(["en"] * len(texts)),
+                }
+            )
+        )
+    )
+
+
+def test_exact_dedup_keeps_min_doc_id():
+    c = _corpus(["a b c", "x y", "a b c", "a b c", "x y"], ids=[5, 1, 3, 9, 7])
+    kept = sorted(dedup.exact_dedup_keep(c).to_pandas()["doc_id"].tolist())
+    assert kept == [1, 3]  # min id per distinct text
+
+
+def test_minhash_finds_planted_near_dups():
+    base = "w%d " * 40
+    t1 = " ".join(f"w{i}" for i in range(40))
+    t2 = " ".join(f"w{i}" for i in range(39)) + " zz"  # near-dup of t1
+    others = [" ".join(f"u{i+j*50}" for i in range(40)) for j in range(8)]
+    c = _corpus([t1, t2] + others)
+    pairs = dedup.minhash_dedup_pairs(c, k=3, bands=16, threshold=0.5)
+    got = set(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()))
+    assert (0, 1) in got
+    # high jaccard for the planted pair
+    j = dict(zip(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()), pairs["jaccard"].to_pylist()))
+    assert j[(0, 1)] > 0.8
+
+
+def test_simhash_identical_and_candidates():
+    t1 = " ".join(f"w{i}" for i in range(50))
+    t2 = t1  # identical
+    c = _corpus([t1, t2, "completely different tokens here now"])
+    sh = dedup.simhash(c).to_pandas().set_index("doc_id")["simhash"]
+    assert sh[0] == sh[1]
+    cands = dedup.simhash_candidates(c).to_pandas()
+    assert {(0, 1)} <= set(zip(cands["doc_a"], cands["doc_b"]))
+
+
+def test_embedding_dup_pairs_planted():
+    vecs = np.random.default_rng(7).standard_normal((30, 16)).astype(np.float32)
+    vecs[11] = vecs[3] * 2.0 + 0.001  # same direction → cosine ~1
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(30), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    pairs = dedup.embedding_dup_pairs(emb, threshold=0.99)
+    got = set(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()))
+    assert (3, 11) in got
+
+
+def test_ann_brute_force_matches_numpy():
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 32))
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    q = vecs[:2]
+    got = ann.brute_force_topk(emb, q, k=5).to_pandas()
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    # note: stored vectors are float32 — mirror that in the oracle
+    unit32 = vecs.astype(np.float32).astype(np.float64)
+    unit32 = unit32 / np.linalg.norm(unit32, axis=1, keepdims=True)
+    qu = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = unit32 @ qu.T
+    for qi in range(2):
+        want = np.argsort(-sims[:, qi])[:5].tolist()
+        sub = got[got.query_id == qi].sort_values("rank")
+        assert sub["vec_id"].tolist() == want
+        # self is its own nearest neighbor
+        assert sub["vec_id"].iloc[0] == qi
+
+
+def test_ann_lsh_recall():
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((500, 32))
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(500), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    q = vecs[:3]
+    exact = ann.brute_force_topk(emb, q, k=10).to_pandas()
+    approx = ann.lsh_topk(emb, q, k=10, n_planes=6, multiprobe=1).to_pandas()
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # approximate, but must find a majority
+    # the query vector itself always survives (its bucket is probed)
+    assert 0 in set(approx[approx.query_id == 0]["vec_id"])
+
+
+def test_lang_id_markers():
+    c = _corpus(
+        [
+            "the cat sat on the mat and it was happy",
+            "der hund ist nicht auf der wiese und das ist gut",
+            "el perro es un animal que vive en la casa",
+        ]
+    )
+    got = textstats.lang_id(c).to_pandas().sort_values("doc_id")
+    assert got["lang_pred"].tolist() == ["en", "de", "es"]
+
+
+def test_fingerprint_order_sensitive():
+    c = _corpus(["a b c", "a b c", "c b a"])
+    fp = textstats.fingerprint(c).to_pandas().set_index("doc_id")["fingerprint"]
+    assert fp[0] == fp[1] != fp[2]
+
+
+def test_quality_score_degenerate():
+    c = _corpus(["", "the the the the", "x"])
+    got = textstats.quality_score(c).to_pandas().sort_values("doc_id")
+    assert got["quality"].iloc[0] == 0.0
+    assert got["stopword_ratio"].iloc[1] == 1.0
+    assert got["n_unique"].iloc[1] == 1
+
+
+def test_multimodal_stub_and_fake():
+    from bitfunnel_ray.ops.multimodal import DecodeFeatures, extract_features, html_to_media
+
+    c = _corpus(["hello world", "foo bar"])
+    media = html_to_media(c)
+    feats = extract_features(media, backend="fake", dim=4).to_pandas()
+    assert len(feats) == 2 and len(feats["features"].iloc[0]) == 4
+    # determinism
+    feats2 = extract_features(html_to_media(c), backend="fake", dim=4).to_pandas()
+    a = [list(x) for x in feats.sort_values("media_id")["features"]]
+    b = [list(x) for x in feats2.sort_values("media_id")["features"]]
+    assert a == b
+    # honest stub raises
+    with pytest.raises(NotImplementedError):
+        DecodeFeatures(backend="stub")(
+            pa.table(
+                {
+                    "media_id": pa.array([1], pa.uint64()),
+                    "media_type": pa.array(["image"]),
+                    "payload": pa.array([b"x"], pa.large_binary()),
+                }
+            )
+        )
