@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) plus a deterministic synthetic web-text corpus
+(FIXTURES.md §1b) large enough to exercise the shuffle.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {stage: sec, ...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the same bench at num_cpus=8 and num_cpus=32 in fresh
+processes on the same input and reports throughput + scaling efficiency
+(sandbox stand-in for N vs 4N nodes; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    bench_docs = int(os.environ.get("BFR_BENCH_DOCS", "100000"))
+    n_queries = int(os.environ.get("BFR_BENCH_QUERIES", "512"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.build.stats import document_frequency_table
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.ops import ann, dedup
+    from bitfunnel_ray.pipelines.querylog import generate_query_log
+    from bitfunnel_ray.query.runner import run_query_log, summarize
+    from bitfunnel_ray.sources.corpus import corpus_from_documents, write_synth_corpus
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    # --- synthetic bench corpus (cached + page-cache warmed, untimed) ----
+    corpus_dir = f"/tmp/bfr_bench_corpus_{bench_docs}_v2"
+    if not os.path.exists(os.path.join(corpus_dir, "_DONE")):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        write_synth_corpus(corpus_dir, bench_docs, kind="zipf")
+        with open(os.path.join(corpus_dir, "_DONE"), "w") as f:
+            f.write("ok")
+    parquet_files = [
+        os.path.join(corpus_dir, f)
+        for f in os.listdir(corpus_dir)
+        if f.endswith(".parquet")
+    ]
+    corpus = rd.read_parquet(parquet_files)
+    n_corpus = corpus.count()  # warms the page cache
+
+    # --- index build (docs/sec headline) --------------------------------
+    cfg = EngineConfig(max_gram=2, num_buckets=max(ncpu, 16))
+    idx_dir = "/tmp/bfr_bench_idx"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest = build_index(rd.read_parquet(parquet_files), idx_dir, cfg)
+    timings["index_build"] = time.perf_counter() - t0
+    extras["build_docs_per_sec"] = round(n_corpus / timings["index_build"], 1)
+
+    # --- statistics scan (df table; the 'BitFunnel statistics' analog) ---
+    t0 = time.perf_counter()
+    df_tbl = (
+        document_frequency_table(
+            rd.read_parquet(parquet_files), EngineConfig(max_gram=1)
+        )
+        .select_columns(["term", "df"])  # uint64 cols poison Ray's sort path
+        .sort("df", descending=True)
+        .limit(5000)
+        .to_pandas()
+    )
+    timings["stats_df"] = time.perf_counter() - t0
+
+    # --- query serving (actor pool; QPS / latency) -----------------------
+    qlog = generate_query_log(df_tbl["term"].tolist(), n_queries)
+    t0 = time.perf_counter()
+    results = run_query_log(
+        qlog, idx_dir, k=10, concurrency=min(8, max(2, ncpu // 4)), batch_size=32
+    )
+    stats = summarize(results)
+    timings["query_serve"] = time.perf_counter() - t0
+    extras["qps"] = round(n_queries / timings["query_serve"], 1)
+    extras["query_p50_ms"] = round(stats["p50_ms"], 3)
+    extras["query_p99_ms"] = round(stats["p99_ms"], 3)
+    extras["query_errors"] = stats["n_errors"]
+
+    # --- training-data ops over the sf dir -------------------------------
+    t0 = time.perf_counter()
+    dedup.minhash_dedup_pairs(corpus_from_documents(sf_dir), k=3, bands=16, threshold=0.5)
+    timings["dedup_minhash"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    qmat = np.stack(
+        pq.read_table(emb_path, columns=["embedding"]).slice(0, 8)["embedding"].to_pylist()
+    )
+    ann.brute_force_topk(rd.read_parquet(emb_path), qmat, k=10).to_pandas()
+    timings["ann_topk"] = time.perf_counter() - t0
+
+    ray.shutdown()
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "bitfunnel_ray headline pipelines (index build + stats + query serve + dedup + ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "extras": extras,
+        "sf": sf_dir,
+        "bench_docs": n_corpus,
+        "num_cpus": ncpu,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job at num_cpus=8 and 32 in fresh processes (N vs 4N stand-in)."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    # throughput = work/sec; same work both runs → throughput ratio = t_lo/t_hi
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency 8->32 cpus",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

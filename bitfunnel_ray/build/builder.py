@@ -110,28 +110,35 @@ class TokenizePostings:
         )
 
 
-def encode_bucket_group(group: pa.Table, *, out_dir: str, avgdl: float, cfg: EngineConfig) -> pa.Table:
-    """map_groups stage: one shuffle bucket → encode → atomic dict file."""
-    bucket = int(group["bucket"][0].as_py())
-    tbl = encode_bucket(
-        group["term_hash"].to_numpy(zero_copy_only=False),
-        group["gram_size"].to_numpy(zero_copy_only=False),
-        group["salt"].to_numpy(zero_copy_only=False),
-        group["doc_id"].to_numpy(zero_copy_only=False),
-        group["tf"].to_numpy(zero_copy_only=False),
-        group["doclen"].to_numpy(zero_copy_only=False),
-        avgdl,
-        cfg.k1,
-        cfg.b,
-        cfg.block_size,
-    )
-    segment.write_bucket_atomic(tbl, out_dir, bucket)
+def encode_block(block: pa.Table, *, out_dir: str, avgdl: float, cfg: EngineConfig) -> pa.Table:
+    """Encode stage after the hash-partition exchange: one block holds all
+    postings of one or more complete buckets (repartition(keys=['bucket'])
+    guarantees co-location).  Each bucket becomes one atomic dict file —
+    the resume/checkpoint unit."""
+    buckets = block["bucket"].to_numpy(zero_copy_only=False)
+    h = block["term_hash"].to_numpy(zero_copy_only=False)
+    g = block["gram_size"].to_numpy(zero_copy_only=False)
+    s = block["salt"].to_numpy(zero_copy_only=False)
+    d = block["doc_id"].to_numpy(zero_copy_only=False)
+    tf = block["tf"].to_numpy(zero_copy_only=False)
+    dl = block["doclen"].to_numpy(zero_copy_only=False)
+    out_rows = {"bucket": [], "n_chunks": [], "n_postings": [], "payload_bytes": []}
+    for b in np.unique(buckets):
+        m = buckets == b
+        tbl = encode_bucket(
+            h[m], g[m], s[m], d[m], tf[m], dl[m], avgdl, cfg.k1, cfg.b, cfg.block_size
+        )
+        segment.write_bucket_atomic(tbl, out_dir, int(b))
+        out_rows["bucket"].append(int(b))
+        out_rows["n_chunks"].append(len(tbl))
+        out_rows["n_postings"].append(int(m.sum()))
+        out_rows["payload_bytes"].append(tbl.nbytes)
     return pa.table(
         {
-            "bucket": pa.array([bucket], pa.int32()),
-            "n_chunks": pa.array([len(tbl)], pa.int64()),
-            "n_postings": pa.array([int(pa.compute.sum(tbl["n_postings"]).as_py() or 0)], pa.int64()),
-            "payload_bytes": pa.array([tbl.nbytes], pa.int64()),
+            "bucket": pa.array(out_rows["bucket"], pa.int32()),
+            "n_chunks": pa.array(out_rows["n_chunks"], pa.int64()),
+            "n_postings": pa.array(out_rows["n_postings"], pa.int64()),
+            "payload_bytes": pa.array(out_rows["payload_bytes"], pa.int64()),
         }
     )
 
@@ -197,11 +204,25 @@ def build_index(
         )
         from functools import partial
 
-        enc = postings.groupby("bucket").map_groups(
-            partial(encode_bucket_group, out_dir=out_dir, avgdl=avgdl, cfg=cfg),
-            batch_format="pyarrow",
-        )
-        bucket_stats = enc.to_pandas().to_dict("records")
+        from ray.data.context import ShuffleStrategy
+
+        # THE build shuffle: hash-partition on the explicit bucket key (a
+        # key-based exchange, ~5x faster than the sort-based groupby on a
+        # low-cardinality key), then encode whole buckets per block.  The
+        # strategy lives on the dataset's own context snapshot.
+        prev_strategy = postings.context.shuffle_strategy
+        postings.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            enc = postings.repartition(
+                num_blocks=cfg.num_buckets, keys=["bucket"]
+            ).map_batches(
+                partial(encode_block, out_dir=out_dir, avgdl=avgdl, cfg=cfg),
+                batch_size=None,
+                batch_format="pyarrow",
+            )
+            bucket_stats = enc.to_pandas().to_dict("records")
+        finally:
+            postings.context.shuffle_strategy = prev_strategy
 
     manifest = {
         "format_version": 1,

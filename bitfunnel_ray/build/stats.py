@@ -36,7 +36,7 @@ class PartialTermStats:
         r = tokenize_batch(batch["text"], self.max_gram, emit_text=self.emit_text)
         if len(r.term_hash) == 0:
             cols = {
-                "term_hash": pa.array([], pa.uint64()),
+                "term_hash": pa.array([], pa.int64()),
                 "gram_size": pa.array([], pa.uint8()),
                 "df_part": pa.array([], pa.int64()),
                 "cf_part": pa.array([], pa.int64()),
@@ -54,7 +54,9 @@ class PartialTermStats:
         counts = np.diff(np.append(starts, len(h)))
         cf = np.add.reduceat(tf.astype(np.int64), starts)
         cols = {
-            "term_hash": pa.array(h[starts], pa.uint64()),
+            # int64 bit-view of the uint64 hash: Ray's shuffle/aggregate ops
+            # fall back to pickled python objects on uint64 columns
+            "term_hash": pa.array(h[starts].view(np.int64), pa.int64()),
             "gram_size": pa.array(g[starts], pa.uint8()),
             "df_part": pa.array(counts.astype(np.int64)),
             "cf_part": pa.array(cf),
@@ -74,8 +76,14 @@ def document_frequency_table(
     DocumentFrequencyTable.cpp:110-115)."""
     cfg = cfg or EngineConfig()
     keys = ["term_hash", "gram_size"] + (["term"] if emit_text else [])
+    # whole-block batches maximize map-side dedup (partial rows ∝ vocab per
+    # block, not per small batch); term_hash travels as int64 (uint64 would
+    # hit Ray's pickled-object fallback in the shuffle).  Sort-based
+    # aggregation measured faster than hash-aggregation at this shape.
     partial = corpus.select_columns(["text"]).map_batches(
-        PartialTermStats(cfg.max_gram, emit_text), batch_format="pyarrow"
+        PartialTermStats(cfg.max_gram, emit_text),
+        batch_format="pyarrow",
+        batch_size=None,
     )
     return partial.groupby(keys).aggregate(
         Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf")

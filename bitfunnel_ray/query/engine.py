@@ -95,14 +95,32 @@ class _Segment:
         ]
         return parts
 
+    def block_meta_rows(self, rows: list[int]):
+        """(last_docs, max_tfn) arrays per chunk row (build-time block-max
+        metadata, bitfunnel_ray/build/encode.py)."""
+        ld_col = self.dict["last_docs"]
+        mt_col = self.dict["max_tfn"]
+        return [
+            (
+                np.asarray(ld_col[r].as_py(), dtype=np.uint64),
+                np.asarray(mt_col[r].as_py(), dtype=np.float64),
+            )
+            for r in rows
+        ]
+
 
 class Postings:
-    """Merged posting list of one term across segments."""
+    """Merged posting list of one term across segments.
 
-    __slots__ = ("doc_ids", "tf", "doclen", "df")
+    ``block_last``/``block_max_tfn`` are the build-time block-max skip
+    metadata (None when segments interleaved at merge — the WAND path then
+    recomputes exact blocks from the decoded list)."""
 
-    def __init__(self, doc_ids, tf, doclen, df):
+    __slots__ = ("doc_ids", "tf", "doclen", "df", "block_last", "block_max_tfn")
+
+    def __init__(self, doc_ids, tf, doclen, df, block_last=None, block_max_tfn=None):
         self.doc_ids, self.tf, self.doclen, self.df = doc_ids, tf, doclen, df
+        self.block_last, self.block_max_tfn = block_last, block_max_tfn
 
 
 _EMPTY = Postings(
@@ -153,20 +171,27 @@ class SearchEngine:
         hit = self._cache.get(key)
         if hit is not None:
             return hit
-        parts = []
+        parts, metas = [], []
         for s in self.segments:
             rows = s.chunk_rows(term_hash, gram)
             parts.extend(s.decode_rows(rows))
+            # inflate stored max_tfn when serving avgdl > build avgdl (tfn is
+            # monotone in avgdl with ratio bounded by avgdl_serve/avgdl_build)
+            infl = max(1.0, self.avgdl / s.avgdl) if s.avgdl > 0 else 1.0
+            metas.extend((ld, mt * infl) for ld, mt in s.block_meta_rows(rows))
         if not parts:
             out = _EMPTY
         else:
             docs = np.concatenate([p.doc_ids for p in parts])
             tf = np.concatenate([p.tf for p in parts])
             dl = np.concatenate([p.doclen for p in parts])
+            block_last = np.concatenate([m[0] for m in metas])
+            block_ub = np.concatenate([m[1] for m in metas])
             if len(parts) > 1 and not np.all(docs[1:] > docs[:-1]):
                 order = np.argsort(docs, kind="stable")
                 docs, tf, dl = docs[order], tf[order], dl[order]
-            out = Postings(docs, tf, dl, len(docs))
+                block_last = block_ub = None  # interleaved: metadata invalid
+            out = Postings(docs, tf, dl, len(docs), block_last, block_ub)
         if len(self._cache) < 100_000:
             self._cache[key] = out
         return out
@@ -303,3 +328,57 @@ class SearchEngine:
 
     def match_count(self, query: str) -> int:
         return int(len(self.eval(parse_query(query))))
+
+    # --- ranked disjunctive top-k (block-max WAND fast path) --------------
+    def _term_cursor(self, text: str):
+        from bitfunnel_ray.query.wand import _TermCursor
+
+        p = self.term_postings(text)
+        if not p.df:
+            return None
+        k1, b = self.k1, self.b
+        idf = float(np.log((self.n_docs - p.df + 0.5) / (p.df + 0.5) + 1.0))
+        tf = p.tf.astype(np.float64)
+        dl = p.doclen.astype(np.float64)
+        contrib = idf * (k1 + 1.0) * (tf / (tf + k1 * (1.0 - b + b * dl / self.avgdl)))
+        if p.block_last is not None:
+            last, ub = p.block_last, idf * (k1 + 1.0) * p.block_max_tfn
+        else:
+            # interleaved segments: recompute exact blocks from decoded list
+            bs = 128
+            starts = np.arange(0, len(contrib), bs)
+            last = p.doc_ids[np.minimum(starts + bs - 1, len(contrib) - 1)]
+            ub = np.maximum.reduceat(contrib, starts)
+        return _TermCursor(p.doc_ids, contrib, last, ub)
+
+    def topk_or(self, terms: list[str], k: int = 10, use_wand: bool = True) -> pa.Table:
+        """Exact top-k under disjunctive (sum over matching terms) BM25 —
+        WAND skips blocks that cannot beat the running threshold; with
+        ``use_wand=False`` scores the full union exhaustively (used by
+        tests to prove WAND exactness).
+
+        Tombstoned docs are excluded before ranking."""
+        from bitfunnel_ray.query.wand import wand_topk
+
+        seen = set()
+        uniq = [t for t in terms if not (t in seen or seen.add(t))]
+        if use_wand and self.tombstones is None:
+            # canonical (hash) order so accumulation matches score() exactly
+            uniq_sorted = sorted(uniq, key=murmur64a)
+            cursors = [c for c in (self._term_cursor(t) for t in uniq_sorted) if c]
+            pairs = wand_topk(cursors, k)
+            doc_ids = np.array([d for _, d in pairs], dtype=np.uint64)
+            scores = np.array([s for s, _ in pairs], dtype=np.float64)
+        else:
+            node = ast.Or(tuple(ast.Term(t) for t in uniq)) if len(uniq) > 1 else ast.Term(uniq[0])
+            matches = self.eval(node)
+            sc = self.score(node, matches)
+            order = np.lexsort((matches, -sc))[:k]
+            doc_ids, scores = matches[order], sc[order]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(doc_ids) + 1, dtype=np.uint32)),
+                "doc_id": pa.array(doc_ids, pa.uint64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )

@@ -1,0 +1,109 @@
+"""Actor-pool query serving — the QueryRunner analog (reference:
+src/Plan/src/QueryRunner.cpp:282-401: N threads round-robin a query log,
+each with its own engine over shared read-only index state).
+
+Ray Data shape: queries are a Dataset; ``map_batches(QueryActor,
+concurrency=N)`` gives N actors that each load the segment dictionaries
+ONCE in ``__init__`` (the ConfigureForServing analog,
+src/Index/src/SimpleIndex.cpp:219-270) and then stream query batches.
+Per-query failures become error rows, not job failures (the reference
+swallows per-query exceptions too, QueryRunner.cpp:263-267).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from bitfunnel_ray.query.engine import SearchEngine
+
+
+class QueryActor:
+    def __init__(self, index_dirs, k: int = 10, load_urls: bool = False):
+        self.engine = SearchEngine(index_dirs, load_urls=load_urls)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["query_id"].to_numpy(zero_copy_only=False)
+        texts = batch["query"].to_pylist()
+        out_qid, out_rank, out_doc, out_score = [], [], [], []
+        out_matches, out_lat, out_err = [], [], []
+        for qid, q in zip(qids, texts):
+            t0 = time.perf_counter()
+            try:
+                from bitfunnel_ray.query.parser import parse_query
+
+                node = parse_query(q)
+                matches = self.engine.eval(node)
+                scores = self.engine.score(node, matches)
+                order = np.lexsort((matches, -scores))[: self.k]
+                lat = time.perf_counter() - t0
+                n = len(order)
+                out_qid.append(np.full(n, qid, dtype=np.uint32))
+                out_rank.append(np.arange(1, n + 1, dtype=np.uint32))
+                out_doc.append(matches[order])
+                out_score.append(scores[order])
+                out_matches.append(np.full(n, len(matches), dtype=np.int64))
+                out_lat.append(np.full(n, lat, dtype=np.float64))
+                out_err.append([""] * n)
+            except Exception as e:  # per-query error row
+                out_qid.append(np.array([qid], dtype=np.uint32))
+                out_rank.append(np.array([0], dtype=np.uint32))
+                out_doc.append(np.array([0], dtype=np.uint64))
+                out_score.append(np.array([0.0]))
+                out_matches.append(np.array([-1], dtype=np.int64))
+                out_lat.append(np.array([time.perf_counter() - t0]))
+                out_err.append([f"{type(e).__name__}: {e}"])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_qid), pa.uint32()),
+                "rank": pa.array(np.concatenate(out_rank), pa.uint32()),
+                "doc_id": pa.array(np.concatenate(out_doc), pa.uint64()),
+                "score": pa.array(np.concatenate(out_score), pa.float64()),
+                "n_matches": pa.array(np.concatenate(out_matches), pa.int64()),
+                "latency_s": pa.array(np.concatenate(out_lat), pa.float64()),
+                "error": pa.array([e for part in out_err for e in part], pa.string()),
+            }
+        )
+
+
+def run_query_log(
+    queries: "ray.data.Dataset | pa.Table",
+    index_dirs,
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Serve a query log through an actor pool → result Dataset."""
+    if isinstance(queries, pa.Table):
+        queries = ray.data.from_arrow(queries)
+    return queries.map_batches(
+        QueryActor,
+        fn_constructor_kwargs={"k": k, "index_dirs": index_dirs},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def summarize(results: "ray.data.Dataset") -> dict:
+    """QPS/latency stats — the QueryRunner::Statistics analog
+    (QueryRunner.cpp:67-92)."""
+    df = results.to_pandas()
+    per_q = df.groupby("query_id").agg(
+        latency_s=("latency_s", "first"),
+        n_matches=("n_matches", "first"),
+        error=("error", "first"),
+    )
+    lat = per_q["latency_s"].to_numpy()
+    return {
+        "n_queries": int(len(per_q)),
+        "n_errors": int((per_q["error"] != "").sum()),
+        "total_matches": int(per_q["n_matches"].clip(lower=0).sum()),
+        "p50_ms": float(np.percentile(lat, 50) * 1e3) if len(lat) else 0.0,
+        "p99_ms": float(np.percentile(lat, 99) * 1e3) if len(lat) else 0.0,
+        "mean_ms": float(lat.mean() * 1e3) if len(lat) else 0.0,
+    }

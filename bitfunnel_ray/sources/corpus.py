@@ -160,7 +160,7 @@ def make_zipf_corpus(
     )
 
 
-def write_synth_corpus(path: str, n_docs: int, kind: str = "zipf", rows_per_file: int = 100_000) -> str:
+def write_synth_corpus(path: str, n_docs: int, kind: str = "zipf", rows_per_file: int = 16_384) -> str:
     """Write a deterministic synthetic corpus as a directory of parquet
     files (generated in parallel via ray.data.range → map_batches so large
     bench corpora don't bottleneck on the driver)."""

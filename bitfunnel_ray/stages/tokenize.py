@@ -93,16 +93,15 @@ def tokenize_batch(
     flat, doc_of, doclen = flat_tokens(texts)
     n_tok = len(flat)
     h1 = hash_token_array(flat)
-    t1 = np.asarray(flat.to_pylist(), dtype=object) if emit_text else None
 
-    rows_parts, hash_parts, gram_parts, text_parts = [], [], [], []
+    rows_parts, hash_parts, gram_parts, pos_parts = [], [], [], []
     h_prev = h1  # hashes of (g-1)-grams starting at positions 0..n-g+1
-    t_prev = t1
     for g in range(1, max_gram + 1):
         if g == 1:
-            h_g, t_g = h1, t1
+            h_g = h1
             valid = np.ones(n_tok, dtype=bool)
             starts = doc_of
+            pos = np.arange(n_tok, dtype=np.int64)
         else:
             m = n_tok - g + 1
             if m <= 0:
@@ -110,35 +109,30 @@ def tokenize_batch(
             h_g = combine_ngram(h_prev[:m], h1[g - 1 :])
             starts = doc_of[:m]
             valid = starts == doc_of[g - 1 :]
-            if emit_text:
-                t_g = np.array(
-                    [a + " " + b for a, b in zip(t_prev[:m], t1[g - 1 :])],
-                    dtype=object,
-                ) if m else np.empty(0, dtype=object)
+            pos = np.arange(m, dtype=np.int64)
         sel = np.flatnonzero(valid) if not valid.all() else slice(None)
-        rows_parts.append(starts[sel] if isinstance(sel, np.ndarray) else starts)
-        hash_parts.append(h_g[sel] if isinstance(sel, np.ndarray) else h_g)
-        gram_parts.append(
-            np.full(len(rows_parts[-1]), g, dtype=np.uint8)
-        )
-        if emit_text:
-            text_parts.append(t_g[sel] if isinstance(sel, np.ndarray) else t_g)
-        h_prev, t_prev = h_g, (t_g if emit_text else None)
+        take = lambda a: a[sel] if isinstance(sel, np.ndarray) else a
+        rows_parts.append(take(starts))
+        hash_parts.append(take(h_g))
+        pos_parts.append(take(pos))
+        gram_parts.append(np.full(len(rows_parts[-1]), g, dtype=np.uint8))
+        h_prev = h_g
 
     rows = np.concatenate(rows_parts) if rows_parts else np.empty(0, np.int64)
     hashes = np.concatenate(hash_parts) if hash_parts else np.empty(0, np.uint64)
     grams = np.concatenate(gram_parts) if gram_parts else np.empty(0, np.uint8)
-    texts_all = np.concatenate(text_parts) if emit_text and text_parts else None
+    poss = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
 
     n_rows = len(doclen)
     if len(rows) == 0:
         return TokenizeResult(
             rows.astype(np.int64), hashes, grams,
-            np.empty(0, np.uint32), texts_all, doclen,
-            np.zeros(n_rows, np.int64),
+            np.empty(0, np.uint32),
+            np.empty(0, dtype=object) if emit_text else None,
+            doclen, np.zeros(n_rows, np.int64),
         )
 
-    # dedup (row, term_hash, gram) → tf, keeping first occurrence's text
+    # dedup (row, term_hash, gram) → tf, keeping first occurrence position
     order = np.lexsort((grams, hashes, rows))
     r_s, h_s, g_s = rows[order], hashes[order], grams[order]
     boundary = np.empty(len(order), dtype=bool)
@@ -147,6 +141,23 @@ def tokenize_batch(
     starts_idx = np.flatnonzero(boundary)
     tf = np.diff(np.append(starts_idx, len(order))).astype(np.uint32)
     u_rows, u_hash, u_gram = r_s[starts_idx], h_s[starts_idx], g_s[starts_idx]
-    u_text = texts_all[order][starts_idx] if emit_text else None
+    u_text = None
+    if emit_text:
+        # reconstruct text for UNIQUE terms only (cost ∝ vocabulary, not
+        # token count): gather first-occurrence windows via arrow take
+        u_pos = poss[order][starts_idx]
+        u_text = np.empty(len(u_pos), dtype=object)
+        for g in np.unique(u_gram):
+            m = u_gram == g
+            p = u_pos[m]
+            gathered = [
+                flat.take(pa.array(p + j)).to_pylist() for j in range(int(g))
+            ]
+            if g == 1:
+                u_text[m] = np.asarray(gathered[0], dtype=object)
+            else:
+                u_text[m] = np.asarray(
+                    [" ".join(parts) for parts in zip(*gathered)], dtype=object
+                )
     n_postings = np.bincount(u_rows, minlength=n_rows).astype(np.int64)
     return TokenizeResult(u_rows, u_hash, u_gram, tf, u_text, doclen, n_postings)

@@ -1,0 +1,80 @@
+"""Block-max WAND exactness: identical top-k (doc_ids AND bit-identical
+scores) to the exhaustive union scorer, across corpora, k values, term
+mixes, salted builds and merged segments."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from bitfunnel_ray.build.builder import build_index
+from bitfunnel_ray.config import EngineConfig
+from bitfunnel_ray.query.engine import SearchEngine
+from bitfunnel_ray.sources.corpus import corpus_from_documents, make_zipf_corpus
+
+TERM_SETS = [
+    ["table"],
+    ["spark", "join"],
+    ["spark", "join", "merge", "window"],
+    ["the", "a", "batch"],
+    ["zzznope", "table"],
+    ["table", "table", "join"],  # duplicate input terms
+]
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wand") / "seg")
+    build_index(
+        corpus_from_documents("/root/testdata/sf0.001"),
+        out,
+        EngineConfig(max_gram=2, num_buckets=6),
+    )
+    return SearchEngine(out, load_urls=False)
+
+
+@pytest.mark.parametrize("k", [1, 3, 10, 100])
+def test_wand_equals_exhaustive(engine, k):
+    for terms in TERM_SETS:
+        a = engine.topk_or(terms, k, use_wand=True)
+        b = engine.topk_or(terms, k, use_wand=False)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (terms, k)
+        assert a["score"].to_pylist() == b["score"].to_pylist(), (terms, k)
+
+
+def test_wand_on_zipf_corpus_with_salting(tmp_path):
+    """Zipf head terms + forced salting: stress ties and block skipping."""
+    out = str(tmp_path / "zipf")
+    corpus = rd.from_arrow(make_zipf_corpus(800, vocab_size=500))
+    build_index(
+        corpus, out, EngineConfig(max_gram=1, num_buckets=5, head_df_threshold=50, salt_shift=6)
+    )
+    eng = SearchEngine(out, load_urls=False)
+    for terms in [["t000000"], ["t000000", "t000001", "t000050"], ["t000400", "t000000"]]:
+        for k in (5, 20):
+            a = eng.topk_or(terms, k, use_wand=True)
+            b = eng.topk_or(terms, k, use_wand=False)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (terms, k)
+            assert a["score"].to_pylist() == b["score"].to_pylist(), (terms, k)
+
+
+def test_wand_multi_segment(tmp_path):
+    """Interleaved doc-id ranges across segments → metadata fallback path."""
+    from bitfunnel_ray.sources.corpus import _lift_documents_batch
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    # interleave: even ids in one segment, odd in the other
+    even = docs.filter(pa.compute.equal(pa.compute.bit_wise_and(docs["doc_id"], 1), 0))
+    odd = docs.filter(pa.compute.equal(pa.compute.bit_wise_and(docs["doc_id"], 1), 1))
+    cfg = EngineConfig(max_gram=1, num_buckets=4)
+    s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    build_index(rd.from_arrow(_lift_documents_batch(even)), s1, cfg)
+    build_index(rd.from_arrow(_lift_documents_batch(odd)), s2, cfg)
+    eng = SearchEngine([s1, s2], load_urls=False)
+    p = eng.term_postings("table")
+    assert p.block_last is None  # interleaved → stored metadata invalidated
+    a = eng.topk_or(["table", "join"], 10, use_wand=True)
+    b = eng.topk_or(["table", "join"], 10, use_wand=False)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
