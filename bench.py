@@ -25,8 +25,8 @@ import time
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    bench_docs = int(os.environ.get("BFR_BENCH_DOCS", "100000"))
-    n_queries = int(os.environ.get("BFR_BENCH_QUERIES", "512"))
+    bench_docs = int(os.environ.get("BFR_BENCH_DOCS", "200000"))
+    n_queries = int(os.environ.get("BFR_BENCH_QUERIES", "2048"))
 
     import ray
 
@@ -56,7 +56,7 @@ def run_bench() -> dict:
     extras: dict[str, object] = {}
 
     # --- synthetic bench corpus (cached + page-cache warmed, untimed) ----
-    corpus_dir = f"/tmp/bfr_bench_corpus_{bench_docs}_v2"
+    corpus_dir = f"/tmp/bfr_bench_corpus_{bench_docs}_v3"
     if not os.path.exists(os.path.join(corpus_dir, "_DONE")):
         shutil.rmtree(corpus_dir, ignore_errors=True)
         write_synth_corpus(corpus_dir, bench_docs, kind="zipf")
@@ -71,7 +71,9 @@ def run_bench() -> dict:
     n_corpus = corpus.count()  # warms the page cache
 
     # --- index build (docs/sec headline) --------------------------------
-    cfg = EngineConfig(max_gram=2, num_buckets=max(ncpu, 16))
+    # num_buckets is pinned (NOT a function of ncpu) so the 8- and 32-cpu
+    # scaling runs do identical work
+    cfg = EngineConfig(max_gram=2, num_buckets=64)
     idx_dir = "/tmp/bfr_bench_idx"
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.perf_counter()
@@ -96,7 +98,7 @@ def run_bench() -> dict:
     qlog = generate_query_log(df_tbl["term"].tolist(), n_queries)
     t0 = time.perf_counter()
     results = run_query_log(
-        qlog, idx_dir, k=10, concurrency=min(8, max(2, ncpu // 4)), batch_size=32
+        qlog, idx_dir, k=10, concurrency=max(2, ncpu // 4), batch_size=32
     )
     stats = summarize(results)
     timings["query_serve"] = time.perf_counter() - t0
@@ -105,9 +107,12 @@ def run_bench() -> dict:
     extras["query_p99_ms"] = round(stats["p99_ms"], 3)
     extras["query_errors"] = stats["n_errors"]
 
-    # --- training-data ops over the sf dir -------------------------------
+    # --- training-data ops (dedup over the big synthetic corpus so the
+    # band shuffle has real work; ann over the sf dir embeddings) --------
     t0 = time.perf_counter()
-    dedup.minhash_dedup_pairs(corpus_from_documents(sf_dir), k=3, bands=16, threshold=0.5)
+    dedup.minhash_dedup_pairs(
+        rd.read_parquet(parquet_files), k=3, bands=16, threshold=0.9
+    )
     timings["dedup_minhash"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -1,0 +1,222 @@
+"""CLI — the BitFunnelTool surface re-expressed
+(reference: tools/BitFunnel/src/BitFunnelTool.cpp:87-157 exposes
+``filter | querylog | repl | shard | statistics | termtable``).
+
+    python -m bitfunnel_ray.cli statistics <corpus_dir_or_sfdir> <out_dir>
+    python -m bitfunnel_ray.cli build      <corpus_dir_or_sfdir> <index_dir>
+    python -m bitfunnel_ray.cli filter     <corpus_dir_or_sfdir> <out_dir> [--sample F] [--min-postings N] [--max-postings N] [--count N] [--lang L]
+    python -m bitfunnel_ray.cli querylog   <index_or_corpus> <out.parquet> [--count N]
+    python -m bitfunnel_ray.cli query      <index_dir> "<query>" [-k K]
+    python -m bitfunnel_ray.cli repl       <index_dir>
+    python -m bitfunnel_ray.cli analyze    <index_dir>
+
+``shard``/``termtable`` configuration steps are folded into ``build``
+(segment layout replaces TermTable+slices; see SURVEY.md §7.6); ``analyze``
+reports posting-list stats in place of bit densities
+(RowTableAnalyzer analog, src/Index/src/RowTableAnalyzer.cpp:165-290).
+
+Owns its Ray session (scripts init + shutdown; library code never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _load_corpus(path: str):
+    import ray.data as rd
+
+    from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+    if os.path.exists(os.path.join(path, "documents.parquet")):
+        return corpus_from_documents(path)
+    files = [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+    return rd.read_parquet(files if files else path)
+
+
+def cmd_statistics(args):
+    from bitfunnel_ray.build.stats import doc_meta, doclen_histogram, document_frequency_table
+    from bitfunnel_ray.config import EngineConfig
+
+    cfg = EngineConfig(max_gram=args.gram)
+    corpus = _load_corpus(args.corpus)
+    os.makedirs(args.out, exist_ok=True)
+    document_frequency_table(corpus, cfg).write_parquet(os.path.join(args.out, "docfreq"))
+    doclen_histogram(_load_corpus(args.corpus), cfg).write_parquet(
+        os.path.join(args.out, "histogram")
+    )
+    doc_meta(_load_corpus(args.corpus), cfg).write_parquet(os.path.join(args.out, "docmeta"))
+    print(json.dumps({"out": args.out, "status": "ok"}))
+
+
+def cmd_build(args):
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.config import EngineConfig
+
+    cfg = EngineConfig(max_gram=args.gram, num_buckets=args.buckets)
+    manifest = build_index(_load_corpus(args.corpus), args.index, cfg)
+    print(json.dumps({k: manifest[k] for k in ("n_docs", "avgdl", "build_seconds", "complete")}))
+
+
+def cmd_filter(args):
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.stages import filters
+
+    ds = _load_corpus(args.corpus)
+    if args.lang:
+        ds = filters.lang_filter(ds, args.lang)
+    if args.sample is not None:
+        ds = filters.sample_filter(ds, args.sample)
+    if args.min_postings is not None or args.max_postings is not None:
+        ds = filters.posting_count_filter(
+            ds, args.min_postings or 0, args.max_postings or 1 << 30, EngineConfig()
+        )
+    if args.count is not None:
+        ds = filters.first_n(ds, args.count)
+    ds.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "status": "ok"}))
+
+
+def cmd_querylog(args):
+    import pyarrow.parquet as pq
+
+    from bitfunnel_ray.build.stats import document_frequency_table
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.pipelines.querylog import generate_query_log
+
+    df = (
+        document_frequency_table(_load_corpus(args.corpus), EngineConfig(max_gram=1))
+        .select_columns(["term", "df"])
+        .sort("df", descending=True)
+        .limit(10000)
+        .to_pandas()
+    )
+    tbl = generate_query_log(df["term"].tolist(), args.count)
+    pq.write_table(tbl, args.out)
+    print(json.dumps({"out": args.out, "queries": len(tbl)}))
+
+
+def cmd_query(args):
+    from bitfunnel_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(args.index)
+    t = eng.search(args.query, k=args.k)
+    print(t.to_pandas().to_string(index=False))
+
+
+def cmd_repl(args):
+    """Interactive query loop — the ``BitFunnel repl`` analog
+    (tools/BitFunnel/src/REPL.cpp)."""
+    from bitfunnel_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(args.index)
+    print(f"loaded {eng.n_docs} docs, avgdl {eng.avgdl:.1f}; 'exit' to quit")
+    while True:
+        try:
+            q = input("query> ").strip()
+        except EOFError:
+            break
+        if q in ("exit", "quit", ""):
+            if q:
+                break
+            continue
+        try:
+            print(eng.search(q, k=10).to_pandas().to_string(index=False))
+        except Exception as e:
+            print(f"error: {e}")
+
+
+def cmd_analyze(args):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import glob
+
+    rows = 0
+    postings = 0
+    payload = 0
+    for f in glob.glob(os.path.join(args.index, "dict-*.parquet")):
+        t = pq.read_table(f, columns=["n_postings", "docs_payload"])
+        rows += len(t)
+        postings += int(np.sum(t["n_postings"].to_numpy()))
+        payload += t.nbytes
+    print(
+        json.dumps(
+            {
+                "terms_chunks": rows,
+                "postings": postings,
+                "payload_bytes": payload,
+                "bytes_per_posting": round(payload / postings, 3) if postings else None,
+            }
+        )
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="bitfunnel_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("statistics")
+    s.add_argument("corpus"); s.add_argument("out"); s.add_argument("--gram", type=int, default=1)
+    s.set_defaults(fn=cmd_statistics, needs_ray=True)
+
+    s = sub.add_parser("build")
+    s.add_argument("corpus"); s.add_argument("index")
+    s.add_argument("--gram", type=int, default=2); s.add_argument("--buckets", type=int, default=16)
+    s.set_defaults(fn=cmd_build, needs_ray=True)
+
+    s = sub.add_parser("filter")
+    s.add_argument("corpus"); s.add_argument("out")
+    s.add_argument("--sample", type=float); s.add_argument("--min-postings", type=int)
+    s.add_argument("--max-postings", type=int); s.add_argument("--count", type=int)
+    s.add_argument("--lang")
+    s.set_defaults(fn=cmd_filter, needs_ray=True)
+
+    s = sub.add_parser("querylog")
+    s.add_argument("corpus"); s.add_argument("out"); s.add_argument("--count", type=int, default=256)
+    s.set_defaults(fn=cmd_querylog, needs_ray=True)
+
+    s = sub.add_parser("query")
+    s.add_argument("index"); s.add_argument("query"); s.add_argument("-k", type=int, default=10)
+    s.set_defaults(fn=cmd_query, needs_ray=False)
+
+    s = sub.add_parser("repl")
+    s.add_argument("index")
+    s.set_defaults(fn=cmd_repl, needs_ray=False)
+
+    s = sub.add_parser("analyze")
+    s.add_argument("index")
+    s.set_defaults(fn=cmd_analyze, needs_ray=False)
+
+    args = p.parse_args(argv)
+    if args.needs_ray:
+        _init_ray()
+    try:
+        args.fn(args)
+    finally:
+        if args.needs_ray:
+            import ray
+
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

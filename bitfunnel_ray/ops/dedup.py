@@ -38,8 +38,9 @@ from bitfunnel_ray.stages.tokenize import flat_tokens, hash_token_array
 def content_hash_batch(t: pa.Table) -> pa.Table:
     texts = t["text"].to_pylist()
     hashes = hash_terms(np.asarray([x or "" for x in texts], dtype=object))
+    # int64 bit-view: uint64 keys degrade Ray's shuffle to pickled objects
     return pa.table(
-        {"doc_id": t["doc_id"], "content_hash": pa.array(hashes, pa.uint64())}
+        {"doc_id": t["doc_id"], "content_hash": pa.array(hashes.view(np.int64), pa.int64())}
     )
 
 
@@ -57,35 +58,62 @@ _NPERM = 64
 _PERM_XOR = hash_terms(np.asarray([f"perm{i}" for i in range(_NPERM)], dtype=object))
 
 
-def shingle_hashes(texts: pa.Array, k: int = 3):
-    """Per doc: sorted unique k-token-shingle hashes (rolling n-gram combine)."""
+def shingle_flat(texts: pa.Array, k: int = 3):
+    """All docs' unique k-token-shingle hashes as flat arrays:
+    (shingle_hash[uint64], doc_of[int64], n_docs).  Docs with < k tokens
+    contribute nothing."""
     flat, doc_of, doclen = flat_tokens(texts)
+    n_docs = len(doclen)
     h = hash_token_array(flat)
     n_tok = len(h)
     m = n_tok - k + 1
     if m <= 0:
-        return [np.empty(0, np.uint64) for _ in range(len(doclen))], doclen
+        return np.empty(0, np.uint64), np.empty(0, np.int64), n_docs
     acc = h[:m].copy()
     for j in range(1, k):
         acc = ((acc << np.uint64(1)) | (acc >> np.uint64(63))) ^ h[j : m + j]
     valid = doc_of[:m] == doc_of[k - 1 :]
-    out = []
-    starts = np.flatnonzero(np.diff(doc_of[:m], prepend=-1))
-    bounds = np.append(starts, m)
-    # build per-doc slices (docs with < k tokens produce empty sets)
-    per_doc = {}
-    for i in range(len(bounds) - 1):
-        s, e = bounds[i], bounds[i + 1]
-        d = int(doc_of[s])
-        sl = acc[s:e][valid[s:e]]
-        per_doc[d] = np.unique(sl)
-    for d in range(len(doclen)):
-        out.append(per_doc.get(d, np.empty(0, np.uint64)))
+    acc, d = acc[valid], doc_of[:m][valid]
+    # unique per doc
+    order = np.lexsort((acc, d))
+    acc, d = acc[order], d[order]
+    keep = np.empty(len(acc), dtype=bool)
+    if len(acc):
+        keep[0] = True
+        keep[1:] = (d[1:] != d[:-1]) | (acc[1:] != acc[:-1])
+        acc, d = acc[keep], d[keep]
+    return acc, d, n_docs
+
+
+def shingle_hashes(texts: pa.Array, k: int = 3):
+    """Per doc: sorted unique shingle hashes (list per doc) + doclen."""
+    _, _, doclen = flat_tokens(texts)  # doclen for API compat
+    acc, d, n_docs = shingle_flat(texts, k)
+    out = [np.empty(0, np.uint64) for _ in range(n_docs)]
+    if len(acc):
+        starts = np.flatnonzero(np.diff(d, prepend=-1))
+        bounds = np.append(starts, len(acc))
+        for i in range(len(bounds) - 1):
+            out[int(d[bounds[i]])] = acc[bounds[i] : bounds[i + 1]]
     return out, doclen
 
 
+def minhash_signatures(texts: pa.Array, k: int = 3) -> np.ndarray:
+    """(n_docs, 64) minhash matrix, fully vectorized: xor-permutation
+    family + one segmented min (reduceat) per batch.  Docs with no
+    shingles get all-max sentinel signatures."""
+    acc, d, n_docs = shingle_flat(texts, k)
+    sigs = np.full((n_docs, _NPERM), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    if len(acc):
+        mat = acc[:, None] ^ _PERM_XOR[None, :]  # (n_shingles, 64)
+        starts = np.flatnonzero(np.diff(d, prepend=-1))
+        mins = np.minimum.reduceat(mat, starts, axis=0)
+        sigs[d[starts]] = mins
+    return sigs
+
+
 def minhash_signature(sh: np.ndarray) -> np.ndarray:
-    """64-perm minhash of a shingle-hash set (xor-permutation family)."""
+    """64-perm minhash of one shingle-hash set (xor-permutation family)."""
     if not len(sh):
         return np.full(_NPERM, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
     return (sh[:, None] ^ _PERM_XOR[None, :]).min(axis=0)
@@ -99,9 +127,8 @@ class MinhashBands:
         self.k, self.bands, self.rows = k, bands, _NPERM // bands
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        shs, _ = shingle_hashes(t["text"], self.k)
         doc_ids = t["doc_id"].to_numpy()
-        sigs = np.stack([minhash_signature(s) for s in shs])  # (n, 64)
+        sigs = minhash_signatures(t["text"], self.k)  # (n, 64)
         n = len(doc_ids)
         # band key = combined hash of the band's rows
         keys = np.zeros((n, self.bands), dtype=np.uint64)
@@ -112,11 +139,13 @@ class MinhashBands:
                 k = ((k << np.uint64(1)) | (k >> np.uint64(63))) ^ seg[:, j]
             keys[:, b] = k
         band_id = np.repeat(np.arange(self.bands, dtype=np.int32)[None, :], n, axis=0)
+        # int64 bit-views: uint64 key columns hit Ray's pickled-object
+        # fallback inside shuffles
         return pa.table(
             {
                 "band_id": pa.array(band_id.ravel(), pa.int32()),
-                "band_key": pa.array(keys.ravel(), pa.uint64()),
-                "doc_id": pa.array(np.repeat(doc_ids, self.bands), pa.uint64()),
+                "band_key": pa.array(keys.ravel().view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids.astype(np.int64), self.bands), pa.int64()),
             }
         )
 
@@ -124,9 +153,9 @@ class MinhashBands:
 def _pairs_from_group(g, max_group: int):
     import pandas as pd
 
-    ids = np.unique(g["doc_id"].to_numpy())
+    ids = np.unique(g["doc_id"].to_numpy()).astype(np.int64)
     if len(ids) < 2 or len(ids) > max_group:
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
     a, b = np.triu_indices(len(ids), k=1)
     return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
 
@@ -148,38 +177,67 @@ def minhash_candidates(
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
 
+_EMPTY_PAIRS = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    }
+)
+
+
 def jaccard_verify(
     corpus: "ray.data.Dataset",
     pairs: "ray.data.Dataset",
     k: int = 3,
     threshold: float = 0.7,
+    max_pairs: int = 250_000,
 ):
-    """Exact n-gram Jaccard over candidate pairs.  The shingle sets of the
-    (small) candidate doc set are broadcast via the object store; pairs are
-    verified in parallel map_batches.  Returns (doc_a, doc_b, jaccard)."""
+    """Exact n-gram Jaccard over candidate pairs.  The candidate docs'
+    shingle sets are gathered once (distributed extract), broadcast via the
+    object store, and pairs are verified in parallel ``map_batches`` over
+    the pairs dataset.  Returns (doc_a, doc_b, jaccard ≥ threshold).
+
+    Coverage cap: at most ``max_pairs`` candidates are verified (strongest
+    first by band-collision count); the drop is REPORTED, never silent."""
+    import sys
+
     import ray
+    import ray.data as rd
 
     pairs_tbl = pairs.to_pandas()
     if not len(pairs_tbl):
-        return pa.table(
-            {"doc_a": pa.array([], pa.uint64()), "doc_b": pa.array([], pa.uint64()), "jaccard": pa.array([], pa.float64())}
+        return _EMPTY_PAIRS
+    if len(pairs_tbl) > max_pairs:
+        print(
+            f"[jaccard_verify] capping candidate pairs {len(pairs_tbl)} -> "
+            f"{max_pairs} (strongest by n_bands); raise max_pairs for full coverage",
+            file=sys.stderr,
         )
+        by = ["n_bands"] if "n_bands" in pairs_tbl.columns else []
+        if by:
+            pairs_tbl = pairs_tbl.sort_values("n_bands", ascending=False)
+        pairs_tbl = pairs_tbl.head(max_pairs)
     needed = np.unique(
         np.concatenate([pairs_tbl["doc_a"].to_numpy(), pairs_tbl["doc_b"].to_numpy()])
-    ).astype(np.uint64)
-    needed_ref = ray.put(set(needed.tolist()))
+    ).astype(np.int64)
+    needed_ref = ray.put(np.sort(needed))
 
     def extract(t: pa.Table) -> pa.Table:
         want = ray.get(needed_ref)
-        ids = t["doc_id"].to_numpy().astype(np.uint64)
-        keep = np.array([int(i) in want for i in ids], dtype=bool)
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(want, ids)
+        pos[pos == len(want)] = 0
+        keep = want[pos] == ids
         if not keep.any():
-            return pa.table({"doc_id": pa.array([], pa.uint64()), "shingles": pa.array([], pa.list_(pa.uint64()))})
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "shingles": pa.array([], pa.list_(pa.uint64()))}
+            )
         sub = t.filter(pa.array(keep))
         shs, _ = shingle_hashes(sub["text"], k)
         return pa.table(
             {
-                "doc_id": sub["doc_id"].cast(pa.uint64()),
+                "doc_id": sub["doc_id"].cast(pa.int64()),
                 "shingles": pa.array([s.tolist() for s in shs], pa.list_(pa.uint64())),
             }
         )
@@ -189,50 +247,71 @@ def jaccard_verify(
         .map_batches(extract, batch_format="pyarrow")
         .to_pandas()
     )
-    sets = {int(d): set(s) for d, s in zip(sh_tbl["doc_id"], sh_tbl["shingles"])}
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(pairs_tbl["doc_a"], pairs_tbl["doc_b"]):
-        sa, sb = sets.get(int(a), set()), sets.get(int(b), set())
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 0.0
-        if j >= threshold:
-            out_a.append(int(a)); out_b.append(int(b)); out_j.append(j)
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, pa.uint64()),
-            "doc_b": pa.array(out_b, pa.uint64()),
-            "jaccard": pa.array(out_j, pa.float64()),
-        }
+    sets_ref = ray.put(
+        {int(d): np.asarray(s, dtype=np.uint64) for d, s in zip(sh_tbl["doc_id"], sh_tbl["shingles"])}
     )
+
+    def verify(batch):
+        import pandas as pd
+
+        sets = ray.get(sets_ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(batch["doc_a"], batch["doc_b"]):
+            sa = sets.get(int(a))
+            sb = sets.get(int(b))
+            if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                out_a.append(int(a)); out_b.append(int(b)); out_j.append(j)
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype=np.int64),
+                             "doc_b": pd.Series(out_b, dtype=np.int64),
+                             "jaccard": pd.Series(out_j, dtype=np.float64)})
+
+    verified = (
+        rd.from_pandas(pairs_tbl[["doc_a", "doc_b"]])
+        .map_batches(verify, batch_format="pandas", batch_size=8192)
+        .to_pandas()
+    )
+    if verified.empty:
+        return _EMPTY_PAIRS
+    verified = verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(verified, preserve_index=False)
 
 
 def minhash_dedup_pairs(
-    corpus: "ray.data.Dataset", k: int = 3, bands: int = 16, threshold: float = 0.7
+    corpus: "ray.data.Dataset",
+    k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_pairs: int = 250_000,
 ) -> pa.Table:
     """Full MinHash-LSH near-dup pipeline: bands → candidates → verified
     pairs (doc_a < doc_b, jaccard ≥ threshold)."""
     cands = minhash_candidates(corpus, k, bands)
-    return jaccard_verify(corpus, cands, k, threshold)
+    return jaccard_verify(corpus, cands, k, threshold, max_pairs)
 
 
 # --- simhash --------------------------------------------------------------
 
 
 def simhash_batch(t: pa.Table) -> pa.Table:
-    """64-bit simhash of the token multiset (tf-weighted bit votes)."""
+    """64-bit simhash of the token multiset (tf-weighted ±1 bit votes).
+    vote_b = 2*set_count_b - doclen, one segmented bincount per bit."""
     flat, doc_of, doclen = flat_tokens(t["text"])
     h = hash_token_array(flat)
     n = len(t)
-    votes = np.zeros((n, 64), dtype=np.float64)
-    if len(h):
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.float64
-        ) * 2.0 - 1.0
-        np.add.at(votes, doc_of, bits)
-    sim = (votes > 0).astype(np.uint64)
     out = np.zeros(n, dtype=np.uint64)
-    for b in range(64):
-        out |= sim[:, b] << np.uint64(b)
+    if len(h):
+        dl = doclen.astype(np.int64)
+        for b in range(64):
+            set_cnt = np.bincount(
+                doc_of, weights=((h >> np.uint64(b)) & np.uint64(1)).astype(np.float64),
+                minlength=n,
+            ).astype(np.int64)
+            out |= ((2 * set_cnt - dl) > 0).astype(np.uint64) << np.uint64(b)
     return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.uint64())})
 
 
@@ -259,8 +338,8 @@ def simhash_candidates(corpus: "ray.data.Dataset", max_group: int = 256) -> "ray
                 pa.table(
                     {
                         "band_id": pa.array(np.full(len(s), b, np.int32)),
-                        "band_key": pa.array(key, pa.uint64()),
-                        "doc_id": pa.array(ids, pa.uint64()),
+                        "band_key": pa.array(key.astype(np.int64), pa.int64()),
+                        "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
                     }
                 )
             )
@@ -304,8 +383,8 @@ def embedding_dup_pairs(
             key |= signs[:, b].astype(np.uint64) << np.uint64(b)
         return pa.table(
             {
-                "bucket": pa.array(key, pa.uint64()),
-                "vid": t[id_col].cast(pa.uint64()),
+                "bucket": pa.array(key.astype(np.int64), pa.int64()),
+                "vid": t[id_col].cast(pa.int64()),
                 "unit": pa.array([row.tolist() for row in unit], pa.list_(pa.float64())),
             }
         )

@@ -415,6 +415,50 @@ FROM ranked WHERE rank <= 10
 """
 
 
+_COOC_TERMS = ("spark", "join", "merge", "window", "batch")
+
+
+def q_cooccurrence(sf_dir):
+    from bitfunnel_ray.ops.cooccur import term_cooccurrence
+
+    return term_cooccurrence(corpus_from_documents(sf_dir), list(_COOC_TERMS))
+
+
+def _cooc_sql() -> str:
+    flags = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS h{i}"
+        for i, t in enumerate(_COOC_TERMS)
+    )
+    pairs = " UNION ALL ".join(
+        f"SELECT '{_COOC_TERMS[i]}' AS term_a, '{_COOC_TERMS[j]}' AS term_b, "
+        f"sum(h{i} * h{j}) AS n_docs FROM f"
+        for i in range(len(_COOC_TERMS))
+        for j in range(i + 1, len(_COOC_TERMS))
+    )
+    return f"WITH t AS ({_tokens_sql()}), f AS (SELECT doc_id, {flags} FROM t GROUP BY doc_id) {pairs}"
+
+
+SQL_COOCCURRENCE = _cooc_sql()
+
+
+def q_annotate_shard(sf_dir):
+    ds = filters.annotate_shard(corpus_from_documents(sf_dir), SHARD_BOUNDARIES)
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].cast(pa.int64()), "text": t["text"]}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ANNOTATE_SHARD = f"""
+SELECT doc_id, text || ' ' ||
+  CASE WHEN np < 32 THEN 'SHARD_0_32' WHEN np < 64 THEN 'SHARD_32_64'
+       WHEN np < 128 THEN 'SHARD_64_128' ELSE 'SHARD_128_inf' END AS text
+FROM (SELECT d.doc_id, d.text, np FROM documents d JOIN
+      (SELECT doc_id, count(DISTINCT term) AS np FROM ({_tokens_sql()}) GROUP BY doc_id)
+      USING (doc_id))
+"""
+
+
 # --- rows-only entries (no faithful ANSI-SQL oracle) ----------------------
 
 
@@ -482,6 +526,8 @@ REGISTRY: dict[str, tuple] = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
+    "annotate_shard": (q_annotate_shard, SQL_ANNOTATE_SHARD),
     # rows-only (non-SQL-expressible: sketch/LSH/model-stub operators)
     "minhash_dedup": (q_minhash_dedup, None),
     "simhash": (q_simhash, None),

@@ -42,6 +42,16 @@ class QueryActor:
                 order = np.lexsort((matches, -scores))[: self.k]
                 lat = time.perf_counter() - t0
                 n = len(order)
+                if n == 0:
+                    # marker row (rank 0) so zero-match queries still appear
+                    out_qid.append(np.array([qid], dtype=np.uint32))
+                    out_rank.append(np.array([0], dtype=np.uint32))
+                    out_doc.append(np.array([0], dtype=np.uint64))
+                    out_score.append(np.array([0.0]))
+                    out_matches.append(np.array([0], dtype=np.int64))
+                    out_lat.append(np.array([lat]))
+                    out_err.append([""])
+                    continue
                 out_qid.append(np.full(n, qid, dtype=np.uint32))
                 out_rank.append(np.arange(1, n + 1, dtype=np.uint32))
                 out_doc.append(matches[order])

@@ -133,6 +133,7 @@ def _zipf_texts(doc_ids: np.ndarray, vocab_size: int, s: float) -> list[str]:
     lens = np.clip(np.exp(4.0 + 0.7 * z), 8, 1024).astype(np.int64)
     # Zipf rank per token position: rank = floor(C * (u^(-1/(s-1)) - 1)) style
     # inverse; use the standard u→rank transform rank = floor(u^(-1/(s-1)))
+    vocab = _vocab_strings(vocab_size)
     texts = []
     sm1 = s - 1.0
     for d, L in zip(doc_ids.tolist(), lens.tolist()):
@@ -140,8 +141,19 @@ def _zipf_texts(doc_ids: np.ndarray, vocab_size: int, s: float) -> list[str]:
         hv = ((np.uint64(d) * np.uint64(2654435761) + pos) * K) >> np.uint64(11)
         u = np.clip(hv.astype(np.float64) / float(1 << 53), 1e-9, 1.0 - 1e-12)
         ranks = np.minimum((u ** (-1.0 / sm1) - 1.0).astype(np.int64), vocab_size - 1)
-        texts.append(" ".join(f"t{r:06d}" for r in ranks.tolist()))
+        texts.append(" ".join(vocab[ranks]))
     return texts
+
+
+_VOCAB_CACHE: dict[int, np.ndarray] = {}
+
+
+def _vocab_strings(vocab_size: int) -> np.ndarray:
+    v = _VOCAB_CACHE.get(vocab_size)
+    if v is None:
+        v = np.array([f"t{r:06d}" for r in range(vocab_size)], dtype=object)
+        _VOCAB_CACHE[vocab_size] = v
+    return v
 
 
 def make_zipf_corpus(
@@ -160,7 +172,7 @@ def make_zipf_corpus(
     )
 
 
-def write_synth_corpus(path: str, n_docs: int, kind: str = "zipf", rows_per_file: int = 16_384) -> str:
+def write_synth_corpus(path: str, n_docs: int, kind: str = "zipf", rows_per_file: int = 4096) -> str:
     """Write a deterministic synthetic corpus as a directory of parquet
     files (generated in parallel via ray.data.range → map_batches so large
     bench corpora don't bottleneck on the driver)."""

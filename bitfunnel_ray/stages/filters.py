@@ -68,3 +68,33 @@ def first_n(corpus: "ray.data.Dataset", n: int) -> "ray.data.Dataset":
     """First N documents by ascending doc_id (DocumentCountFilter analog
     with a deterministic order; ``sort`` is the wide op here)."""
     return corpus.sort("doc_id").limit(n)
+
+
+def annotate_shard(
+    corpus: "ray.data.Dataset",
+    boundaries: tuple[int, ...] = (32, 64, 128),
+    cfg: EngineConfig | None = None,
+) -> "ray.data.Dataset":
+    """Append a synthetic ``SHARD_<lo>_<hi>`` term to each document's text
+    — the AnnotatingChunkWriter analog (reference:
+    src/Chunks/src/ChunkWriters.cpp:104-129 appends the shard term to
+    stream 00 so shard membership is queryable)."""
+    cfg = cfg or EngineConfig()
+    bounds = np.asarray(boundaries, dtype=np.int64)
+    names = []
+    lo = 0
+    for b in list(boundaries) + [None]:
+        names.append(f"SHARD_{lo}_{b if b is not None else 'inf'}")
+        lo = b
+    names = np.asarray(names, dtype=object)
+
+    def f(t: pa.Table) -> pa.Table:
+        r = tokenize_batch(t["text"], 1, emit_text=False)
+        shard = np.searchsorted(bounds, r.n_postings, side="right")
+        tag = names[shard]
+        new_text = pc.binary_join_element_wise(
+            t["text"], pa.array(tag.tolist(), pa.string()), " "
+        )
+        return t.set_column(t.column_names.index("text"), "text", new_text)
+
+    return corpus.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,117 @@
+"""Query runner (actor pool), query-log generator, shard DP, CLI, idf math."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from bitfunnel_ray.build.builder import build_index
+from bitfunnel_ray.build.shardopt import choose_shard_boundaries
+from bitfunnel_ray.config import EngineConfig
+from bitfunnel_ray.functions.bm25 import (
+    compute_idf_x10,
+    frequency_at_rank,
+    idf_x10_to_frequency,
+)
+from bitfunnel_ray.pipelines.querylog import generate_query_log
+from bitfunnel_ray.query.engine import SearchEngine
+from bitfunnel_ray.query.runner import run_query_log, summarize
+from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("runner") / "seg")
+    build_index(
+        corpus_from_documents("/root/testdata/sf0.001"),
+        out,
+        EngineConfig(max_gram=2, num_buckets=4),
+    )
+    return out
+
+
+def test_query_log_deterministic_and_mixed():
+    terms = [f"t{i}" for i in range(100)]
+    a = generate_query_log(terms, 200, seed=43)
+    b = generate_query_log(terms, 200, seed=43)
+    assert a.equals(b)
+    qs = a["query"].to_pylist()
+    assert any("|" in q for q in qs) and any(q.startswith('"') or '"' in q for q in qs)
+    assert any("-" in q for q in qs)
+
+
+def test_runner_matches_direct_engine(idx):
+    qlog = generate_query_log(["table", "join", "spark", "merge"], 32, seed=7)
+    res = run_query_log(qlog, idx, k=5, concurrency=2, batch_size=8).to_pandas()
+    eng = SearchEngine(idx, load_urls=False)
+    stats = summarize(run_query_log(qlog, idx, k=5, concurrency=2, batch_size=8))
+    assert stats["n_errors"] == 0 and stats["n_queries"] == 32
+    for qid, q in zip(qlog["query_id"].to_pylist(), qlog["query"].to_pylist()):
+        want = eng.search(q, 5)
+        got = res[(res.query_id == qid) & (res["rank"] > 0)].sort_values("rank")
+        assert got["doc_id"].tolist() == want["doc_id"].to_pylist(), q
+        assert got["score"].tolist() == want["score"].to_pylist(), q
+
+
+def test_runner_per_query_errors(idx):
+    import pyarrow as pa
+
+    qlog = pa.table(
+        {
+            "query_id": pa.array([0, 1], pa.uint32()),
+            "query": pa.array(["table", '"unterminated'], pa.string()),
+        }
+    )
+    res = run_query_log(qlog, idx, k=5, concurrency=2).to_pandas()
+    stats_err = res[res.query_id == 1]
+    assert (stats_err["error"] != "").all()
+    assert (res[res.query_id == 0]["error"] == "").all()
+
+
+def test_shard_boundaries_dp():
+    # uniform histogram → DP splits it; boundaries ascending, start at 0
+    hist = [(p, 10) for p in range(1, 101)]
+    bounds = choose_shard_boundaries(hist, max_shards=4)
+    assert bounds[0] == 0 and bounds == sorted(bounds) and len(bounds) <= 4
+    # two well-separated clusters → a cut between them
+    hist2 = [(10, 1000), (1000, 10)]
+    b2 = choose_shard_boundaries(hist2, max_shards=2)
+    assert len(b2) == 2 and b2[1] == 1000
+
+
+def test_idf_math_reference_parity():
+    # Term::ComputeIdfX10 (Term.cpp:232-246): round(10*log10(N/df)), capped
+    assert compute_idf_x10(1, 1000) == 30
+    assert compute_idf_x10(1000, 1000) == 0
+    assert compute_idf_x10(0, 1000) == 60
+    assert compute_idf_x10(1, 10**12) == 60  # cap
+    assert idf_x10_to_frequency(10) == pytest.approx(0.1)
+    # FrequencyAtRank: f_r = 1 - (1-f)^(2^r) (Term.cpp:270-283)
+    assert frequency_at_rank(0.1, 0) == pytest.approx(0.1)
+    assert frequency_at_rank(0.1, 1) == pytest.approx(1 - 0.81)
+
+
+def test_cli_end_to_end(tmp_path):
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root", "RAY_GRAFT_CPUS": "4"}
+    idx_dir = str(tmp_path / "cli_idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "build", "/root/testdata/sf0.001", idx_dir, "--buckets", "4"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n_docs"] == 500 and out["complete"]
+    r2 = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "query", idx_dir, "spark join", "-k", "3"],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r2.returncode == 0 and "doc_id" in r2.stdout
+    r3 = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "analyze", idx_dir],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r3.returncode == 0
+    stats = json.loads(r3.stdout)
+    assert stats["postings"] > 0
