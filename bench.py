@@ -110,8 +110,11 @@ def run_bench() -> dict:
     # --- training-data ops (dedup over the big synthetic corpus so the
     # band shuffle has real work; ann over the sf dir embeddings) --------
     t0 = time.perf_counter()
+    # k=5 shingles + 8 bands x 8 rows: the right operating point for a 0.9
+    # jaccard threshold (J^8 band-collision prob keeps zipf-text accidental
+    # candidates near zero)
     dedup.minhash_dedup_pairs(
-        rd.read_parquet(parquet_files), k=3, bands=16, threshold=0.9
+        rd.read_parquet(parquet_files), k=5, bands=8, threshold=0.9
     )
     timings["dedup_minhash"] = time.perf_counter() - t0
 

@@ -57,6 +57,24 @@ POSTINGS_SCHEMA = pa.schema(
 )
 
 
+def tune_hash_shuffle(ctx) -> int:
+    """Configure a dataset context for key-based hash exchanges and return
+    the partition count.  Measured on this Ray (2.49): aggregator actors
+    reserve whole CPUs by default and starve the map stages (or deadlock
+    outright when partitions >> CPUs); partitions ≈ CPUs/2 with a tiny
+    per-partition CPU reservation is ~5-10x faster (see BASELINE.md)."""
+    import ray as _ray
+    from ray.data.context import ShuffleStrategy
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(2, min(32, cpus // 2))
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.default_hash_shuffle_parallelism = n_blocks
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+    return n_blocks
+
+
 def assign_buckets(term_hash: np.ndarray, salt: np.ndarray, num_buckets: int) -> np.ndarray:
     """bucket = (term_hash ^ (salt * golden)) % B — salt spreads a head
     term's chunks across buckets; salt=0 keeps plain term_hash % B."""
@@ -204,25 +222,20 @@ def build_index(
         )
         from functools import partial
 
-        from ray.data.context import ShuffleStrategy
-
         # THE build shuffle: hash-partition on the explicit bucket key (a
         # key-based exchange, ~5x faster than the sort-based groupby on a
-        # low-cardinality key), then encode whole buckets per block.  The
-        # strategy lives on the dataset's own context snapshot.
-        prev_strategy = postings.context.shuffle_strategy
-        postings.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        try:
-            enc = postings.repartition(
-                num_blocks=cfg.num_buckets, keys=["bucket"]
-            ).map_batches(
-                partial(encode_block, out_dir=out_dir, avgdl=avgdl, cfg=cfg),
-                batch_size=None,
-                batch_format="pyarrow",
-            )
-            bucket_stats = enc.to_pandas().to_dict("records")
-        finally:
-            postings.context.shuffle_strategy = prev_strategy
+        # low-cardinality key), then encode whole buckets per block.  Bucket
+        # identity comes from the bucket COLUMN, so fewer partitions than
+        # buckets is fine — each block encodes several whole buckets.
+        n_blocks = min(tune_hash_shuffle(postings.context), cfg.num_buckets)
+        enc = postings.repartition(
+            num_blocks=n_blocks, keys=["bucket"]
+        ).map_batches(
+            partial(encode_block, out_dir=out_dir, avgdl=avgdl, cfg=cfg),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        bucket_stats = enc.to_pandas().to_dict("records")
 
     manifest = {
         "format_version": 1,

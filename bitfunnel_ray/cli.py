@@ -145,6 +145,19 @@ def cmd_repl(args):
             print(f"error: {e}")
 
 
+def cmd_verify(args):
+    """Engine vs distributed brute-force ground truth — the ``verify one``
+    analog (VerifyCommand.cpp:106-167); exact index ⇒ fp == fn == 0."""
+    from bitfunnel_ray.query.engine import SearchEngine
+    from bitfunnel_ray.query.verify import verify_query
+
+    eng = SearchEngine(args.index, load_urls=False)
+    out = verify_query(_load_corpus(args.corpus), eng, args.query)
+    print(json.dumps(out))
+    if not out["ok"]:
+        sys.exit(1)
+
+
 def cmd_analyze(args):
     import numpy as np
     import pyarrow.parquet as pq
@@ -201,6 +214,10 @@ def main(argv=None):
     s = sub.add_parser("repl")
     s.add_argument("index")
     s.set_defaults(fn=cmd_repl, needs_ray=False)
+
+    s = sub.add_parser("verify")
+    s.add_argument("index"); s.add_argument("corpus"); s.add_argument("query")
+    s.set_defaults(fn=cmd_verify, needs_ray=True)
 
     s = sub.add_parser("analyze")
     s.add_argument("index")

@@ -150,31 +150,72 @@ class MinhashBands:
         )
 
 
-def _pairs_from_group(g, max_group: int):
-    import pandas as pd
+def _pairs_from_block(t: pa.Table, *, max_group: int) -> pa.Table:
+    """Vectorized all-pairs within equal (band_id, band_key) runs of one
+    hash-partitioned block.  No per-group python: runs are found by sort +
+    diff; pairs are emitted per run-LENGTH class with one broadcasted index
+    template each (millions of tiny groups cost ~zero python calls).
+    Oversized runs (> max_group, degenerate boilerplate keys) are skipped
+    — a deliberate, documented coverage cap."""
+    if len(t) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    bid = t["band_id"].to_numpy(zero_copy_only=False)
+    key = t["band_key"].to_numpy(zero_copy_only=False)
+    doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((doc, key, bid))
+    bid, key, doc = bid[order], key[order], doc[order]
+    new = np.empty(len(bid), dtype=bool)
+    new[0] = True
+    new[1:] = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(bid)))
+    out_a, out_b = [], []
+    for L in np.unique(lens):
+        if L < 2 or L > max_group:
+            continue
+        s = starts[lens == L]  # all runs of this length
+        ai, bj = np.triu_indices(int(L), k=1)
+        abs_a = (s[:, None] + ai[None, :]).ravel()
+        abs_b = (s[:, None] + bj[None, :]).ravel()
+        out_a.append(doc[abs_a])
+        out_b.append(doc[abs_b])
+    if not out_a:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table({"doc_a": pa.array(lo, pa.int64()), "doc_b": pa.array(hi, pa.int64())})
 
-    ids = np.unique(g["doc_id"].to_numpy()).astype(np.int64)
-    if len(ids) < 2 or len(ids) > max_group:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
-    a, b = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+def _band_pairs(band_rows: "ray.data.Dataset", max_group: int) -> "ray.data.Dataset":
+    """(band_id, band_key, doc_id) rows → distinct candidate pairs with
+    band-collision counts.  Hash-partition on the band key co-locates whole
+    groups; pair-gen is one vectorized pass per block."""
+    from functools import partial
+
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    n_blocks = tune_hash_shuffle(band_rows.context)
+    pairs = band_rows.repartition(num_blocks=n_blocks, keys=["band_id", "band_key"]).map_batches(
+        partial(_pairs_from_block, max_group=max_group),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    # dedup identical pairs produced by multiple bands
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
 
 def minhash_candidates(
     corpus: "ray.data.Dataset", k: int = 3, bands: int = 16, max_group: int = 256
 ) -> "ray.data.Dataset":
     """Distinct candidate near-dup pairs from LSH band collisions."""
-    import pandas as pd
-    from functools import partial
-
     band_rows = corpus.select_columns(["doc_id", "text"]).map_batches(
         MinhashBands(k, bands), batch_format="pyarrow"
     )
-    pairs = band_rows.groupby(["band_id", "band_key"]).map_groups(
-        partial(_pairs_from_group, max_group=max_group), batch_format="pyarrow"
-    )
-    # dedup identical pairs produced by multiple bands
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    return _band_pairs(band_rows, max_group)
 
 
 _EMPTY_PAIRS = pa.table(
@@ -324,8 +365,6 @@ def simhash(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
 def simhash_candidates(corpus: "ray.data.Dataset", max_group: int = 256) -> "ray.data.Dataset":
     """Near-dup candidates: docs sharing any 16-bit simhash band (catches
     all pairs with hamming distance ≤ 3 by pigeonhole)."""
-    from functools import partial
-
     sh = simhash(corpus)
 
     def bands(t: pa.Table) -> pa.Table:
@@ -346,10 +385,7 @@ def simhash_candidates(corpus: "ray.data.Dataset", max_group: int = 256) -> "ray
         return pa.concat_tables(parts)
 
     rows = sh.map_batches(bands, batch_format="pyarrow")
-    pairs = rows.groupby(["band_id", "band_key"]).map_groups(
-        partial(_pairs_from_group, max_group=max_group), batch_format="pyarrow"
-    )
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    return _band_pairs(rows, max_group)
 
 
 # --- embedding cosine near-dup -------------------------------------------

@@ -415,6 +415,41 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_bm25_or_topk(sf_dir):
+    """Disjunctive BM25 top-k through the block-max WAND path."""
+    eng = get_engine(sf_dir)
+    t = eng.topk_or(list(_BM25_TERMS), k=10, use_wand=True)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+# same CTE as bm25_topk but OR match semantics (any term)
+SQL_BM25_OR_TOPK = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join') GROUP BY term),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 _COOC_TERMS = ("spark", "join", "merge", "window", "batch")
 
 
@@ -515,6 +550,7 @@ REGISTRY: dict[str, tuple] = {
     "search_phrase": (q_search_phrase, SQL_SEARCH_PHRASE),
     "search_boolean_mix": (q_search_boolean_mix, SQL_SEARCH_BOOLEAN_MIX),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "bm25_or_topk": (q_bm25_or_topk, SQL_BM25_OR_TOPK),
     "sample_filter": (q_sample_filter, SQL_SAMPLE_FILTER),
     "posting_count_filter": (q_posting_count_filter, SQL_POSTING_COUNT_FILTER),
     "first_n": (q_first_n, SQL_FIRST_N),

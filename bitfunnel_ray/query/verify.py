@@ -1,0 +1,133 @@
+"""Query verification — the ``verify one`` pipeline re-expressed
+(reference: src/Plan/src/VerifyOneQuery.cpp:47-125 evaluates the query AST
+against every cached document with TermMatchTreeEvaluator
+(TermMatchTreeEvaluator.cpp:37-91) and diffs against the matcher:
+false negatives are hard errors, false positives were tolerated because
+the signature index is probabilistic).
+
+Here ground truth is computed DISTRIBUTED (a vectorized map_batches scan
+over the corpus — no document cache needed), and the index is exact, so
+the contract is FP = FN = 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from bitfunnel_ray.functions.hashing import murmur64a, ngram_hash
+from bitfunnel_ray.query import ast
+from bitfunnel_ray.query.parser import parse_query
+from bitfunnel_ray.stages.tokenize import tokenize_batch
+
+
+def _query_term_hashes(node: ast.Node, max_gram: int) -> list[tuple[int, int]]:
+    """All (hash, gram) terms the boolean evaluation touches."""
+    acc: set[tuple[int, int]] = set()
+
+    def phrase_grams(tokens):
+        h1 = [murmur64a(t) for t in tokens]
+        for i in range(len(tokens)):
+            for g in range(1, min(max_gram, len(tokens) - i) + 1):
+                acc.add((ngram_hash(h1[i : i + g]), g))
+
+    def walk(n):
+        if isinstance(n, ast.Term):
+            acc.add((murmur64a(n.text), 1))
+        elif isinstance(n, ast.Phrase):
+            phrase_grams(n.tokens)
+        elif isinstance(n, ast.Not):
+            walk(n.child)
+        elif isinstance(n, (ast.And, ast.Or)):
+            for c in n.children:
+                walk(c)
+
+    walk(node)
+    return sorted(acc)
+
+
+class BruteForceMatcher:
+    """map_batches stage: evaluate the query per document from raw text
+    (vectorized presence bitmask per query term, then the boolean tree)."""
+
+    def __init__(self, query: str, max_gram: int = 2):
+        self.node = parse_query(query)
+        self.max_gram = max_gram
+        self.terms = _query_term_hashes(self.node, max_gram)
+        self.term_index = {t: i for i, t in enumerate(self.terms)}
+
+    def _presence(self, t: pa.Table) -> np.ndarray:
+        """(n_docs, n_terms) bool presence matrix."""
+        r = tokenize_batch(t["text"], self.max_gram, emit_text=False)
+        n = len(t)
+        pres = np.zeros((n, len(self.terms)), dtype=bool)
+        if len(r.term_hash):
+            for j, (h, g) in enumerate(self.terms):
+                m = (r.term_hash == np.uint64(h)) & (r.gram_size == g)
+                if m.any():
+                    pres[r.row[m], j] = True
+        return pres
+
+    def _eval(self, node: ast.Node, pres: np.ndarray) -> np.ndarray:
+        if isinstance(node, ast.Term):
+            return pres[:, self.term_index[(murmur64a(node.text), 1)]]
+        if isinstance(node, ast.Phrase):
+            h1 = [murmur64a(tok) for tok in node.tokens]
+            out = np.ones(len(pres), dtype=bool)
+            for i in range(len(node.tokens)):
+                for g in range(1, min(self.max_gram, len(node.tokens) - i) + 1):
+                    out &= pres[:, self.term_index[(ngram_hash(h1[i : i + g]), g)]]
+            return out
+        if isinstance(node, ast.And):
+            out = np.ones(len(pres), dtype=bool)
+            for c in node.children:
+                out &= self._eval(c, pres)
+            return out
+        if isinstance(node, ast.Or):
+            out = np.zeros(len(pres), dtype=bool)
+            for c in node.children:
+                out |= self._eval(c, pres)
+            return out
+        if isinstance(node, ast.Not):
+            return ~self._eval(node.child, pres)
+        raise TypeError(node)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        pres = self._presence(t)
+        match = self._eval(self.node, pres)
+        return pa.table({"doc_id": t["doc_id"].filter(pa.array(match)).cast(pa.int64())})
+
+
+def expected_matches(
+    corpus: "ray.data.Dataset", query: str, max_gram: int = 2
+) -> np.ndarray:
+    """Distributed ground-truth match set (sorted doc ids)."""
+    out = (
+        corpus.select_columns(["doc_id", "text"])
+        .map_batches(BruteForceMatcher(query, max_gram), batch_format="pyarrow")
+        .to_pandas()
+    )
+    ids = out["doc_id"].to_numpy() if len(out) else np.empty(0, np.int64)
+    return np.sort(ids.astype(np.uint64))
+
+
+def verify_query(
+    corpus: "ray.data.Dataset", engine, query: str
+) -> dict:
+    """Engine vs distributed brute force → TP/FP/FN counts (the
+    VerifyCommand output shape, VerifyCommand.cpp:106-167)."""
+    want = expected_matches(corpus, query, engine.max_gram)
+    got = engine.eval(parse_query(query))
+    tp = np.intersect1d(got, want, assume_unique=True)
+    fp = np.setdiff1d(got, want, assume_unique=True)
+    fn = np.setdiff1d(want, got, assume_unique=True)
+    return {
+        "query": query,
+        "expected": int(len(want)),
+        "matched": int(len(got)),
+        "tp": int(len(tp)),
+        "fp": int(len(fp)),
+        "fn": int(len(fn)),
+        "ok": bool(len(fp) == 0 and len(fn) == 0),
+    }

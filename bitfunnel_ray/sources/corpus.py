@@ -135,12 +135,16 @@ def _zipf_texts(doc_ids: np.ndarray, vocab_size: int, s: float) -> list[str]:
     # inverse; use the standard u→rank transform rank = floor(u^(-1/(s-1)))
     vocab = _vocab_strings(vocab_size)
     texts = []
-    sm1 = s - 1.0
+    # bounded-Zipf inverse CDF for pmf ∝ r^-s on [1, N]:
+    # r = (1 - u * (1 - N^(1-s)))^(1/(1-s))   (continuous approximation)
+    one_m_s = 1.0 - s
+    tail = 1.0 - float(vocab_size) ** one_m_s
     for d, L in zip(doc_ids.tolist(), lens.tolist()):
         pos = np.arange(L, dtype=np.uint64)
         hv = ((np.uint64(d) * np.uint64(2654435761) + pos) * K) >> np.uint64(11)
         u = np.clip(hv.astype(np.float64) / float(1 << 53), 1e-9, 1.0 - 1e-12)
-        ranks = np.minimum((u ** (-1.0 / sm1) - 1.0).astype(np.int64), vocab_size - 1)
+        r = (1.0 - u * tail) ** (1.0 / one_m_s)
+        ranks = np.clip(r.astype(np.int64), 1, vocab_size) - 1
         texts.append(" ".join(vocab[ranks]))
     return texts
 
