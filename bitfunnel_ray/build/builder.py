@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -101,31 +102,133 @@ class TokenizePostings:
         else:
             self.head_hashes = np.empty(0, dtype=np.uint64)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _stream_postings(self, batch: pa.Table, column: str, stream_id: int):
         cfg = self.cfg
-        r = tokenize_batch(batch["text"], cfg.max_gram, emit_text=False)
+        r = tokenize_batch(batch[column], cfg.max_gram, emit_text=False)
+        # stream identity folds into the stored hash (ComputeGeneralHash
+        # parity: hash + streamId, wrapping — Term.cpp:328-333)
+        hashes = r.term_hash + np.uint64(stream_id)
         doc_ids = batch["doc_id"].to_numpy().astype(np.uint64)[r.row]
         doclen = r.doclen[r.row].astype(np.uint32)
-        salt = np.zeros(len(r.term_hash), dtype=np.uint32)
+        return hashes, r.gram_size, doc_ids, r.tf, doclen
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        parts = [
+            self._stream_postings(batch, col, sid)
+            for (_name, col, sid) in cfg.streams
+            if col in batch.column_names
+        ]
+        hashes = np.concatenate([p[0] for p in parts])
+        grams = np.concatenate([p[1] for p in parts])
+        doc_ids = np.concatenate([p[2] for p in parts])
+        tf = np.concatenate([p[3] for p in parts])
+        doclen = np.concatenate([p[4] for p in parts])
+        salt = np.zeros(len(hashes), dtype=np.uint32)
         if self.head_hashes.size:
-            pos = np.searchsorted(self.head_hashes, r.term_hash)
+            pos = np.searchsorted(self.head_hashes, hashes)
             pos[pos == len(self.head_hashes)] = 0
-            is_head = self.head_hashes[pos] == r.term_hash
+            is_head = self.head_hashes[pos] == hashes
             salt[is_head] = (doc_ids[is_head] >> np.uint64(cfg.salt_shift)).astype(np.uint32)
-        bucket = assign_buckets(r.term_hash, salt, cfg.num_buckets)
+        bucket = assign_buckets(hashes, salt, cfg.num_buckets)
         keep = ~np.isin(bucket, list(self.skip)) if self.skip else slice(None)
         return pa.table(
             {
                 "bucket": pa.array(bucket[keep], pa.int32()),
-                "term_hash": pa.array(r.term_hash[keep], pa.uint64()),
-                "gram_size": pa.array(r.gram_size[keep], pa.uint8()),
+                "term_hash": pa.array(hashes[keep], pa.uint64()),
+                "gram_size": pa.array(grams[keep], pa.uint8()),
                 "salt": pa.array(salt[keep], pa.uint32()),
                 "doc_id": pa.array(doc_ids[keep], pa.uint64()),
-                "tf": pa.array(r.tf[keep], pa.uint32()),
+                "tf": pa.array(tf[keep], pa.uint32()),
                 "doclen": pa.array(doclen[keep], pa.uint32()),
             },
             schema=POSTINGS_SCHEMA,
         )
+
+
+def split_buckets(block: pa.Table) -> "list[pa.Table]":
+    """Post-exchange splitter: yield one sub-block per bucket so the encode
+    stage parallelizes over BUCKETS (64+) instead of exchange partitions
+    (≈ CPUs/2) — decouples encode parallelism from shuffle fan-in."""
+    if len(block) == 0:
+        return
+    buckets = block["bucket"].to_numpy(zero_copy_only=False)
+    order = np.argsort(buckets, kind="stable")
+    sorted_b = buckets[order]
+    starts = np.flatnonzero(np.diff(sorted_b, prepend=-1))
+    bounds = np.append(starts, len(sorted_b))
+    idx = pa.array(order)
+    for i in range(len(starts)):
+        yield block.take(idx.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i])))
+
+
+class EncodeActor:
+    """Actor wrapper around :func:`encode_block` (pool sized to buckets)."""
+
+    def __init__(self, out_dir: str, avgdl: float, cfg: EngineConfig):
+        self.kw = dict(out_dir=out_dir, avgdl=avgdl, cfg=cfg)
+
+    def __call__(self, block: pa.Table) -> pa.Table:
+        return encode_block(block, **self.kw)
+
+
+# --- external (disk-spill) shuffle path -----------------------------------
+
+
+def spill_postings(batch: pa.Table, *, spill_dir: str) -> pa.Table:
+    """Map-side external-shuffle writer: split a postings batch by bucket
+    and append one parquet spill shard per bucket (the classic
+    Spark/MapReduce shuffle-file layout).  Deterministic downstream: the
+    encoder re-sorts, so shard arrival order never matters."""
+    import pyarrow.parquet as _pq
+
+    if len(batch) == 0:
+        return pa.table({"bucket": pa.array([], pa.int32()), "rows": pa.array([], pa.int64())})
+    buckets = batch["bucket"].to_numpy(zero_copy_only=False)
+    order = np.argsort(buckets, kind="stable")
+    sorted_b = buckets[order]
+    starts = np.flatnonzero(np.diff(sorted_b, prepend=-1))
+    bounds = np.append(starts, len(sorted_b))
+    idx = pa.array(order)
+    out_b, out_n = [], []
+    shard = uuid.uuid4().hex
+    for i in range(len(starts)):
+        b = int(sorted_b[starts[i]])
+        sub = batch.take(idx.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i])))
+        d = os.path.join(spill_dir, f"bucket={b:05d}")
+        os.makedirs(d, exist_ok=True)
+        _pq.write_table(sub, os.path.join(d, f"part-{shard}.parquet"), compression="lz4")
+        out_b.append(b)
+        out_n.append(len(sub))
+    return pa.table({"bucket": pa.array(out_b, pa.int32()), "rows": pa.array(out_n, pa.int64())})
+
+
+def encode_spilled_bucket(
+    batch: pa.Table, *, spill_dir: str, out_dir: str, avgdl: float, cfg: EngineConfig
+) -> pa.Table:
+    """Reduce-side: read one bucket's spill shards, encode, write the
+    atomic dict file."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    rows = []
+    for b in batch["bucket"].to_pylist():
+        files = sorted(_glob.glob(os.path.join(spill_dir, f"bucket={int(b):05d}", "*.parquet")))
+        if not files:
+            continue
+        tbl = pa.concat_tables([_pq.read_table(f) for f in files])
+        rows.append(encode_block(tbl.combine_chunks(), out_dir=out_dir, avgdl=avgdl, cfg=cfg))
+    if not rows:
+        return pa.table(
+            {
+                "bucket": pa.array([], pa.int32()),
+                "n_chunks": pa.array([], pa.int64()),
+                "n_postings": pa.array([], pa.int64()),
+                "payload_bytes": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(rows)
 
 
 def encode_block(block: pa.Table, *, out_dir: str, avgdl: float, cfg: EngineConfig) -> pa.Table:
@@ -217,7 +320,8 @@ def build_index(
     done = frozenset(segment.completed_buckets(out_dir))
     bucket_stats: list[dict] = []
     if len(done) < cfg.num_buckets:
-        postings = corpus.select_columns(["doc_id", "text"]).map_batches(
+        stream_cols = [c for (_n, c, _s) in cfg.streams]
+        postings = corpus.select_columns(["doc_id", *stream_cols]).map_batches(
             TokenizePostings(cfg, head_ref, done), batch_format="pyarrow"
         )
         from functools import partial
@@ -227,15 +331,61 @@ def build_index(
         # low-cardinality key), then encode whole buckets per block.  Bucket
         # identity comes from the bucket COLUMN, so fewer partitions than
         # buckets is fine — each block encodes several whole buckets.
-        n_blocks = min(tune_hash_shuffle(postings.context), cfg.num_buckets)
-        enc = postings.repartition(
-            num_blocks=n_blocks, keys=["bucket"]
-        ).map_batches(
-            partial(encode_block, out_dir=out_dir, avgdl=avgdl, cfg=cfg),
-            batch_size=None,
-            batch_format="pyarrow",
-        )
-        bucket_stats = enc.to_pandas().to_dict("records")
+        shuffle_mode = cfg.extra.get("shuffle", "external")
+        if shuffle_mode == "ray":
+            # in-memory hash exchange; partition count = CPUs (each
+            # partition's consumer also encodes its buckets)
+            tune_hash_shuffle(postings.context)
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            n_blocks = max(2, min(cfg.num_buckets, cpus))
+            postings.context.default_hash_shuffle_parallelism = n_blocks
+            enc = postings.repartition(num_blocks=n_blocks, keys=["bucket"]).map_batches(
+                partial(encode_block, out_dir=out_dir, avgdl=avgdl, cfg=cfg),
+                batch_size=None,
+                batch_format="pyarrow",
+            )
+            bucket_stats = enc.to_pandas().to_dict("records")
+        else:
+            # external shuffle: map tasks append per-bucket spill shards,
+            # then one encode task per bucket — no exchange operator, no
+            # aggregator actors, encode parallelism = bucket count.  On a
+            # cluster the spill dir is the per-node shuffle dir (shards are
+            # re-read by bucket; any shared or node-local store works
+            # because the encoder re-sorts).
+            import uuid as _uuid
+
+            # spill to RAM-backed storage when available (the node-local
+            # shuffle-SSD analog); fall back to the output filesystem
+            spill_root = cfg.extra.get(
+                "spill_root", "/dev/shm" if os.path.isdir("/dev/shm") else out_dir
+            )
+            spill_dir = os.path.join(spill_root, f".bfr-spill-{_uuid.uuid4().hex[:8]}")
+            os.makedirs(spill_dir, exist_ok=True)
+            try:
+                acks = postings.map_batches(
+                    partial(spill_postings, spill_dir=spill_dir),
+                    batch_size=None,
+                    batch_format="pyarrow",
+                ).to_pandas()
+                present = sorted(set(int(b) for b in acks["bucket"])) if len(acks) else []
+                import ray.data as rd
+
+                enc = rd.from_items([{"bucket": b} for b in present]).map_batches(
+                    partial(
+                        encode_spilled_bucket,
+                        spill_dir=spill_dir,
+                        out_dir=out_dir,
+                        avgdl=avgdl,
+                        cfg=cfg,
+                    ),
+                    batch_size=1,
+                    batch_format="pyarrow",
+                )
+                bucket_stats = enc.to_pandas().to_dict("records")
+            finally:
+                import shutil as _shutil
+
+                _shutil.rmtree(spill_dir, ignore_errors=True)
 
     manifest = {
         "format_version": 1,
@@ -251,6 +401,7 @@ def build_index(
             "num_buckets": cfg.num_buckets,
             "head_df_threshold": cfg.head_df_threshold,
             "salt_shift": cfg.salt_shift,
+            "streams": [list(s) for s in cfg.streams],
         },
         "buckets_completed": sorted(segment.completed_buckets(out_dir)),
         "bucket_stats": {int(r["bucket"]): {k: int(v) for k, v in r.items() if k != "bucket"} for r in bucket_stats},

@@ -40,7 +40,8 @@ def bucket_path(seg_dir: str, bucket: int) -> str:
 def write_bucket_atomic(table: pa.Table, seg_dir: str, bucket: int) -> str:
     path = bucket_path(seg_dir, bucket)
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    pq.write_table(table, tmp, compression="zstd")
+    # snappy: varint payloads are already compact; zstd costs ~4x encode CPU
+    pq.write_table(table, tmp, compression="snappy")
     os.replace(tmp, path)
     return path
 

@@ -49,4 +49,12 @@ class EngineConfig:
     # system/reserved stream ids (reference: Term::StreamId, default body=0)
     default_stream: int = 0
 
+    # indexed streams: (name, corpus column, stream id) — the
+    # StreamConfiguration analog (reference:
+    # src/Common/Configuration/src/StreamConfiguration.cpp:52-143; chunk
+    # format carries per-document streams, ChunkReader.cpp:126-131).
+    # Stream identity folds into the stored term hash exactly like
+    # Term::ComputeGeneralHash (= rawHash + streamId, Term.cpp:328-333).
+    streams: tuple = (("body", "text", 0),)
+
     extra: dict = field(default_factory=dict, compare=False)

@@ -57,6 +57,7 @@ class _Segment:
         cfg = man["config"]
         self.max_gram = int(cfg["max_gram"])
         self.k1, self.b = float(cfg["k1"]), float(cfg["b"])
+        self.streams = {name: int(sid) for (name, _col, sid) in cfg.get("streams", [["body", "text", 0]])}
         files = sorted(glob.glob(os.path.join(seg_dir, "dict-*.parquet")))
         tables = [pq.read_table(f) for f in files]
         self.dict = (
@@ -78,8 +79,12 @@ class _Segment:
         doc-id range, ranges disjoint by construction)."""
         if not len(self._h_sorted):
             return []
-        lo = np.searchsorted(self._h_sorted, term_hash, side="left")
-        hi = np.searchsorted(self._h_sorted, term_hash, side="right")
+        # NB: the key must be a np.uint64 — a python int scalar is promoted
+        # through float64 by searchsorted, which rounds 64-bit hashes and
+        # matches neighboring values
+        key = np.uint64(term_hash)
+        lo = np.searchsorted(self._h_sorted, key, side="left")
+        hi = np.searchsorted(self._h_sorted, key, side="right")
         rows = [int(self._order[i]) for i in range(lo, hi) if self._gram[self._order[i]] == gram]
         return rows
 
@@ -147,6 +152,7 @@ class SearchEngine:
         )
         s0 = self.segments[0]
         self.max_gram, self.k1, self.b = s0.max_gram, s0.k1, s0.b
+        self.stream_map = dict(s0.streams)  # name -> id (StreamConfiguration analog)
         metas = []
         for s in self.segments:
             cols = ["doc_id", "url"] if load_urls else ["doc_id"]
@@ -196,20 +202,22 @@ class SearchEngine:
             self._cache[key] = out
         return out
 
-    def term_postings(self, text: str) -> Postings:
-        return self.postings(murmur64a(text), 1)
+    def term_postings(self, text: str, stream: int = 0) -> Postings:
+        # general hash = rawHash + streamId (ComputeGeneralHash parity)
+        return self.postings((murmur64a(text) + stream) & 0xFFFFFFFFFFFFFFFF, 1)
 
     # --- term extraction --------------------------------------------------
-    def _phrase_grams(self, tokens: tuple[str, ...]) -> list[tuple[int, int]]:
+    def _phrase_grams(self, tokens: tuple[str, ...], stream: int = 0) -> list[tuple[int, int]]:
         """All 1..max_gram sliding-window (hash, gram) pairs of a phrase —
         exactly the reference's ring-buffer emission
-        (TermMatchTreeConverter::ProcessNGramBuffer)."""
+        (TermMatchTreeConverter::ProcessNGramBuffer); stream folded into
+        each gram's stored hash."""
         h1 = [murmur64a(t) for t in tokens]
         out = []
         n = len(tokens)
         for i in range(n):
             for g in range(1, min(self.max_gram, n - i) + 1):
-                out.append((ngram_hash(h1[i : i + g]), g))
+                out.append(((ngram_hash(h1[i : i + g]) + stream) & 0xFFFFFFFFFFFFFFFF, g))
         return out
 
     def scoring_terms(self, node: ast.Node) -> list[tuple[int, int]]:
@@ -225,10 +233,10 @@ class SearchEngine:
                     walk(c, negated)
             elif isinstance(n, ast.Term):
                 if not negated:
-                    acc.add((murmur64a(n.text), 1))
+                    acc.add(((murmur64a(n.text) + n.stream) & 0xFFFFFFFFFFFFFFFF, 1))
             elif isinstance(n, ast.Phrase):
                 if not negated:
-                    acc.update(self._phrase_grams(n.tokens))
+                    acc.update(self._phrase_grams(n.tokens, n.stream))
 
         walk(node, False)
         return sorted(acc, key=lambda p: (p[1], p[0]))
@@ -243,9 +251,9 @@ class SearchEngine:
 
     def _eval(self, node: ast.Node) -> np.ndarray:
         if isinstance(node, ast.Term):
-            return self.term_postings(node.text).doc_ids
+            return self.term_postings(node.text, node.stream).doc_ids
         if isinstance(node, ast.Phrase):
-            grams = self._phrase_grams(node.tokens)
+            grams = self._phrase_grams(node.tokens, node.stream)
             lists = [self.postings(h, g).doc_ids for h, g in grams]
             lists.sort(key=len)
             m = lists[0]
@@ -311,7 +319,7 @@ class SearchEngine:
     # --- top-k ------------------------------------------------------------
     def search(self, query: str, k: int = 10) -> pa.Table:
         """Parse → match → score → top-k (score desc, doc_id asc)."""
-        node = parse_query(query)
+        node = parse_query(query, self.stream_map)
         matches = self.eval(node)
         scores = self.score(node, matches)
         order = np.lexsort((matches, -scores))[:k]
@@ -327,7 +335,7 @@ class SearchEngine:
         return pa.table(cols)
 
     def match_count(self, query: str) -> int:
-        return int(len(self.eval(parse_query(query))))
+        return int(len(self.eval(parse_query(query, self.stream_map))))
 
     # --- ranked disjunctive top-k (block-max WAND fast path) --------------
     def _term_cursor(self, text: str):

@@ -46,8 +46,9 @@ class _TermCursor:
     def seek(self, target: int) -> None:
         """Advance to first doc >= target (galloping via searchsorted)."""
         if self.pos < self.n and self.doc_ids[self.pos] < target:
+            # np.uint64 key: python-int scalars get promoted via float64
             self.pos += int(
-                np.searchsorted(self.doc_ids[self.pos :], target, side="left")
+                np.searchsorted(self.doc_ids[self.pos :], np.uint64(target), side="left")
             )
 
     def block_upper(self) -> float:
@@ -97,7 +98,7 @@ def wand_topk(cursors: list[_TermCursor], k: int) -> list[tuple[float, int]]:
             # skip: advance the lowest cursor past min block boundary
             boundary = pivot_doc
             for c in live[: pivot_idx + 1]:
-                b = int(np.searchsorted(c.block_last, c.current(), side="left"))
+                b = int(np.searchsorted(c.block_last, np.uint64(c.current()), side="left"))
                 if b < len(c.block_last):
                     boundary = min(boundary, int(c.block_last[b]))
             for c in live[: pivot_idx + 1]:

@@ -133,20 +133,29 @@ def _zipf_texts(doc_ids: np.ndarray, vocab_size: int, s: float) -> list[str]:
     lens = np.clip(np.exp(4.0 + 0.7 * z), 8, 1024).astype(np.int64)
     # Zipf rank per token position: rank = floor(C * (u^(-1/(s-1)) - 1)) style
     # inverse; use the standard u→rank transform rank = floor(u^(-1/(s-1)))
-    vocab = _vocab_strings(vocab_size)
-    texts = []
     # bounded-Zipf inverse CDF for pmf ∝ r^-s on [1, N]:
     # r = (1 - u * (1 - N^(1-s)))^(1/(1-s))   (continuous approximation)
     one_m_s = 1.0 - s
     tail = 1.0 - float(vocab_size) ** one_m_s
-    for d, L in zip(doc_ids.tolist(), lens.tolist()):
-        pos = np.arange(L, dtype=np.uint64)
-        hv = ((np.uint64(d) * np.uint64(2654435761) + pos) * K) >> np.uint64(11)
-        u = np.clip(hv.astype(np.float64) / float(1 << 53), 1e-9, 1.0 - 1e-12)
-        r = (1.0 - u * tail) ** (1.0 / one_m_s)
-        ranks = np.clip(r.astype(np.int64), 1, vocab_size) - 1
-        texts.append(" ".join(vocab[ranks]))
-    return texts
+    # fully vectorized: flat token ranks for ALL docs, then one arrow
+    # take + list-join (no per-doc python)
+    n = len(doc_ids)
+    starts = np.concatenate([[0], np.cumsum(lens[:-1])]).astype(np.int64) if n else np.zeros(0, np.int64)
+    total = int(lens.sum())
+    doc_rep = np.repeat(doc_ids.astype(np.uint64), lens)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    hv = ((doc_rep * np.uint64(2654435761) + pos.astype(np.uint64)) * K) >> np.uint64(11)
+    u = np.clip(hv.astype(np.float64) / float(1 << 53), 1e-9, 1.0 - 1e-12)
+    r = (1.0 - u * tail) ** (1.0 / one_m_s)
+    ranks = (np.clip(r.astype(np.int64), 1, vocab_size) - 1).astype(np.int32)
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    vocab_arr = _pa.array(_vocab_strings(vocab_size).tolist(), _pa.string())
+    flat = _pc.take(vocab_arr, _pa.array(ranks))
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    lists = _pa.ListArray.from_arrays(_pa.array(offsets, _pa.int32()), flat)
+    return _pc.binary_join(lists, " ").to_pylist()
 
 
 _VOCAB_CACHE: dict[int, np.ndarray] = {}

@@ -1,0 +1,62 @@
+"""Multi-stream indexing (StreamConfiguration + stream-qualified queries;
+ComputeGeneralHash parity: stored hash = rawHash + streamId)."""
+
+import duckdb
+import pytest
+
+from bitfunnel_ray.build.builder import build_index
+from bitfunnel_ray.config import EngineConfig
+from bitfunnel_ray.query.engine import SearchEngine
+from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def eng(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("streams") / "seg")
+    cfg = EngineConfig(
+        max_gram=2,
+        num_buckets=4,
+        streams=(("body", "text", 0), ("lang", "lang", 1)),
+    )
+    build_index(corpus_from_documents(SF), out, cfg)
+    return SearchEngine(out, load_urls=False)
+
+
+def test_stream_map_loaded(eng):
+    assert eng.stream_map == {"body": 0, "lang": 1}
+
+
+def test_stream_query_matches_column(eng):
+    want = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{SF}/documents.parquet') WHERE lang='en' ORDER BY doc_id"
+    ).df()["doc_id"].tolist()
+    got = eng.eval(__import__("bitfunnel_ray.query.parser", fromlist=["parse_query"]).parse_query("lang:en", eng.stream_map))
+    assert got.tolist() == want
+
+
+def test_stream_and_body_mix(eng):
+    want = duckdb.sql(
+        f"""SELECT doc_id FROM read_parquet('{SF}/documents.parquet')
+            WHERE lang='de' AND list_contains(string_split(text,' '), 'table')
+            ORDER BY doc_id"""
+    ).df()["doc_id"].tolist()
+    from bitfunnel_ray.query.parser import parse_query
+
+    got = eng.eval(parse_query("lang:de table", eng.stream_map))
+    assert got.tolist() == want
+
+
+def test_body_term_does_not_leak_into_stream(eng):
+    from bitfunnel_ray.query.parser import parse_query
+
+    # 'en' never appears in the body text of the synthetic docs
+    assert eng.eval(parse_query("en", eng.stream_map)).tolist() == []
+
+
+def test_unknown_stream_rejected(eng):
+    from bitfunnel_ray.query.parser import ParseError, parse_query
+
+    with pytest.raises(ParseError):
+        parse_query("title:foo", eng.stream_map)
