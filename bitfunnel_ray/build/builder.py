@@ -290,9 +290,9 @@ def build_index(
             import shutil
 
             shutil.rmtree(tmp_meta)
-        corpus.map_batches(DocMetaBatch(cfg.max_gram), batch_format="pyarrow").write_parquet(
-            tmp_meta
-        )
+        corpus.map_batches(
+            DocMetaBatch(cfg.max_gram, light=True), batch_format="pyarrow"
+        ).write_parquet(tmp_meta)
         if os.path.exists(meta_dir):
             import shutil
 

@@ -166,25 +166,31 @@ class DocMetaBatch:
     ingestion-totals analog, Ingestor.cpp:108-128). Tokenize-light: doclen
     needs only the whitespace split; n_postings needs the dedup pass."""
 
-    def __init__(self, max_gram: int = 1):
+    def __init__(self, max_gram: int = 1, light: bool = False):
         self.max_gram = max_gram
+        # light=True (the index build's mode): doclen needs only the
+        # whitespace split; n_postings (histogram / posting-count filters)
+        # needs the full tokenize+dedup and is emitted only when light=False
+        self.light = light
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        r = tokenize_batch(batch["text"], self.max_gram, emit_text=False)
         import pyarrow.compute as pc
 
         nbytes = pc.binary_length(batch["text"].cast(pa.binary())).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "url": batch["url"],
-                "doclen": pa.array(r.doclen),
-                "n_postings": pa.array(r.n_postings),
-                "n_bytes": pa.array(nbytes),
-            }
-        )
+        cols = {"doc_id": batch["doc_id"], "url": batch["url"]}
+        if self.light:
+            from bitfunnel_ray.stages.tokenize import flat_tokens
+
+            _, _, doclen = flat_tokens(batch["text"])
+            cols["doclen"] = pa.array(doclen)
+        else:
+            r = tokenize_batch(batch["text"], self.max_gram, emit_text=False)
+            cols["doclen"] = pa.array(r.doclen)
+            cols["n_postings"] = pa.array(r.n_postings)
+        cols["n_bytes"] = pa.array(nbytes)
+        return pa.table(cols)
 
 
 def doc_meta(corpus: "ray.data.Dataset", cfg: EngineConfig | None = None) -> "ray.data.Dataset":
