@@ -146,40 +146,17 @@ class TokenizePostings:
         )
 
 
-def split_buckets(block: pa.Table) -> "list[pa.Table]":
-    """Post-exchange splitter: yield one sub-block per bucket so the encode
-    stage parallelizes over BUCKETS (64+) instead of exchange partitions
-    (≈ CPUs/2) — decouples encode parallelism from shuffle fan-in."""
-    if len(block) == 0:
-        return
-    buckets = block["bucket"].to_numpy(zero_copy_only=False)
-    order = np.argsort(buckets, kind="stable")
-    sorted_b = buckets[order]
-    starts = np.flatnonzero(np.diff(sorted_b, prepend=-1))
-    bounds = np.append(starts, len(sorted_b))
-    idx = pa.array(order)
-    for i in range(len(starts)):
-        yield block.take(idx.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i])))
-
-
-class EncodeActor:
-    """Actor wrapper around :func:`encode_block` (pool sized to buckets)."""
-
-    def __init__(self, out_dir: str, avgdl: float, cfg: EngineConfig):
-        self.kw = dict(out_dir=out_dir, avgdl=avgdl, cfg=cfg)
-
-    def __call__(self, block: pa.Table) -> pa.Table:
-        return encode_block(block, **self.kw)
-
-
 # --- external (disk-spill) shuffle path -----------------------------------
 
 
 def spill_postings(batch: pa.Table, *, spill_dir: str) -> pa.Table:
     """Map-side external-shuffle writer: split a postings batch by bucket
     and append one parquet spill shard per bucket (the classic
-    Spark/MapReduce shuffle-file layout).  Deterministic downstream: the
-    encoder re-sorts, so shard arrival order never matters."""
+    Spark/MapReduce shuffle-file layout).  Shard arrival ORDER never
+    matters (the encoder re-sorts), but shard VISIBILITY does: on a
+    multi-node cluster ``spill_dir`` must be on a shared filesystem; the
+    encode side cross-checks row counts against the acks and aborts if any
+    shard is unreachable."""
     import pyarrow.parquet as _pq
 
     if len(batch) == 0:
@@ -207,17 +184,33 @@ def encode_spilled_bucket(
     batch: pa.Table, *, spill_dir: str, out_dir: str, avgdl: float, cfg: EngineConfig
 ) -> pa.Table:
     """Reduce-side: read one bucket's spill shards, encode, write the
-    atomic dict file."""
+    atomic dict file.
+
+    Shard-loss guard: the map-side acks recorded how many posting rows
+    each bucket spilled; if the rows visible here differ (e.g. spill_root
+    is node-local on a multi-node cluster and this task landed on another
+    node), the build FAILS LOUDLY instead of writing a silently-incomplete
+    index.  On multi-node clusters spill_root must be a shared filesystem.
+    """
     import glob as _glob
 
     import pyarrow.parquet as _pq
 
+    expected = batch["expected_rows"].to_pylist()
     rows = []
-    for b in batch["bucket"].to_pylist():
+    for b, exp in zip(batch["bucket"].to_pylist(), expected):
         files = sorted(_glob.glob(os.path.join(spill_dir, f"bucket={int(b):05d}", "*.parquet")))
         if not files:
-            continue
+            raise RuntimeError(
+                f"spill shards for bucket {b} missing under {spill_dir} "
+                f"(expected {exp} rows) — spill_root must be shared across nodes"
+            )
         tbl = pa.concat_tables([_pq.read_table(f) for f in files])
+        if len(tbl) != int(exp):
+            raise RuntimeError(
+                f"bucket {b}: read {len(tbl)} spilled rows but map acks recorded "
+                f"{exp} — shards lost (node-local spill_root on multi-node?)"
+            )
         rows.append(encode_block(tbl.combine_chunks(), out_dir=out_dir, avgdl=avgdl, cfg=cfg))
     if not rows:
         return pa.table(
@@ -300,9 +293,17 @@ def build_index(
         os.replace(tmp_meta, meta_dir)
         with open(meta_done, "w") as f:
             f.write("ok")
-    meta_tbl = pq.read_table(meta_dir, columns=["doclen"])
-    n_docs = len(meta_tbl)
-    sum_dl = int(pa.compute.sum(meta_tbl["doclen"]).as_py() or 0)
+    # corpus-level totals via a DISTRIBUTED aggregate over the doclen
+    # column only — the driver receives two scalars, never the table
+    # (replaces a driver-side pq.read_table that was O(corpus) memory)
+    import ray.data as _rd
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    totals = _rd.read_parquet(
+        meta_dir, columns=["doclen"], file_extensions=["parquet"]
+    ).aggregate(_Count(alias_name="n"), _Sum("doclen", alias_name="s"))
+    n_docs = int(totals["n"] or 0)
+    sum_dl = int(totals["s"] or 0)
     avgdl = (sum_dl / n_docs) if n_docs else 1.0
 
     # --- pass 2: head terms for skew salting ----------------------------
@@ -348,10 +349,10 @@ def build_index(
         else:
             # external shuffle: map tasks append per-bucket spill shards,
             # then one encode task per bucket — no exchange operator, no
-            # aggregator actors, encode parallelism = bucket count.  On a
-            # cluster the spill dir is the per-node shuffle dir (shards are
-            # re-read by bucket; any shared or node-local store works
-            # because the encoder re-sorts).
+            # aggregator actors, encode parallelism = bucket count.
+            # MULTI-NODE: spill_root must be a shared filesystem (encode
+            # tasks may land on any node); the ack row-count cross-check in
+            # encode_spilled_bucket aborts the build if shards are missing.
             import uuid as _uuid
 
             # spill to RAM-backed storage when available (the node-local
@@ -367,10 +368,21 @@ def build_index(
                     batch_size=None,
                     batch_format="pyarrow",
                 ).to_pandas()
-                present = sorted(set(int(b) for b in acks["bucket"])) if len(acks) else []
+                # per-bucket expected row counts: the encode side cross-checks
+                # rows actually read vs these acks and fails loudly on loss
+                per_bucket = (
+                    acks.groupby("bucket")["rows"].sum().astype(int).to_dict()
+                    if len(acks)
+                    else {}
+                )
                 import ray.data as rd
 
-                enc = rd.from_items([{"bucket": b} for b in present]).map_batches(
+                enc = rd.from_items(
+                    [
+                        {"bucket": int(b), "expected_rows": int(n)}
+                        for b, n in sorted(per_bucket.items())
+                    ]
+                ).map_batches(
                     partial(
                         encode_spilled_bucket,
                         spill_dir=spill_dir,

@@ -32,15 +32,25 @@ def _batch_topk(
     ids = t[id_col].to_numpy()
     n, nq = sims.shape
     kk = min(k, n)
-    top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
-    out_q = np.repeat(np.arange(nq, dtype=np.int64), kk)
-    out_id = ids[top.T.ravel()]
-    out_sim = sims[top.T.ravel(), out_q]
+    # per-query selection respects the GLOBAL tie-break (cosine desc,
+    # vec_id asc): argpartition finds the kk-th cosine, then every row tied
+    # at or above it competes under lexsort — batch-local pruning can never
+    # drop a globally-top-k id on an exact cosine tie (duplicate vectors).
+    out_q_l, out_id_l, out_sim_l = [], [], []
+    for qi in range(nq):
+        s = sims[:, qi]
+        part = np.argpartition(-s, kk - 1)[:kk]
+        thresh = s[part].min()
+        cand = np.flatnonzero(s >= thresh)
+        sel = cand[np.lexsort((ids[cand], -s[cand]))[:kk]]
+        out_q_l.append(np.full(len(sel), qi, dtype=np.int64))
+        out_id_l.append(ids[sel])
+        out_sim_l.append(s[sel])
     return pa.table(
         {
-            "query_id": pa.array(out_q),
-            "vec_id": pa.array(out_id.astype(np.int64)),
-            "cosine": pa.array(out_sim, pa.float64()),
+            "query_id": pa.array(np.concatenate(out_q_l)),
+            "vec_id": pa.array(np.concatenate(out_id_l).astype(np.int64)),
+            "cosine": pa.array(np.concatenate(out_sim_l), pa.float64()),
         }
     )
 
@@ -109,15 +119,15 @@ def lsh_topk(
         if multiprobe >= 1:
             for b in range(n_planes):
                 allowed.add(qb ^ (1 << b))
-    allowed_ref = ray.put(allowed)
+    allowed_ref = ray.put(np.array(sorted(allowed), dtype=np.uint64))
     q_ref = ray.put(q)
 
     def filtered_topk(t: pa.Table) -> pa.Table:
-        ok = ray.get(allowed_ref)
+        ok = ray.get(allowed_ref)  # sorted uint64 array
         vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
         unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         keys = bucket_of(unit)
-        keep = np.array([int(x) in ok for x in keys], dtype=bool)
+        keep = np.isin(keys, ok)
         if not keep.any():
             return pa.table(
                 {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}

@@ -433,7 +433,6 @@ def embedding_dup_pairs(
         sims = unit @ unit.T
         a, b = np.triu_indices(len(ids), k=1)
         keep = sims[a, b] >= threshold
-        order = np.argsort(ids)
         ia, ib = ids[a[keep]], ids[b[keep]]
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
         return pa.table(

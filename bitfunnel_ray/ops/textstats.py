@@ -113,8 +113,16 @@ class LangId:
         flat, doc_of, doclen = flat_tokens(t["text"])
         n = len(t)
         scores = np.zeros((n, len(self.langs)), dtype=np.float64)
-        toks = flat.to_numpy(zero_copy_only=False)
-        masks = np.array([self.vocab.get(w, 0) for w in toks.tolist()], dtype=np.int64)
+        if len(flat):
+            # dictionary-encode the batch once: vocab lookup runs over the
+            # UNIQUE tokens only, then a gather maps back to token positions
+            da = flat.dictionary_encode()
+            uniq_masks = np.array(
+                [self.vocab.get(w, 0) for w in da.dictionary.to_pylist()], dtype=np.int64
+            )
+            masks = uniq_masks[da.indices.to_numpy(zero_copy_only=False)]
+        else:
+            masks = np.empty(0, dtype=np.int64)
         for li in range(len(self.langs)):
             hit = (masks >> li) & 1
             scores[:, li] = np.bincount(doc_of, weights=hit.astype(np.float64), minlength=n)

@@ -112,8 +112,8 @@ def q_ingest_totals(sf_dir):
 
 SQL_INGEST_TOTALS = """
 SELECT count(*) AS n_docs,
-       sum(len(string_split(text,' '))) AS total_tokens,
-       sum(length(text)) AS total_bytes
+       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_bytes
 FROM documents
 """
 
@@ -466,7 +466,7 @@ def _cooc_sql() -> str:
     )
     pairs = " UNION ALL ".join(
         f"SELECT '{_COOC_TERMS[i]}' AS term_a, '{_COOC_TERMS[j]}' AS term_b, "
-        f"sum(h{i} * h{j}) AS n_docs FROM f"
+        f"CAST(sum(h{i} * h{j}) AS BIGINT) AS n_docs FROM f"
         for i in range(len(_COOC_TERMS))
         for j in range(i + 1, len(_COOC_TERMS))
     )

@@ -19,6 +19,7 @@ import pyarrow as pa
 import ray.data
 
 from bitfunnel_ray.query.engine import SearchEngine
+from bitfunnel_ray.query.parser import parse_query
 
 
 class QueryActor:
@@ -34,9 +35,7 @@ class QueryActor:
         for qid, q in zip(qids, texts):
             t0 = time.perf_counter()
             try:
-                from bitfunnel_ray.query.parser import parse_query
-
-                node = parse_query(q)
+                node = parse_query(q, self.engine.stream_map)
                 matches = self.engine.eval(node)
                 scores = self.engine.score(node, matches)
                 order = np.lexsort((matches, -scores))[: self.k]

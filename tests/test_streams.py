@@ -60,3 +60,19 @@ def test_unknown_stream_rejected(eng):
 
     with pytest.raises(ParseError):
         parse_query("title:foo", eng.stream_map)
+
+
+def test_runner_serves_stream_query(eng):
+    """QueryActor must pass the engine's stream_map to the parser
+    (regression: the actor used the default {'body': 0} map, turning
+    stream-qualified queries into error rows)."""
+    import pyarrow as pa
+
+    from bitfunnel_ray.query.runner import run_query_log
+
+    qlog = pa.table(
+        {"query_id": pa.array([0], pa.uint32()), "query": ["lang:de table"]}
+    )
+    res = run_query_log(qlog, eng.segments[0].dir, k=5, concurrency=2).to_pandas()
+    assert (res["error"] == "").all()
+    assert (res["n_matches"] >= 0).all()
