@@ -49,7 +49,7 @@ def run_bench() -> dict:
     from bitfunnel_ray.config import EngineConfig
     from bitfunnel_ray.ops import ann, dedup
     from bitfunnel_ray.pipelines.querylog import generate_query_log
-    from bitfunnel_ray.query.runner import run_query_log, summarize
+    from bitfunnel_ray.query.runner import summarize
     from bitfunnel_ray.sources.corpus import corpus_from_documents, write_synth_corpus
 
     timings: dict[str, float] = {}
@@ -94,13 +94,19 @@ def run_bench() -> dict:
     )
     timings["stats_df"] = time.perf_counter() - t0
 
-    # --- query serving (actor pool; QPS / latency) -----------------------
+    # --- query serving (term-sharded actors + scatter-gather fronts) -----
+    # each shard actor opens only its bucket subset (~1/4 of the dict);
+    # front-ends batch-prefetch postings with one RPC per shard per batch
+    from bitfunnel_ray.query.sharded import ShardedServer
+
     qlog = generate_query_log(df_tbl["term"].tolist(), n_queries)
     t0 = time.perf_counter()
-    # concurrency pinned (not a function of ncpu): actor init (dictionary
-    # load) is part of the measured stage; identical pool = identical work
-    results = run_query_log(qlog, idx_dir, k=10, concurrency=4, batch_size=32)
+    # shard count + concurrency pinned (not a function of ncpu): actor init
+    # (dict load) is part of the measured stage; identical pool = same work
+    server = ShardedServer(idx_dir, n_shards=4)
+    results = server.run(qlog, k=10, concurrency=4, batch_size=32)
     stats = summarize(results)
+    server.shutdown()
     timings["query_serve"] = time.perf_counter() - t0
     extras["qps"] = round(n_queries / timings["query_serve"], 1)
     extras["query_p50_ms"] = round(stats["p50_ms"], 3)

@@ -308,6 +308,7 @@ def build_index(
 
     # --- pass 2: head terms for skew salting ----------------------------
     head_ref = None
+    n_head_terms = 0
     if n_docs > cfg.head_df_threshold:
         heads = (
             document_frequency_table(corpus, cfg, emit_text=False)
@@ -315,7 +316,16 @@ def build_index(
             .to_pandas()
         )
         if len(heads):
-            head_ref = ray.put(heads["term_hash"].to_numpy().astype(np.uint64))
+            head_arr = heads["term_hash"].to_numpy().astype(np.uint64)
+            head_ref = ray.put(head_arr)
+            n_head_terms = len(head_arr)
+            # sidecar for query-time routing: a salted head term's chunks
+            # live in MANY buckets, so a term-sharded server must scatter
+            # lookups for these hashes to every shard (query/sharded.py)
+            pq.write_table(
+                pa.table({"term_hash": pa.array(np.sort(head_arr), pa.uint64())}),
+                os.path.join(out_dir, "heads.parquet"),
+            )
 
     # --- pass 3: postings shuffle + per-bucket encode -------------------
     done = frozenset(segment.completed_buckets(out_dir))
@@ -415,6 +425,7 @@ def build_index(
             "salt_shift": cfg.salt_shift,
             "streams": [list(s) for s in cfg.streams],
         },
+        "n_head_terms": n_head_terms,
         "buckets_completed": sorted(segment.completed_buckets(out_dir)),
         "bucket_stats": {int(r["bucket"]): {k: int(v) for k, v in r.items() if k != "bucket"} for r in bucket_stats},
         "build_seconds": round(time.time() - t0, 3),

@@ -43,9 +43,13 @@ from bitfunnel_ray.query.parser import parse_query
 
 
 class _Segment:
-    """In-memory dictionary of one segment directory."""
+    """In-memory dictionary of one segment directory.
 
-    def __init__(self, seg_dir: str):
+    ``buckets`` restricts the load to a subset of dict files — the unit
+    of term-sharded serving (each shard actor opens only its buckets;
+    see bitfunnel_ray/query/sharded.py)."""
+
+    def __init__(self, seg_dir: str, buckets: "list[int] | None" = None):
         self.dir = seg_dir
         man = seglib.load_manifest(seg_dir)
         if man is None:
@@ -56,9 +60,17 @@ class _Segment:
         self.avgdl = float(man["avgdl"])
         cfg = man["config"]
         self.max_gram = int(cfg["max_gram"])
+        self.num_buckets = int(cfg.get("num_buckets", 16))
         self.k1, self.b = float(cfg["k1"]), float(cfg["b"])
         self.streams = {name: int(sid) for (name, _col, sid) in cfg.get("streams", [["body", "text", 0]])}
-        files = sorted(glob.glob(os.path.join(seg_dir, "dict-*.parquet")))
+        if buckets is None:
+            files = sorted(glob.glob(os.path.join(seg_dir, "dict-*.parquet")))
+        else:
+            files = [
+                p
+                for b in sorted(buckets)
+                if os.path.exists(p := seglib.bucket_path(seg_dir, int(b)))
+            ]
         tables = [pq.read_table(f) for f in files]
         self.dict = (
             pa.concat_tables(tables) if tables else None
@@ -133,74 +145,49 @@ _EMPTY = Postings(
 )
 
 
-class SearchEngine:
-    """Query engine over one or more segments (usable directly or as a
-    map_batches actor via ``bitfunnel_ray.query.runner.QueryActor``)."""
+def merge_chunks(parts, metas) -> Postings:
+    """Merge decoded chunks (ascending doc ranges per chunk) + block-max
+    metadata into one Postings.  If chunk doc ranges interleave (multi
+    segment / head-term salting across shards) the list is re-sorted and
+    the block metadata dropped (WAND then recomputes exact blocks)."""
+    if not parts:
+        return _EMPTY
+    docs = np.concatenate([p.doc_ids for p in parts])
+    tf = np.concatenate([p.tf for p in parts])
+    dl = np.concatenate([p.doclen for p in parts])
+    block_last = np.concatenate([m[0] for m in metas])
+    block_ub = np.concatenate([m[1] for m in metas])
+    if len(parts) > 1 and not np.all(docs[1:] > docs[:-1]):
+        order = np.argsort(docs, kind="stable")
+        docs, tf, dl = docs[order], tf[order], dl[order]
+        block_last = block_ub = None  # interleaved: metadata invalid
+    return Postings(docs, tf, dl, len(docs), block_last, block_ub)
 
-    def __init__(
-        self,
-        index_dirs: str | list[str],
-        load_urls: bool = True,
-        tombstones: np.ndarray | None = None,
-    ):
-        if isinstance(index_dirs, str):
-            index_dirs = [index_dirs]
-        self.segments = [_Segment(d) for d in index_dirs]
-        self.n_docs = sum(s.n_docs for s in self.segments)
-        self.avgdl = (
-            sum(s.sum_doclen for s in self.segments) / self.n_docs if self.n_docs else 1.0
-        )
-        s0 = self.segments[0]
-        self.max_gram, self.k1, self.b = s0.max_gram, s0.k1, s0.b
-        self.stream_map = dict(s0.streams)  # name -> id (StreamConfiguration analog)
-        metas = []
-        for s in self.segments:
-            cols = ["doc_id", "url"] if load_urls else ["doc_id"]
-            metas.append(pq.read_table(os.path.join(s.dir, "docmeta"), columns=cols))
-        meta = pa.concat_tables(metas)
-        ids = meta["doc_id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        self.all_docs = ids[order].astype(np.uint64)
-        self.urls = (
-            np.asarray(meta["url"].to_pylist(), dtype=object)[order] if load_urls else None
-        )
-        self.tombstones = (
-            np.sort(np.asarray(tombstones, dtype=np.uint64))
-            if tombstones is not None and len(tombstones)
-            else None
-        )
-        self._cache: dict[tuple[int, int], Postings] = {}
 
-    # --- posting access --------------------------------------------------
-    def postings(self, term_hash: int, gram: int) -> Postings:
-        key = (int(term_hash), int(gram))
-        hit = self._cache.get(key)
-        if hit is not None:
-            return hit
-        parts, metas = [], []
-        for s in self.segments:
-            rows = s.chunk_rows(term_hash, gram)
-            parts.extend(s.decode_rows(rows))
-            # inflate stored max_tfn when serving avgdl > build avgdl (tfn is
-            # monotone in avgdl with ratio bounded by avgdl_serve/avgdl_build)
-            infl = max(1.0, self.avgdl / s.avgdl) if s.avgdl > 0 else 1.0
-            metas.extend((ld, mt * infl) for ld, mt in s.block_meta_rows(rows))
-        if not parts:
-            out = _EMPTY
-        else:
-            docs = np.concatenate([p.doc_ids for p in parts])
-            tf = np.concatenate([p.tf for p in parts])
-            dl = np.concatenate([p.doclen for p in parts])
-            block_last = np.concatenate([m[0] for m in metas])
-            block_ub = np.concatenate([m[1] for m in metas])
-            if len(parts) > 1 and not np.all(docs[1:] > docs[:-1]):
-                order = np.argsort(docs, kind="stable")
-                docs, tf, dl = docs[order], tf[order], dl[order]
-                block_last = block_ub = None  # interleaved: metadata invalid
-            out = Postings(docs, tf, dl, len(docs), block_last, block_ub)
-        if len(self._cache) < 100_000:
-            self._cache[key] = out
-        return out
+class QueryAlgebra:
+    """Query-side algebra shared by the single-process ``SearchEngine``
+    and the scatter-gather ``ShardedSearchEngine``
+    (bitfunnel_ray/query/sharded.py).
+
+    Subclasses provide the storage primitives:
+      - ``postings(term_hash, gram) -> Postings``
+      - ``_complement(sorted_docs) -> sorted doc ids NOT in the input``
+    plus attrs ``n_docs, avgdl, max_gram, k1, b, stream_map, tombstones``
+    and optionally ``urls``/``all_docs`` (URL decoration).
+
+    NOT/complement never touches a global doc-id array here — it is a
+    single ``_complement`` call, so a sharded engine can anti-join against
+    per-shard doc ranges (the DocumentActive-row analog at cluster scale).
+    """
+
+    urls = None
+    all_docs = None
+
+    def postings(self, term_hash: int, gram: int) -> Postings:  # pragma: no cover
+        raise NotImplementedError
+
+    def _complement(self, sorted_docs: np.ndarray) -> np.ndarray:  # pragma: no cover
+        raise NotImplementedError
 
     def term_postings(self, text: str, stream: int = 0) -> Postings:
         # general hash = rawHash + streamId (ComputeGeneralHash parity)
@@ -272,25 +259,30 @@ class SearchEngine:
                     if not len(m):
                         break
                     m = np.intersect1d(m, d, assume_unique=True)
+                for c in neg:
+                    if not len(m):
+                        break
+                    m = np.setdiff1d(m, self._eval(c.child), assume_unique=True)
             else:
-                m = self.all_docs
-            for c in neg:
-                if not len(m):
-                    break
-                m = np.setdiff1d(m, self._eval(c.child), assume_unique=True)
+                # pure-negative conjunction: ONE complement of the union of
+                # negated children (never materializes all_docs per child)
+                negs = np.empty(0, dtype=np.uint64)
+                for c in neg:
+                    negs = np.union1d(negs, self._eval(c.child))
+                m = self._complement(negs)
             return m
         if isinstance(node, ast.Or):
             m = np.empty(0, dtype=np.uint64)
             for c in node.children:
                 d = (
-                    np.setdiff1d(self.all_docs, self._eval(c.child), assume_unique=True)
+                    self._complement(self._eval(c.child))
                     if isinstance(c, ast.Not)
                     else self._eval(c)
                 )
                 m = np.union1d(m, d)
             return m
         if isinstance(node, ast.Not):
-            return np.setdiff1d(self.all_docs, self._eval(node.child), assume_unique=True)
+            return self._complement(self._eval(node.child))
         raise TypeError(f"unknown node {node!r}")
 
     # --- scoring ----------------------------------------------------------
@@ -390,3 +382,67 @@ class SearchEngine:
                 "score": pa.array(scores, pa.float64()),
             }
         )
+
+
+class SearchEngine(QueryAlgebra):
+    """Single-process query engine over one or more segments: every dict
+    bucket and the full doc-id array live in THIS process (fine for tests,
+    CLI and small indexes; serving at scale uses
+    ``bitfunnel_ray.query.sharded.ShardedServer`` where each actor opens
+    only its bucket subset)."""
+
+    def __init__(
+        self,
+        index_dirs: str | list[str],
+        load_urls: bool = True,
+        tombstones: np.ndarray | None = None,
+    ):
+        if isinstance(index_dirs, str):
+            index_dirs = [index_dirs]
+        self.segments = [_Segment(d) for d in index_dirs]
+        self.n_docs = sum(s.n_docs for s in self.segments)
+        self.avgdl = (
+            sum(s.sum_doclen for s in self.segments) / self.n_docs if self.n_docs else 1.0
+        )
+        s0 = self.segments[0]
+        self.max_gram, self.k1, self.b = s0.max_gram, s0.k1, s0.b
+        self.stream_map = dict(s0.streams)  # name -> id (StreamConfiguration analog)
+        metas = []
+        for s in self.segments:
+            cols = ["doc_id", "url"] if load_urls else ["doc_id"]
+            metas.append(pq.read_table(os.path.join(s.dir, "docmeta"), columns=cols))
+        meta = pa.concat_tables(metas)
+        ids = meta["doc_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        self.all_docs = ids[order].astype(np.uint64)
+        self.urls = (
+            np.asarray(meta["url"].to_pylist(), dtype=object)[order] if load_urls else None
+        )
+        self.tombstones = (
+            np.sort(np.asarray(tombstones, dtype=np.uint64))
+            if tombstones is not None and len(tombstones)
+            else None
+        )
+        self._cache: dict[tuple[int, int], Postings] = {}
+
+    # --- storage primitives ----------------------------------------------
+    def postings(self, term_hash: int, gram: int) -> Postings:
+        key = (int(term_hash), int(gram))
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        parts, metas = [], []
+        for s in self.segments:
+            rows = s.chunk_rows(term_hash, gram)
+            parts.extend(s.decode_rows(rows))
+            # inflate stored max_tfn when serving avgdl > build avgdl (tfn is
+            # monotone in avgdl with ratio bounded by avgdl_serve/avgdl_build)
+            infl = max(1.0, self.avgdl / s.avgdl) if s.avgdl > 0 else 1.0
+            metas.extend((ld, mt * infl) for ld, mt in s.block_meta_rows(rows))
+        out = merge_chunks(parts, metas)
+        if len(self._cache) < 100_000:
+            self._cache[key] = out
+        return out
+
+    def _complement(self, sorted_docs: np.ndarray) -> np.ndarray:
+        return np.setdiff1d(self.all_docs, sorted_docs, assume_unique=True)

@@ -22,6 +22,67 @@ from bitfunnel_ray.query.engine import SearchEngine
 from bitfunnel_ray.query.parser import parse_query
 
 
+def eval_queries(engine, qids, nodes, parse_errs, k: int) -> pa.Table:
+    """Evaluate parsed query nodes against an engine (local or sharded) and
+    emit the serving result table.  ``nodes[i] is None`` means parse failure
+    with message ``parse_errs[i]``.  Per-query failures become error rows,
+    never job failures (the reference swallows per-query exceptions too,
+    QueryRunner.cpp:263-267)."""
+    out_qid, out_rank, out_doc, out_score = [], [], [], []
+    out_matches, out_lat, out_err = [], [], []
+
+    def error_row(qid, t0, msg):
+        out_qid.append(np.array([qid], dtype=np.uint32))
+        out_rank.append(np.array([0], dtype=np.uint32))
+        out_doc.append(np.array([0], dtype=np.uint64))
+        out_score.append(np.array([0.0]))
+        out_matches.append(np.array([-1], dtype=np.int64))
+        out_lat.append(np.array([time.perf_counter() - t0]))
+        out_err.append([msg])
+
+    for qid, node, perr in zip(qids, nodes, parse_errs):
+        t0 = time.perf_counter()
+        if node is None:
+            error_row(qid, t0, perr or "ParseError")
+            continue
+        try:
+            matches = engine.eval(node)
+            scores = engine.score(node, matches)
+            order = np.lexsort((matches, -scores))[:k]
+            lat = time.perf_counter() - t0
+            n = len(order)
+            if n == 0:
+                # marker row (rank 0) so zero-match queries still appear
+                out_qid.append(np.array([qid], dtype=np.uint32))
+                out_rank.append(np.array([0], dtype=np.uint32))
+                out_doc.append(np.array([0], dtype=np.uint64))
+                out_score.append(np.array([0.0]))
+                out_matches.append(np.array([0], dtype=np.int64))
+                out_lat.append(np.array([lat]))
+                out_err.append([""])
+                continue
+            out_qid.append(np.full(n, qid, dtype=np.uint32))
+            out_rank.append(np.arange(1, n + 1, dtype=np.uint32))
+            out_doc.append(matches[order])
+            out_score.append(scores[order])
+            out_matches.append(np.full(n, len(matches), dtype=np.int64))
+            out_lat.append(np.full(n, lat, dtype=np.float64))
+            out_err.append([""] * n)
+        except Exception as e:  # per-query error row
+            error_row(qid, t0, f"{type(e).__name__}: {e}")
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_qid), pa.uint32()),
+            "rank": pa.array(np.concatenate(out_rank), pa.uint32()),
+            "doc_id": pa.array(np.concatenate(out_doc), pa.uint64()),
+            "score": pa.array(np.concatenate(out_score), pa.float64()),
+            "n_matches": pa.array(np.concatenate(out_matches), pa.int64()),
+            "latency_s": pa.array(np.concatenate(out_lat), pa.float64()),
+            "error": pa.array([e for part in out_err for e in part], pa.string()),
+        }
+    )
+
+
 class QueryActor:
     def __init__(self, index_dirs, k: int = 10, load_urls: bool = False):
         self.engine = SearchEngine(index_dirs, load_urls=load_urls)
@@ -29,54 +90,15 @@ class QueryActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["query_id"].to_numpy(zero_copy_only=False)
-        texts = batch["query"].to_pylist()
-        out_qid, out_rank, out_doc, out_score = [], [], [], []
-        out_matches, out_lat, out_err = [], [], []
-        for qid, q in zip(qids, texts):
-            t0 = time.perf_counter()
+        nodes, parse_errs = [], []
+        for q in batch["query"].to_pylist():
             try:
-                node = parse_query(q, self.engine.stream_map)
-                matches = self.engine.eval(node)
-                scores = self.engine.score(node, matches)
-                order = np.lexsort((matches, -scores))[: self.k]
-                lat = time.perf_counter() - t0
-                n = len(order)
-                if n == 0:
-                    # marker row (rank 0) so zero-match queries still appear
-                    out_qid.append(np.array([qid], dtype=np.uint32))
-                    out_rank.append(np.array([0], dtype=np.uint32))
-                    out_doc.append(np.array([0], dtype=np.uint64))
-                    out_score.append(np.array([0.0]))
-                    out_matches.append(np.array([0], dtype=np.int64))
-                    out_lat.append(np.array([lat]))
-                    out_err.append([""])
-                    continue
-                out_qid.append(np.full(n, qid, dtype=np.uint32))
-                out_rank.append(np.arange(1, n + 1, dtype=np.uint32))
-                out_doc.append(matches[order])
-                out_score.append(scores[order])
-                out_matches.append(np.full(n, len(matches), dtype=np.int64))
-                out_lat.append(np.full(n, lat, dtype=np.float64))
-                out_err.append([""] * n)
-            except Exception as e:  # per-query error row
-                out_qid.append(np.array([qid], dtype=np.uint32))
-                out_rank.append(np.array([0], dtype=np.uint32))
-                out_doc.append(np.array([0], dtype=np.uint64))
-                out_score.append(np.array([0.0]))
-                out_matches.append(np.array([-1], dtype=np.int64))
-                out_lat.append(np.array([time.perf_counter() - t0]))
-                out_err.append([f"{type(e).__name__}: {e}"])
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_qid), pa.uint32()),
-                "rank": pa.array(np.concatenate(out_rank), pa.uint32()),
-                "doc_id": pa.array(np.concatenate(out_doc), pa.uint64()),
-                "score": pa.array(np.concatenate(out_score), pa.float64()),
-                "n_matches": pa.array(np.concatenate(out_matches), pa.int64()),
-                "latency_s": pa.array(np.concatenate(out_lat), pa.float64()),
-                "error": pa.array([e for part in out_err for e in part], pa.string()),
-            }
-        )
+                nodes.append(parse_query(q, self.engine.stream_map))
+                parse_errs.append(None)
+            except Exception as e:
+                nodes.append(None)
+                parse_errs.append(f"{type(e).__name__}: {e}")
+        return eval_queries(self.engine, qids, nodes, parse_errs, self.k)
 
 
 def run_query_log(

@@ -1,0 +1,355 @@
+"""Term-sharded serving: bucket-assigned shard actors + scatter-gather
+front-ends.
+
+The reference serves queries from threads over one shared in-memory index
+(reference: src/Plan/src/QueryRunner.cpp:282-401,
+src/Index/src/SimpleIndex.cpp:219-270).  At cluster scale the index no
+longer fits one host, so serving is partitioned the way the build already
+partitions the dictionary — by term-hash bucket:
+
+- ``IndexShardActor`` s (of S) opens ONLY the dict buckets with
+  ``bucket % S == s`` (every segment), plus a 1/S slice of the docmeta
+  doc-id files.  Per-actor memory is ~1/S of the index.
+- ``ShardedSearchEngine`` is the scatter-gather front: it routes each
+  (term_hash, gram) lookup to the owning shard — or to ALL shards for
+  salted head terms, whose chunks are deliberately spread across buckets
+  (build/builder.py head salting; the ``heads.parquet`` sidecar lists
+  them) — merges the returned chunks, and runs the same boolean/BM25
+  algebra as the local engine (``QueryAlgebra``).
+- NOT/complement is an anti-join scattered to every shard against its
+  LOCAL doc-id slice (the DocumentActive-row analog,
+  src/Index/src/Ingestor.cpp:302-327) — no global doc-id array exists
+  anywhere.
+- ``ShardedServer`` wires it into Ray Data: front-end actors run in
+  ``map_batches(concurrency=N)``; each batch prefetches all uncached
+  terms with ONE ``postings_many`` RPC per shard touched, then serves the
+  batch from front-local cache.
+
+Raw ``@ray.remote`` actors are justified here (not expressible as a
+Dataset op): the index is long-lived partitioned read-only state queried
+point-wise, exactly the "shared index" case the Dataset API can't hold.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from bitfunnel_ray.build import segment as seglib
+from bitfunnel_ray.query.engine import (
+    Postings,
+    QueryAlgebra,
+    _Segment,
+    merge_chunks,
+)
+
+
+@ray.remote(max_concurrency=4)
+class IndexShardActor:
+    """One serving shard: dict buckets ``b % n_shards == shard_id`` of
+    every segment + docmeta doc-id files ``i % n_shards == shard_id``.
+
+    Read-only after __init__; ``max_concurrency`` lets several front-ends
+    fetch concurrently (lookups are numpy searchsorted + varint decode,
+    which release the GIL in the hot loops)."""
+
+    def __init__(self, index_dirs: "list[str]", shard_id: int, n_shards: int):
+        self.shard_id, self.n_shards = int(shard_id), int(n_shards)
+        self.segments = []
+        local_doc_parts = []
+        for d in index_dirs:
+            man = seglib.load_manifest(d)
+            if man is None:
+                raise FileNotFoundError(f"no manifest in {d}")
+            num_buckets = int(man["config"]["num_buckets"])
+            mine = [b for b in range(num_buckets) if b % n_shards == shard_id]
+            self.segments.append(_Segment(d, buckets=mine))
+            meta_files = sorted(glob.glob(os.path.join(d, "docmeta", "*.parquet")))
+            for i, f in enumerate(meta_files):
+                if i % n_shards == shard_id:
+                    local_doc_parts.append(
+                        pq.read_table(f, columns=["doc_id"])["doc_id"]
+                        .to_numpy()
+                        .astype(np.uint64)
+                    )
+        self.local_docs = (
+            np.sort(np.concatenate(local_doc_parts))
+            if local_doc_parts
+            else np.empty(0, np.uint64)
+        )
+
+    def postings_many(self, pairs: "list[tuple[int, int]]", serve_avgdl: float):
+        """For each (term_hash, gram): this shard's decoded chunks +
+        block-max metadata (max_tfn pre-inflated to the serving avgdl).
+        Returns a list of (parts, metas) aligned with ``pairs`` where
+        parts = [(doc_ids, tf, doclen), ...]."""
+        out = []
+        for h, g in pairs:
+            parts, metas = [], []
+            for s in self.segments:
+                rows = s.chunk_rows(h, g)
+                for dc in s.decode_rows(rows):
+                    parts.append((dc.doc_ids, dc.tf, dc.doclen))
+                infl = max(1.0, serve_avgdl / s.avgdl) if s.avgdl > 0 else 1.0
+                metas.extend((ld, mt * infl) for ld, mt in s.block_meta_rows(rows))
+            out.append((parts, metas))
+        return out
+
+    def complement(self, sorted_docs: np.ndarray) -> np.ndarray:
+        """Doc ids in THIS shard's doc slice that are NOT in the input."""
+        return np.setdiff1d(self.local_docs, sorted_docs, assume_unique=True)
+
+    def stats(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "dict_rows": sum(
+                len(s.dict) if s.dict is not None else 0 for s in self.segments
+            ),
+            "local_docs": int(len(self.local_docs)),
+            "buckets": sorted(
+                b
+                for s in self.segments
+                for b in range(s.num_buckets)
+                if b % self.n_shards == self.shard_id
+            ),
+        }
+
+
+class _DecodedChunkView:
+    __slots__ = ("doc_ids", "tf", "doclen")
+
+    def __init__(self, triple):
+        self.doc_ids, self.tf, self.doclen = triple
+
+
+class ShardedSearchEngine(QueryAlgebra):
+    """Scatter-gather front over ``IndexShardActor`` handles.  Runs the
+    full ``QueryAlgebra`` (boolean eval, BM25, block-max WAND) with
+    postings fetched by RPC and LRU-ish cached front-side."""
+
+    def __init__(
+        self,
+        index_dirs: "str | list[str]",
+        shard_handles: "list",
+        tombstones: np.ndarray | None = None,
+        cache_cap: int = 100_000,
+    ):
+        if isinstance(index_dirs, str):
+            index_dirs = [index_dirs]
+        self.shards = list(shard_handles)
+        self.n_shards = len(self.shards)
+        mans, self._seg_buckets, heads = [], [], []
+        for d in index_dirs:
+            man = seglib.load_manifest(d)
+            if man is None:
+                raise FileNotFoundError(f"no manifest in {d}")
+            mans.append(man)
+            self._seg_buckets.append(int(man["config"]["num_buckets"]))
+            hp = os.path.join(d, "heads.parquet")
+            if os.path.exists(hp):
+                heads.append(pq.read_table(hp)["term_hash"].to_numpy().astype(np.uint64))
+        self.head_hashes = (
+            np.unique(np.concatenate(heads)) if heads else np.empty(0, np.uint64)
+        )
+        self.n_docs = sum(int(m["n_docs"]) for m in mans)
+        sum_dl = sum(int(m["sum_doclen"]) for m in mans)
+        self.avgdl = (sum_dl / self.n_docs) if self.n_docs else 1.0
+        cfg0 = mans[0]["config"]
+        self.max_gram = int(cfg0["max_gram"])
+        self.k1, self.b = float(cfg0["k1"]), float(cfg0["b"])
+        self.stream_map = {
+            name: int(sid) for (name, _c, sid) in cfg0.get("streams", [["body", "text", 0]])
+        }
+        self.tombstones = (
+            np.sort(np.asarray(tombstones, dtype=np.uint64))
+            if tombstones is not None and len(tombstones)
+            else None
+        )
+        self._cache: dict[tuple[int, int], Postings] = {}
+        self._cache_cap = cache_cap
+
+    # --- routing ----------------------------------------------------------
+    def _shards_for(self, term_hash: int) -> "list[int]":
+        h = np.uint64(term_hash)
+        if len(self.head_hashes):
+            i = int(np.searchsorted(self.head_hashes, h))
+            if i < len(self.head_hashes) and self.head_hashes[i] == h:
+                return list(range(self.n_shards))  # salted: chunks everywhere
+        return sorted({(int(h) % nb) % self.n_shards for nb in self._seg_buckets})
+
+    # --- batched fetch ----------------------------------------------------
+    def prefetch(self, pairs: "list[tuple[int, int]]") -> None:
+        """Fetch all uncached (term_hash, gram) pairs with one RPC per
+        shard touched (batch amortization for serving)."""
+        need = []
+        seen = set()
+        for p in pairs:
+            key = (int(p[0]), int(p[1]))
+            if key not in self._cache and key not in seen:
+                seen.add(key)
+                need.append(key)
+        if not need:
+            return
+        per_shard: dict[int, list[tuple[int, int]]] = {}
+        for key in need:
+            for s in self._shards_for(key[0]):
+                per_shard.setdefault(s, []).append(key)
+        refs = {
+            s: self.shards[s].postings_many.remote(ps, self.avgdl)
+            for s, ps in per_shard.items()
+        }
+        gathered: dict[tuple[int, int], tuple[list, list]] = {k: ([], []) for k in need}
+        for s, ref in refs.items():
+            for key, (parts, metas) in zip(per_shard[s], ray.get(ref)):
+                gathered[key][0].extend(_DecodedChunkView(t) for t in parts)
+                gathered[key][1].extend(metas)
+        for key, (parts, metas) in gathered.items():
+            out = merge_chunks(parts, metas)
+            if len(self._cache) < self._cache_cap:
+                self._cache[key] = out
+
+    # --- storage primitives ----------------------------------------------
+    def postings(self, term_hash: int, gram: int) -> Postings:
+        key = (int(term_hash), int(gram))
+        hit = self._cache.get(key)
+        if hit is None:
+            self.prefetch([key])
+            hit = self._cache.get(key)
+            if hit is None:  # cache full: fetch without storing
+                s_ids = self._shards_for(key[0])
+                parts, metas = [], []
+                for s, res in zip(
+                    s_ids,
+                    ray.get(
+                        [self.shards[s].postings_many.remote([key], self.avgdl) for s in s_ids]
+                    ),
+                ):
+                    parts.extend(_DecodedChunkView(t) for t in res[0][0])
+                    metas.extend(res[0][1])
+                hit = merge_chunks(parts, metas)
+        return hit
+
+    def _complement(self, sorted_docs: np.ndarray) -> np.ndarray:
+        docs_ref = ray.put(np.asarray(sorted_docs, dtype=np.uint64))
+        parts = ray.get([s.complement.remote(docs_ref) for s in self.shards])
+        # shard doc slices are disjoint but not range-partitioned → one sort
+        return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+
+    # --- serving-side term extraction for prefetch ------------------------
+    def query_pairs(self, node) -> "list[tuple[int, int]]":
+        """Every (hash, gram) a query's evaluation will touch (positive AND
+        negated terms — eval needs both)."""
+        from bitfunnel_ray.functions.hashing import murmur64a
+        from bitfunnel_ray.query import ast
+
+        acc: set[tuple[int, int]] = set()
+
+        def walk(n):
+            if isinstance(n, ast.Not):
+                walk(n.child)
+            elif isinstance(n, (ast.And, ast.Or)):
+                for c in n.children:
+                    walk(c)
+            elif isinstance(n, ast.Term):
+                acc.add(((murmur64a(n.text) + n.stream) & 0xFFFFFFFFFFFFFFFF, 1))
+            elif isinstance(n, ast.Phrase):
+                acc.update(self._phrase_grams(n.tokens, n.stream))
+
+        walk(node)
+        return sorted(acc)
+
+
+class ShardedQueryActor:
+    """map_batches front-end: same output contract as
+    ``runner.QueryActor`` but backed by a ShardedSearchEngine.  Per batch,
+    all queries' terms are prefetched with one RPC per shard before any
+    evaluation."""
+
+    def __init__(self, index_dirs, shard_handles, k: int = 10):
+        self.engine = ShardedSearchEngine(index_dirs, shard_handles)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from bitfunnel_ray.query.parser import parse_query
+        from bitfunnel_ray.query.runner import eval_queries
+
+        nodes, parse_errs = [], []
+        pairs = []
+        for q in batch["query"].to_pylist():
+            try:
+                node = parse_query(q, self.engine.stream_map)
+                nodes.append(node)
+                parse_errs.append(None)
+                pairs.extend(self.engine.query_pairs(node))
+            except Exception as e:
+                nodes.append(None)
+                parse_errs.append(f"{type(e).__name__}: {e}")
+        self.engine.prefetch(pairs)
+        return eval_queries(
+            self.engine,
+            batch["query_id"].to_numpy(zero_copy_only=False),
+            nodes,
+            parse_errs,
+            self.k,
+        )
+
+
+class ShardedServer:
+    """Owns the shard actors; runs query logs through Ray Data."""
+
+    def __init__(
+        self,
+        index_dirs: "str | list[str]",
+        n_shards: int = 4,
+        num_cpus_per_shard: float = 1.0,
+    ):
+        if isinstance(index_dirs, str):
+            index_dirs = [index_dirs]
+        self.index_dirs = list(index_dirs)
+        self.n_shards = int(n_shards)
+        self.handles = [
+            IndexShardActor.options(num_cpus=num_cpus_per_shard).remote(
+                self.index_dirs, s, self.n_shards
+            )
+            for s in range(self.n_shards)
+        ]
+        ray.get([h.stats.remote() for h in self.handles])  # block until loaded
+
+    def engine(self) -> ShardedSearchEngine:
+        return ShardedSearchEngine(self.index_dirs, self.handles)
+
+    def shard_stats(self) -> "list[dict]":
+        return ray.get([h.stats.remote() for h in self.handles])
+
+    def run(
+        self,
+        queries: "ray.data.Dataset | pa.Table",
+        k: int = 10,
+        concurrency: int = 4,
+        batch_size: int = 64,
+    ):
+        import ray.data
+
+        if isinstance(queries, pa.Table):
+            queries = ray.data.from_arrow(queries)
+        return queries.map_batches(
+            ShardedQueryActor,
+            fn_constructor_kwargs={
+                "index_dirs": self.index_dirs,
+                "shard_handles": self.handles,
+                "k": k,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    def shutdown(self) -> None:
+        for h in self.handles:
+            ray.kill(h)
+        self.handles = []

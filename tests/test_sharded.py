@@ -1,0 +1,95 @@
+"""Term-sharded serving (bitfunnel_ray/query/sharded.py): shard actors
+each open ONLY their bucket subset + docmeta slice; the scatter-gather
+front must be result-identical to the single-process SearchEngine on
+every query shape, including complement (NOT) queries, which anti-join
+against per-shard doc ranges instead of a global doc-id array."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from bitfunnel_ray.build.builder import build_index
+from bitfunnel_ray.config import EngineConfig
+from bitfunnel_ray.query.engine import SearchEngine
+from bitfunnel_ray.query.parser import parse_query
+from bitfunnel_ray.query.sharded import ShardedServer
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "spark join",
+    "merge | window",
+    "table -join",
+    '"batch batch"',
+    "(spark | vector) batch -window",
+    "-table",
+    "-table -join",
+    "table | -join",
+    "zzz_nonexistent_term",
+]
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, ray_session):
+    from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+    out = str(tmp_path_factory.mktemp("sharded") / "seg")
+    build_index(corpus_from_documents(SF), out, EngineConfig(max_gram=2, num_buckets=8))
+    return out
+
+
+@pytest.fixture(scope="module")
+def server(built):
+    srv = ShardedServer(built, n_shards=3)
+    yield srv
+    srv.shutdown()
+
+
+def test_each_shard_opens_subset(server):
+    stats = server.shard_stats()
+    total_rows = sum(s["dict_rows"] for s in stats)
+    total_docs = sum(s["local_docs"] for s in stats)
+    assert len(stats) == 3
+    for s in stats:
+        assert 0 < s["dict_rows"] < total_rows
+        assert s["local_docs"] < total_docs
+    # bucket assignment is a disjoint cover
+    all_buckets = sorted(b for s in stats for b in s["buckets"])
+    assert all_buckets == list(range(8))
+
+
+def test_eval_identical_to_local(server, built):
+    local = SearchEngine(built, load_urls=False)
+    eng = server.engine()
+    for q in QUERIES:
+        a = local.eval(parse_query(q))
+        b = eng.eval(parse_query(q))
+        assert np.array_equal(a, b), q
+
+
+def test_bm25_and_wand_identical(server, built):
+    local = SearchEngine(built, load_urls=False)
+    eng = server.engine()
+    t1 = local.search("spark join", k=10).to_pandas()
+    t2 = eng.search("spark join", k=10).to_pandas()
+    assert t1["doc_id"].tolist() == t2["doc_id"].tolist()
+    assert np.allclose(t1["score"], t2["score"])
+    w1 = local.topk_or(["spark", "join"], k=10).to_pandas()
+    w2 = eng.topk_or(["spark", "join"], k=10).to_pandas()
+    assert w1["doc_id"].tolist() == w2["doc_id"].tolist()
+    assert np.allclose(w1["score"], w2["score"])
+
+
+def test_actor_pool_serving(server):
+    qlog = pa.table(
+        {
+            "query_id": pa.array(range(len(QUERIES)), pa.uint32()),
+            "query": QUERIES,
+        }
+    )
+    res = server.run(qlog, k=5, concurrency=2, batch_size=4).to_pandas()
+    assert (res["error"] == "").all()
+    assert set(res["query_id"]) == set(range(len(QUERIES)))
+    # zero-match query emits its rank-0 marker row
+    marker = res[res["query_id"] == QUERIES.index("zzz_nonexistent_term")]
+    assert (marker["rank"] == 0).all() and (marker["n_matches"] == 0).all()
