@@ -117,15 +117,15 @@ def run_bench() -> dict:
     # band shuffle has real work; ann over the sf dir embeddings) --------
     t0 = time.perf_counter()
     # k=5 shingles + 8 bands x 8 rows: the right operating point for a 0.9
-    # jaccard threshold.  Input bounded by the deterministic hash-sample
-    # (LSH candidate volume grows superlinearly on short zipf docs; the
-    # full-corpus path stays available via the ops API)
-    from bitfunnel_ray.stages.filters import sample_filter
-
-    dedup.minhash_dedup_pairs(
-        sample_filter(rd.read_parquet(parquet_files), 0.25), k=5, bands=8, threshold=0.9
+    # jaccard threshold.  FULL corpus — the verify stage is a distributed
+    # pair-keyed join (no driver gather, no coverage cap)
+    n_dup_pairs = len(
+        dedup.minhash_dedup_pairs(
+            rd.read_parquet(parquet_files), k=5, bands=8, threshold=0.9
+        )
     )
     timings["dedup_minhash"] = time.perf_counter() - t0
+    extras["dedup_pairs"] = n_dup_pairs
 
     t0 = time.perf_counter()
     import numpy as np

@@ -171,3 +171,60 @@ def test_multimodal_stub_and_fake():
                 }
             )
         )
+
+
+def test_embedding_dup_hot_bucket_capped(capfd):
+    """One degenerate bucket (many identical vectors) must complete under
+    the max_group cap — skipped WITH a report, not O(n^2)-exploded."""
+    n = 60
+    vecs = np.tile(np.ones(8), (n, 1))  # all identical → one hot bucket
+    vecs += np.arange(n)[:, None] * 1e-9  # keep them distinct floats
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    pairs = dedup.embedding_dup_pairs(emb, threshold=0.99, max_group=16)
+    assert len(pairs) == 0  # the single oversized bucket was skipped
+    # and a small max_group still finds planted pairs in normal buckets
+    rng = np.random.default_rng(3)
+    v2 = rng.standard_normal((40, 8))
+    v2[7] = v2[21] * 3.0
+    emb2 = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in v2], pa.list_(pa.float32())),
+            }
+        )
+    )
+    p2 = dedup.embedding_dup_pairs(emb2, threshold=0.99, max_group=16)
+    got = set(zip(p2["doc_a"].to_pylist(), p2["doc_b"].to_pylist()))
+    assert (7, 21) in got
+
+
+def test_jaccard_verify_distributed_no_cap():
+    """The pair-keyed join path verifies EVERY candidate (no driver cap)
+    and matches hand-computed jaccard."""
+    t1 = " ".join(f"w{i}" for i in range(30))
+    t2 = " ".join(f"w{i}" for i in range(29)) + " zz"
+    t3 = " ".join(f"q{i}" for i in range(30))
+    c = _corpus([t1, t2, t3])
+    cands = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([0, 0, 1], pa.int64()),
+                "doc_b": pa.array([1, 2, 2], pa.int64()),
+            }
+        )
+    )
+    got = dedup.jaccard_verify(c, cands, k=3, threshold=0.0).to_pandas()
+    got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(got) == 3
+    # shingle sets: t1 has 28 3-shingles, t2 shares 27 of them
+    j01 = got[(got.doc_a == 0) & (got.doc_b == 1)]["jaccard"].iloc[0]
+    assert j01 == 27 / 29  # |∩|=27, |∪|=28+28-27
+    assert got[(got.doc_a == 0) & (got.doc_b == 2)]["jaccard"].iloc[0] == 0.0
