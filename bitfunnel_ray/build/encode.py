@@ -69,24 +69,78 @@ def encode_bucket(
     block_size: int = 128,
 ) -> pa.Table:
     """Encode all postings of one shuffle bucket → dict table (one row per
-    (term_hash, gram_size, salt) chunk).  Input need not be sorted."""
+    (term_hash, gram_size, salt) chunk).  Input need not be sorted.
+
+    Cache blocking: buckets above ~2×``_PART_ROWS`` postings are first
+    radix-partitioned by the TOP bits of the term hash (one stable O(n)
+    pass — bucket routing uses the LOW bits, so top bits are uniform) and
+    each ~64k-row part is sorted + varint-encoded with cache-resident
+    temporaries.  Part outputs concatenate into the exact table a
+    whole-bucket encode would produce (parts are ordered by hash prefix,
+    every chunk lives entirely inside one part).  Measured: the unblocked
+    kernel is memory-bandwidth-bound and degrades ~4-8x under 16-32
+    concurrent workers; the blocked kernel keeps its solo speed
+    (BASELINE.md perf notes)."""
+    from bitfunnel_ray.functions.mem import tune_allocator
+
+    tune_allocator()  # big temporaries reuse worker heap pages (BASELINE.md)
     n = len(doc_id)
     if n == 0:
         return DICT_SCHEMA.empty_table()
-    order = np.lexsort((doc_id, salt, gram_size, term_hash))
-    h = term_hash[order].astype(np.uint64)
-    g = gram_size[order].astype(np.uint8)
-    s = salt[order].astype(np.uint32)
-    d = doc_id[order].astype(np.uint64)
-    t = tf[order].astype(np.uint64)
-    dl = doclen[order].astype(np.uint64)
+    term_hash = np.ascontiguousarray(term_hash, dtype=np.uint64)
+    if n <= 2 * _PART_ROWS:
+        parts = [
+            _encode_part(term_hash, gram_size, salt, doc_id, tf, doclen, avgdl, k1, b, block_size)
+        ]
+    else:
+        nbits = max(1, int(np.ceil(np.log2(n / _PART_ROWS))))
+        pb = (term_hash >> np.uint64(64 - nbits)).astype(np.uint32)
+        order0 = np.argsort(pb, kind="stable")  # radix, O(n)
+        h0 = term_hash[order0]
+        g0 = np.asarray(gram_size)[order0]
+        s0 = np.asarray(salt)[order0]
+        d0 = np.asarray(doc_id)[order0]
+        t0 = np.asarray(tf)[order0]
+        dl0 = np.asarray(doclen)[order0]
+        pb = pb[order0]
+        cuts = np.flatnonzero(np.diff(pb)) + 1
+        bounds = np.concatenate([[0], cuts, [n]])
+        parts = [
+            _encode_part(
+                h0[lo:hi], g0[lo:hi], s0[lo:hi], d0[lo:hi], t0[lo:hi], dl0[lo:hi],
+                avgdl, k1, b, block_size,
+            )
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+        ]
+    return _assemble(parts)
+
+
+# target rows per cache-resident encode part (all temporaries ≈ a few MB)
+_PART_ROWS = 1 << 16
+
+
+def _encode_part(term_hash, gram_size, salt, doc_id, tf, doclen, avgdl, k1, b, block_size):
+    """Sort + encode one hash-prefix slice; returns a dict of numpy pieces."""
+    n = len(doc_id)
+    # 3-pass stable sort: (gram, salt) pack into one uint64 tie-break key
+    # (was a 4-key lexsort — each extra key is a full stable-sort pass)
+    gs = (np.asarray(gram_size, dtype=np.uint64) << np.uint64(32)) | np.asarray(
+        salt, dtype=np.uint64
+    )
+    order = np.lexsort((doc_id, gs, term_hash))
+    h = term_hash[order].astype(np.uint64, copy=False)
+    g = np.asarray(gram_size)[order].astype(np.uint8, copy=False)
+    s = np.asarray(salt)[order].astype(np.uint32, copy=False)
+    d = np.asarray(doc_id)[order].astype(np.uint64, copy=False)
+    t = np.asarray(tf)[order]
+    dl = np.asarray(doclen)[order]
+    gs = gs[order]
 
     new_chunk = np.empty(n, dtype=bool)
     new_chunk[0] = True
-    new_chunk[1:] = (h[1:] != h[:-1]) | (g[1:] != g[:-1]) | (s[1:] != s[:-1])
+    new_chunk[1:] = (h[1:] != h[:-1]) | (gs[1:] != gs[:-1])
     starts = np.flatnonzero(new_chunk)
     lens = np.diff(np.append(starts, n))
-    n_chunks = len(starts)
 
     # doc-id deltas with reset at chunk starts (first value absolute)
     deltas = np.empty(n, dtype=np.uint64)
@@ -94,46 +148,99 @@ def encode_bucket(
     deltas[1:] = d[1:] - d[:-1]
     deltas[starts] = d[starts]
 
-    # whole-bucket varint encodes + per-chunk byte boundaries
-    chunk_of = np.repeat(np.arange(n_chunks), lens)
-    docs_stream = varint.encode(deltas)
-    tf_stream = varint.encode(t)
-    dl_stream = varint.encode(dl)
-    docs_ends = np.bincount(chunk_of, weights=varint.byte_lengths(deltas)).cumsum().astype(np.int64)
-    tf_ends = np.bincount(chunk_of, weights=varint.byte_lengths(t)).cumsum().astype(np.int64)
-    dl_ends = np.bincount(chunk_of, weights=varint.byte_lengths(dl)).cumsum().astype(np.int64)
+    # whole-bucket varint encodes + per-chunk byte boundaries; byte lengths
+    # are computed once per stream and shared between the encode and the
+    # boundary reduceat (tf/doclen stay uint32 until varint's single cast)
+    d_len = varint.byte_lengths(deltas)
+    t_len = varint.byte_lengths(t)
+    dl_len = varint.byte_lengths(dl)
+    docs_stream = varint.encode(deltas, d_len)
+    tf_stream = varint.encode(t, t_len)
+    dl_stream = varint.encode(dl, dl_len)
+    docs_ends = np.add.reduceat(d_len, starts).cumsum()
+    tf_ends = np.add.reduceat(t_len, starts).cumsum()
+    dl_ends = np.add.reduceat(dl_len, starts).cumsum()
 
     # block metadata (segmented by chunk, blocks of block_size postings)
     nblocks = (lens + block_size - 1) // block_size
     total_blocks = int(nblocks.sum())
+    block_cum0 = np.cumsum(nblocks)
     rep_start = np.repeat(starts, nblocks)
     rep_len = np.repeat(lens, nblocks)
-    block_cum = np.concatenate([[0], np.cumsum(nblocks)])
-    k = np.arange(total_blocks) - np.repeat(block_cum[:-1], nblocks)  # block ordinal in chunk
+    k = np.arange(total_blocks) - np.repeat(block_cum0 - nblocks, nblocks)  # ordinal in chunk
     blk_starts = rep_start + k * block_size
     blk_ends = rep_start + np.minimum((k + 1) * block_size, rep_len) - 1
     last_docs_flat = d[blk_ends]
     tfn = tf_norm(t, dl, avgdl, k1, b)  # float64
     max_tfn_flat = np.maximum.reduceat(tfn, blk_starts) if total_blocks else np.empty(0)
-
-    last_docs = pa.ListArray.from_arrays(
-        pa.array(block_cum, pa.int32()), pa.array(last_docs_flat, pa.uint64())
-    )
-    max_tfn = pa.ListArray.from_arrays(
-        pa.array(block_cum, pa.int32()), pa.array(max_tfn_flat, pa.float64())
-    )
     cf = np.add.reduceat(t.astype(np.int64), starts)
 
+    return {
+        "term_hash": h[starts],
+        "gram_size": g[starts],
+        "salt": s[starts],
+        "n_postings": lens.astype(np.int64),
+        "cf": cf,
+        "docs_stream": docs_stream,
+        "tf_stream": tf_stream,
+        "dl_stream": dl_stream,
+        "docs_ends": docs_ends,
+        "tf_ends": tf_ends,
+        "dl_ends": dl_ends,
+        "nblocks": nblocks,
+        "last_docs_flat": last_docs_flat,
+        "max_tfn_flat": max_tfn_flat,
+    }
+
+
+def _cat(parts, key):
+    if len(parts) == 1:
+        return parts[0][key]
+    return np.concatenate([p[key] for p in parts])
+
+
+def _cat_ends(parts, key):
+    """Concatenate per-part cumulative byte-ends, offsetting each part by
+    the total stream bytes before it."""
+    if len(parts) == 1:
+        return parts[0][key]
+    out, off = [], 0
+    for p in parts:
+        e = p[key]
+        out.append(e + off)
+        if len(e):
+            off += int(e[-1])
+    return np.concatenate(out)
+
+
+def _assemble(parts) -> pa.Table:
+    """Stitch per-part encode pieces into the dict table (identical to a
+    whole-bucket encode: parts are disjoint hash-prefix ranges in order)."""
+    parts = [p for p in parts if len(p["term_hash"])]
+    if not parts:
+        return DICT_SCHEMA.empty_table()
+    nblocks = _cat(parts, "nblocks")
+    block_offsets = np.empty(len(nblocks) + 1, dtype=np.int64)
+    block_offsets[0] = 0
+    np.cumsum(nblocks, out=block_offsets[1:])
+    last_docs = pa.ListArray.from_arrays(
+        pa.array(block_offsets, pa.int32()),
+        pa.array(_cat(parts, "last_docs_flat"), pa.uint64()),
+    )
+    max_tfn = pa.ListArray.from_arrays(
+        pa.array(block_offsets, pa.int32()),
+        pa.array(_cat(parts, "max_tfn_flat"), pa.float64()),
+    )
     return pa.table(
         {
-            "term_hash": pa.array(h[starts], pa.uint64()),
-            "gram_size": pa.array(g[starts], pa.uint8()),
-            "salt": pa.array(s[starts], pa.uint32()),
-            "n_postings": pa.array(lens.astype(np.int64)),
-            "cf": pa.array(cf),
-            "docs_payload": _binary_from_stream(docs_stream, docs_ends),
-            "tf_payload": _binary_from_stream(tf_stream, tf_ends),
-            "dl_payload": _binary_from_stream(dl_stream, dl_ends),
+            "term_hash": pa.array(_cat(parts, "term_hash"), pa.uint64()),
+            "gram_size": pa.array(_cat(parts, "gram_size"), pa.uint8()),
+            "salt": pa.array(_cat(parts, "salt"), pa.uint32()),
+            "n_postings": pa.array(_cat(parts, "n_postings")),
+            "cf": pa.array(_cat(parts, "cf")),
+            "docs_payload": _binary_from_stream(_cat(parts, "docs_stream"), _cat_ends(parts, "docs_ends")),
+            "tf_payload": _binary_from_stream(_cat(parts, "tf_stream"), _cat_ends(parts, "tf_ends")),
+            "dl_payload": _binary_from_stream(_cat(parts, "dl_stream"), _cat_ends(parts, "dl_ends")),
             "last_docs": last_docs,
             "max_tfn": max_tfn,
         },

@@ -198,3 +198,120 @@ def doc_meta(corpus: "ray.data.Dataset", cfg: EngineConfig | None = None) -> "ra
     return corpus.select_columns(["doc_id", "url", "text"]).map_batches(
         DocMetaBatch(cfg.max_gram), batch_format="pyarrow"
     )
+
+
+class PartialFirstDoc:
+    """Per-batch combine for the vocabulary growth curve: the minimum
+    doc_id at which each term appears in this batch."""
+
+    def __init__(self, max_gram: int = 1):
+        self.max_gram = max_gram
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        r = tokenize_batch(batch["text"], self.max_gram, emit_text=False)
+        if len(r.term_hash) == 0:
+            return pa.table(
+                {
+                    "term_hash": pa.array([], pa.int64()),
+                    "first_doc": pa.array([], pa.int64()),
+                }
+            )
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[r.row]
+        order = np.lexsort((doc_ids, r.term_hash))
+        h = r.term_hash[order]
+        d = doc_ids[order]
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        return pa.table(
+            {
+                "term_hash": pa.array(h[starts].view(np.int64), pa.int64()),
+                "first_doc": pa.array(d[starts]),  # min doc per term (sorted)
+            }
+        )
+
+
+def vocabulary_growth(
+    corpus: "ray.data.Dataset", cfg: EngineConfig | None = None, bucket_docs: int = 1
+) -> pa.Table:
+    """Cumulative distinct-term counts as the corpus is ingested in doc_id
+    order — the vocabulary growth curve the reference's statistics run
+    records (DocumentFrequencyTableBuilder.cpp:33-37,76-82 accumulates
+    cumulative term counts per ingested document).
+
+    Two-level aggregation: per-batch first-doc partials → Min per term
+    (hash exchange) → per-first-doc new-term counts (tiny) → cumulative
+    sum over the ≤ n_docs/bucket_docs curve points on the driver.
+    ``bucket_docs`` coarsens the curve for large corpora."""
+    from ray.data.aggregate import Count, Min
+
+    cfg = cfg or EngineConfig()
+    firsts = (
+        corpus.select_columns(["doc_id", "text"])
+        .map_batches(PartialFirstDoc(cfg.max_gram), batch_format="pyarrow", batch_size=None)
+        .groupby("term_hash")
+        .aggregate(Min("first_doc", alias_name="first_doc"))
+    )
+    if bucket_docs > 1:
+        import pyarrow.compute as pc
+
+        def _bucket(t: pa.Table) -> pa.Table:
+            fd = pc.multiply(
+                pc.floor(pc.divide(t["first_doc"], bucket_docs)).cast(pa.int64()),
+                bucket_docs,
+            )
+            return t.set_column(t.schema.get_field_index("first_doc"), "first_doc", fd)
+
+        firsts = firsts.map_batches(_bucket, batch_format="pyarrow")
+    curve = (
+        firsts.groupby("first_doc")
+        .aggregate(Count(alias_name="new_terms"))
+        .sort("first_doc")
+        .to_pandas()
+    )
+    curve["cum_terms"] = curve["new_terms"].cumsum()
+    return pa.Table.from_pandas(
+        curve.astype({"first_doc": "int64", "new_terms": "int64", "cum_terms": "int64"}),
+        preserve_index=False,
+    )
+
+
+def write_term_to_text(
+    corpus: "ray.data.Dataset", out_path: str, cfg: EngineConfig | None = None
+) -> None:
+    """The TermToText sidecar (reference: src/Index/src/TermToText.cpp —
+    hash → text built during the statistics run): a parquet directory of
+    (term_hash int64-view, gram_size, term) so posting lists can be
+    debugged without re-hashing candidate strings."""
+    cfg = cfg or EngineConfig()
+    document_frequency_table(corpus, cfg, emit_text=True).select_columns(
+        ["term_hash", "gram_size", "term"]
+    ).write_parquet(out_path)
+
+
+class TermToText:
+    """Loader for the sidecar: vectorized hash → text lookup via sorted
+    arrays (no python dict — vocabulary can be 10^8+ rows)."""
+
+    def __init__(self, path: str):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["term_hash", "gram_size", "term"])
+        h = t["term_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(h)
+        self.hashes = h[order]
+        self.terms = t["term"].take(pa.array(order))
+        self.grams = t["gram_size"].to_numpy(zero_copy_only=False)[order]
+
+    def lookup(self, term_hash: int) -> str | None:
+        i = int(np.searchsorted(self.hashes, np.uint64(term_hash)))
+        if i < len(self.hashes) and self.hashes[i] == np.uint64(term_hash):
+            return self.terms[i].as_py()
+        return None
+
+    def lookup_many(self, hashes: np.ndarray) -> list[str | None]:
+        hs = np.asarray(hashes, dtype=np.uint64)
+        pos = np.searchsorted(self.hashes, hs)
+        pos[pos == len(self.hashes)] = 0
+        hit = self.hashes[pos] == hs
+        return [
+            self.terms[int(p)].as_py() if ok else None for p, ok in zip(pos, hit)
+        ]

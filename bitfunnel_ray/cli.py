@@ -158,26 +158,69 @@ def cmd_verify(args):
         sys.exit(1)
 
 
-def cmd_analyze(args):
-    import numpy as np
+def cmd_verify_log(args):
+    """Whole-query-log verification — the ``verify log`` analog
+    (VerifyCommand.cpp:169-232): one distributed brute-force pass computes
+    ground truth for every query, the diff is emitted as a results table
+    (CSV or parquet), and any fp/fn fails the run."""
+    import pyarrow.csv as pacsv
     import pyarrow.parquet as pq
-    import glob
 
-    rows = 0
-    postings = 0
-    payload = 0
-    for f in glob.glob(os.path.join(args.index, "dict-*.parquet")):
-        t = pq.read_table(f, columns=["n_postings", "docs_payload"])
-        rows += len(t)
-        postings += int(np.sum(t["n_postings"].to_numpy()))
-        payload += t.nbytes
+    from bitfunnel_ray.query.engine import SearchEngine
+    from bitfunnel_ray.query.verify import verify_log
+
+    if args.queries.endswith(".parquet"):
+        qcol = pq.read_table(args.queries)
+        name = "query" if "query" in qcol.column_names else qcol.column_names[0]
+        queries = [q for q in qcol[name].to_pylist() if q]
+    else:
+        with open(args.queries) as f:
+            queries = [ln.strip() for ln in f if ln.strip()]
+    eng = SearchEngine(args.index, load_urls=False)
+    out = verify_log(_load_corpus(args.corpus), eng, queries)
+    if args.out:
+        if args.out.endswith(".parquet"):
+            pq.write_table(out, args.out)
+        else:
+            pacsv.write_csv(out, args.out)
+    n_bad = int(sum(0 if ok else 1 for ok in out["ok"].to_pylist()))
     print(
         json.dumps(
             {
-                "terms_chunks": rows,
+                "queries": len(queries),
+                "ok": len(queries) - n_bad,
+                "failed": n_bad,
+                "fp_total": int(sum(out["fp"].to_pylist())),
+                "fn_total": int(sum(out["fn"].to_pylist())),
+            }
+        )
+    )
+    if n_bad:
+        sys.exit(1)
+
+
+def cmd_analyze(args):
+    """Banded storage analysis — the RowTableAnalyzer analog
+    (RowTableAnalyzer.cpp:165-290): per (IdfX10 band, gram) term counts,
+    postings, payload bytes and bytes/posting, plus corpus-wide totals."""
+    import pyarrow.parquet as pq
+
+    from bitfunnel_ray.build.analyze import segment_band_stats
+
+    bands = segment_band_stats(args.index)
+    if args.out:
+        pq.write_table(bands, args.out)
+    bands_pd = bands.to_pandas()
+    postings = int(bands_pd["n_postings"].sum())
+    payload = int(bands_pd["payload_bytes"].sum())
+    print(
+        json.dumps(
+            {
+                "terms_chunks": int(bands_pd["n_chunks"].sum()),
                 "postings": postings,
                 "payload_bytes": payload,
                 "bytes_per_posting": round(payload / postings, 3) if postings else None,
+                "bands": bands_pd.to_dict("records"),
             }
         )
     )
@@ -219,9 +262,15 @@ def main(argv=None):
     s.add_argument("index"); s.add_argument("corpus"); s.add_argument("query")
     s.set_defaults(fn=cmd_verify, needs_ray=True)
 
+    s = sub.add_parser("verify-log")
+    s.add_argument("index"); s.add_argument("corpus"); s.add_argument("queries")
+    s.add_argument("--out", default=None)
+    s.set_defaults(fn=cmd_verify_log, needs_ray=True)
+
     s = sub.add_parser("analyze")
     s.add_argument("index")
-    s.set_defaults(fn=cmd_analyze, needs_ray=False)
+    s.add_argument("--out", default=None)
+    s.set_defaults(fn=cmd_analyze, needs_ray=True)
 
     args = p.parse_args(argv)
     if args.needs_ray:

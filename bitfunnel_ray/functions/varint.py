@@ -24,12 +24,15 @@ def byte_lengths(values: np.ndarray) -> np.ndarray:
     return (np.searchsorted(_THRESH, v, side="right") + 1).astype(np.int64)
 
 
-def encode(values: np.ndarray) -> np.ndarray:
-    """uint64 array → uint8 LEB128 stream."""
+def encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> np.ndarray:
+    """uint64 array → uint8 LEB128 stream.  ``nbytes`` may pass in the
+    result of ``byte_lengths(values)`` to skip recomputing it (the encode
+    kernel needs the lengths anyway for per-chunk payload boundaries)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.empty(0, dtype=np.uint8)
-    nbytes = byte_lengths(v)
+    if nbytes is None:
+        nbytes = byte_lengths(v)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(ends[-1], dtype=np.uint8)

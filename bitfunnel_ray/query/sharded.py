@@ -70,13 +70,30 @@ class IndexShardActor:
             mine = [b for b in range(num_buckets) if b % n_shards == shard_id]
             self.segments.append(_Segment(d, buckets=mine))
             meta_files = sorted(glob.glob(os.path.join(d, "docmeta", "*.parquet")))
-            for i, f in enumerate(meta_files):
-                if i % n_shards == shard_id:
-                    local_doc_parts.append(
+            if len(meta_files) >= n_shards:
+                # file-granular slice: each shard READS only ~1/S of the
+                # docmeta files (the scale path — shard count ≪ file count)
+                for i, f in enumerate(meta_files):
+                    if i % n_shards == shard_id:
+                        local_doc_parts.append(
+                            pq.read_table(f, columns=["doc_id"])["doc_id"]
+                            .to_numpy()
+                            .astype(np.uint64)
+                        )
+            else:
+                # fewer files than shards (tiny corpus): stripe rows
+                # round-robin so the cover stays disjoint and each shard
+                # still HOLDS only ~1/S of the doc ids
+                offset = 0
+                for f in meta_files:
+                    ids = (
                         pq.read_table(f, columns=["doc_id"])["doc_id"]
                         .to_numpy()
                         .astype(np.uint64)
                     )
+                    idx = np.arange(offset, offset + len(ids))
+                    local_doc_parts.append(ids[idx % n_shards == shard_id])
+                    offset += len(ids)
         self.local_docs = (
             np.sort(np.concatenate(local_doc_parts))
             if local_doc_parts

@@ -112,6 +112,86 @@ def expected_matches(
     return np.sort(ids.astype(np.uint64))
 
 
+class BruteForceLogMatcher:
+    """Whole-query-log ground truth in ONE corpus pass: the union of every
+    query's term hashes becomes one shared presence matrix per batch, and
+    each query's boolean tree is evaluated against it — the Ray-first
+    re-expression of ``verify log`` looping VerifyOneQuery per query over
+    the document cache (reference:
+    tools/BitFunnel/src/VerifyCommand.cpp:169-232).  Emits
+    (query_idx, doc_id) match rows."""
+
+    def __init__(self, queries: "list[str]", max_gram: int = 2, stream_map=None):
+        self.max_gram = max_gram
+        self.nodes = [parse_query(q, stream_map) if stream_map else parse_query(q) for q in queries]
+        terms: set[tuple[int, int]] = set()
+        self._per_query = []
+        for node in self.nodes:
+            t = _query_term_hashes(node, max_gram)
+            self._per_query.append(t)
+            terms.update(t)
+        self.terms = sorted(terms)
+        self.term_index = {t: i for i, t in enumerate(self.terms)}
+        # reuse BruteForceMatcher's evaluator on the shared matrix
+        self._m = BruteForceMatcher.__new__(BruteForceMatcher)
+        self._m.max_gram = max_gram
+        self._m.terms = self.terms
+        self._m.term_index = self.term_index
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        pres = self._m._presence(t)
+        doc_ids = t["doc_id"].cast(pa.int64()).to_numpy()
+        out_q, out_d = [], []
+        for qi, node in enumerate(self.nodes):
+            match = self._m._eval(node, pres)
+            ids = doc_ids[match]
+            out_q.append(np.full(len(ids), qi, dtype=np.int64))
+            out_d.append(ids)
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q) if out_q else [], pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d) if out_d else [], pa.int64()),
+            }
+        )
+
+
+def verify_log(corpus: "ray.data.Dataset", engine, queries: "list[str]") -> pa.Table:
+    """Verify a whole query log: one distributed brute-force corpus pass
+    for ground truth, then a per-query diff against the engine.  Returns
+    the VerifyCommand CSV shape — one row per query with
+    (query, expected, matched, tp, fp, fn, ok)."""
+    stream_map = getattr(engine, "stream_map", None)
+    truth = (
+        corpus.select_columns(["doc_id", "text"])
+        .map_batches(
+            BruteForceLogMatcher(queries, engine.max_gram, stream_map),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    rows = []
+    for qi, q in enumerate(queries):
+        want = np.sort(
+            truth.loc[truth["query_idx"] == qi, "doc_id"].to_numpy().astype(np.uint64)
+        )
+        got = engine.eval(parse_query(q, stream_map) if stream_map else parse_query(q))
+        tp = np.intersect1d(got, want, assume_unique=True)
+        fp = np.setdiff1d(got, want, assume_unique=True)
+        fn = np.setdiff1d(want, got, assume_unique=True)
+        rows.append(
+            {
+                "query": q,
+                "expected": int(len(want)),
+                "matched": int(len(got)),
+                "tp": int(len(tp)),
+                "fp": int(len(fp)),
+                "fn": int(len(fn)),
+                "ok": bool(len(fp) == 0 and len(fn) == 0),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def verify_query(
     corpus: "ray.data.Dataset", engine, query: str
 ) -> dict:

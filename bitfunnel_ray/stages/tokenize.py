@@ -68,6 +68,19 @@ def hash_token_array(flat: pa.Array) -> np.ndarray:
     return hash_terms(vocab)[idx]
 
 
+def _dedup_postings(rows, hashes, grams, poss):
+    """Sort one slice by (row, hash, gram) and collapse duplicates → tf,
+    keeping the first-occurrence token position (for text reconstruction)."""
+    order = np.lexsort((grams, hashes, rows))
+    r_s, h_s, g_s = rows[order], hashes[order], grams[order]
+    boundary = np.empty(len(order), dtype=bool)
+    boundary[0] = True
+    boundary[1:] = (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1]) | (g_s[1:] != g_s[:-1])
+    starts_idx = np.flatnonzero(boundary)
+    tf = np.diff(np.append(starts_idx, len(order))).astype(np.uint32)
+    return r_s[starts_idx], h_s[starts_idx], g_s[starts_idx], tf, poss[order][starts_idx]
+
+
 @dataclass
 class TokenizeResult:
     """Flattened unique postings for one batch of documents."""
@@ -118,34 +131,64 @@ def tokenize_batch(
         gram_parts.append(np.full(len(rows_parts[-1]), g, dtype=np.uint8))
         h_prev = h_g
 
-    rows = np.concatenate(rows_parts) if rows_parts else np.empty(0, np.int64)
-    hashes = np.concatenate(hash_parts) if hash_parts else np.empty(0, np.uint64)
-    grams = np.concatenate(gram_parts) if gram_parts else np.empty(0, np.uint8)
-    poss = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
-
     n_rows = len(doclen)
-    if len(rows) == 0:
+    n_post_total = sum(len(p) for p in rows_parts)
+    if n_post_total == 0:
         return TokenizeResult(
-            rows.astype(np.int64), hashes, grams,
+            np.empty(0, np.int64), np.empty(0, np.uint64), np.empty(0, np.uint8),
             np.empty(0, np.uint32),
             np.empty(0, dtype=object) if emit_text else None,
             doclen, np.zeros(n_rows, np.int64),
         )
 
-    # dedup (row, term_hash, gram) → tf, keeping first occurrence position
-    order = np.lexsort((grams, hashes, rows))
-    r_s, h_s, g_s = rows[order], hashes[order], grams[order]
-    boundary = np.empty(len(order), dtype=bool)
-    boundary[0] = True
-    boundary[1:] = (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1]) | (g_s[1:] != g_s[:-1])
-    starts_idx = np.flatnonzero(boundary)
-    tf = np.diff(np.append(starts_idx, len(order))).astype(np.uint32)
-    u_rows, u_hash, u_gram = r_s[starts_idx], h_s[starts_idx], g_s[starts_idx]
+    # dedup (row, term_hash, gram) → tf, keeping first occurrence position.
+    # Cache-blocked by doc range: each gram part's rows are ascending, so a
+    # block's slice bounds come from searchsorted and each block's 3-key
+    # lexsort runs on cache-resident arrays (the unblocked sort over the
+    # whole batch is memory-bandwidth-bound and collapses under 16-32
+    # concurrent workers — same pathology as the encode kernel, see
+    # BASELINE.md perf notes).  Primary sort key is the row, so per-block
+    # outputs concatenate into exactly the unblocked result.
+    _DOC_BLOCK = 2048
+    if n_rows > 2 * _DOC_BLOCK and n_post_total > (1 << 18):
+        edges = np.arange(0, n_rows + _DOC_BLOCK, _DOC_BLOCK, dtype=np.int64)
+        edges[-1] = n_rows
+        part_bounds = [np.searchsorted(rp, edges) for rp in rows_parts]
+        blocks = []
+        for i in range(len(edges) - 1):
+            sl = [
+                (rp[b[i]:b[i + 1]], hp[b[i]:b[i + 1]], gp[b[i]:b[i + 1]], pp[b[i]:b[i + 1]])
+                for rp, hp, gp, pp, b in zip(
+                    rows_parts, hash_parts, gram_parts, pos_parts, part_bounds
+                )
+                if b[i + 1] > b[i]
+            ]
+            if not sl:
+                continue
+            blocks.append(
+                _dedup_postings(
+                    np.concatenate([s[0] for s in sl]),
+                    np.concatenate([s[1] for s in sl]),
+                    np.concatenate([s[2] for s in sl]),
+                    np.concatenate([s[3] for s in sl]),
+                )
+            )
+        u_rows = np.concatenate([b[0] for b in blocks])
+        u_hash = np.concatenate([b[1] for b in blocks])
+        u_gram = np.concatenate([b[2] for b in blocks])
+        tf = np.concatenate([b[3] for b in blocks])
+        u_pos = np.concatenate([b[4] for b in blocks])
+    else:
+        u_rows, u_hash, u_gram, tf, u_pos = _dedup_postings(
+            np.concatenate(rows_parts),
+            np.concatenate(hash_parts),
+            np.concatenate(gram_parts),
+            np.concatenate(pos_parts),
+        )
     u_text = None
     if emit_text:
         # reconstruct text for UNIQUE terms only (cost ∝ vocabulary, not
         # token count): gather first-occurrence windows via arrow take
-        u_pos = poss[order][starts_idx]
         u_text = np.empty(len(u_pos), dtype=object)
         for g in np.unique(u_gram):
             m = u_gram == g
