@@ -72,8 +72,14 @@ def run_bench() -> dict:
 
     # --- index build (docs/sec headline) --------------------------------
     # num_buckets is pinned (NOT a function of ncpu) so the 8- and 32-cpu
-    # scaling runs do identical work
-    cfg = EngineConfig(max_gram=2, num_buckets=64)
+    # scaling runs do identical work.  head_df_threshold is set BELOW the
+    # corpus's hottest zipf terms so the skew-salting path actually runs
+    # at bench scale (sampled head scan + salted routing; its cost is the
+    # head_scan entry in build_stages); salt_shift=14 caps salted chunks
+    # at 16k postings.
+    cfg = EngineConfig(
+        max_gram=2, num_buckets=64, head_df_threshold=1 << 15, salt_shift=14
+    )
     idx_dir = "/tmp/bfr_bench_idx"
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.perf_counter()

@@ -301,7 +301,7 @@ def encode_spilled_bucket(
             tbl["doc_id"].to_numpy(zero_copy_only=False),
             tbl["tf"].to_numpy(zero_copy_only=False),
             tbl["doclen"].to_numpy(zero_copy_only=False),
-            avgdl, cfg.k1, cfg.b, cfg.block_size,
+            avgdl, cfg.k1, cfg.b, cfg.treatment_bands or cfg.block_size,
         )
         segment.write_bucket_atomic(enc, out_dir, int(b))
         rows.append(
@@ -338,7 +338,8 @@ def encode_block(block: pa.Table, *, out_dir: str, avgdl: float, cfg: EngineConf
     for b in np.unique(buckets):
         m = buckets == b
         tbl = encode_bucket(
-            h[m], g[m], s[m], d[m], tf[m], dl[m], avgdl, cfg.k1, cfg.b, cfg.block_size
+            h[m], g[m], s[m], d[m], tf[m], dl[m], avgdl, cfg.k1, cfg.b,
+            cfg.treatment_bands or cfg.block_size,
         )
         segment.write_bucket_atomic(tbl, out_dir, int(b))
         out_rows["bucket"].append(int(b))
@@ -428,9 +429,26 @@ def build_index(
     n_head_terms = 0
     gate_docs = n_docs if n_docs is not None else corpus.count()
     if gate_docs > cfg.head_df_threshold:
+        import pyarrow.compute as pc
+
+        # Head detection is a skew HEURISTIC (any head set yields identical
+        # results — pytest salted==unsalted), so the df scan runs on a
+        # deterministic hash sample of the corpus when the sampled df at
+        # the threshold is statistically solid (≥ 50 expected postings):
+        # a 5% scan instead of a full second corpus pass.
+        rate = float(cfg.extra.get("head_sample_rate", 0.05))
+        scan, thr = corpus, cfg.head_df_threshold
+        if 0.0 < rate < 1.0 and cfg.head_df_threshold * rate >= 50:
+            from bitfunnel_ray.stages.filters import sample_filter
+
+            scan = sample_filter(corpus, rate)
+            thr = int(cfg.head_df_threshold * rate)
         heads = (
-            document_frequency_table(corpus, cfg, emit_text=False)
-            .filter(lambda row: row["df"] > cfg.head_df_threshold)
+            document_frequency_table(scan, cfg, emit_text=False)
+            .map_batches(
+                lambda t, _thr=thr: t.filter(pc.greater(t["df"], _thr)),
+                batch_format="pyarrow",
+            )
             .to_pandas()
         )
         if len(heads):
@@ -560,6 +578,7 @@ def build_index(
             "k1": cfg.k1,
             "b": cfg.b,
             "block_size": cfg.block_size,
+            "treatment_bands": [list(b) for b in cfg.treatment_bands] if cfg.treatment_bands else None,
             "num_buckets": cfg.num_buckets,
             "head_df_threshold": cfg.head_df_threshold,
             "salt_shift": cfg.salt_shift,

@@ -161,15 +161,25 @@ def _encode_part(term_hash, gram_size, salt, doc_id, tf, doclen, avgdl, k1, b, b
     tf_ends = np.add.reduceat(t_len, starts).cumsum()
     dl_ends = np.add.reduceat(dl_len, starts).cumsum()
 
-    # block metadata (segmented by chunk, blocks of block_size postings)
-    nblocks = (lens + block_size - 1) // block_size
+    # block metadata (segmented by chunk, blocks of block_size postings).
+    # block_size may be a df-banded treatment spec — each chunk's skip
+    # granularity then follows its frequency band (TermTreatmentFactory
+    # analog); boundaries stay self-describing via last_docs.
+    if isinstance(block_size, int):
+        bs_chunk = np.full(len(lens), block_size, dtype=np.int64)
+    else:
+        bs_chunk = np.full(len(lens), int(block_size[-1][1]), dtype=np.int64)
+        for ub, bs in reversed([p for p in block_size if p[0] is not None]):
+            bs_chunk[lens <= int(ub)] = int(bs)
+    nblocks = (lens + bs_chunk - 1) // bs_chunk
     total_blocks = int(nblocks.sum())
     block_cum0 = np.cumsum(nblocks)
     rep_start = np.repeat(starts, nblocks)
     rep_len = np.repeat(lens, nblocks)
+    rep_bs = np.repeat(bs_chunk, nblocks)
     k = np.arange(total_blocks) - np.repeat(block_cum0 - nblocks, nblocks)  # ordinal in chunk
-    blk_starts = rep_start + k * block_size
-    blk_ends = rep_start + np.minimum((k + 1) * block_size, rep_len) - 1
+    blk_starts = rep_start + k * rep_bs
+    blk_ends = rep_start + np.minimum((k + 1) * rep_bs, rep_len) - 1
     last_docs_flat = d[blk_ends]
     tfn = tf_norm(t, dl, avgdl, k1, b)  # float64
     max_tfn_flat = np.maximum.reduceat(tfn, blk_starts) if total_blocks else np.empty(0)

@@ -28,6 +28,17 @@ class EngineConfig:
     # block size; plays the role of the reference's rank-granularity
     # skipping, ByteCodeInterpreter RankDown)
     block_size: int = 128
+    # df-banded treatments — the TermTreatmentFactory analog (reference:
+    # src/Index/src/TermTreatmentFactory.cpp:47-55 maps IdfX10 bands to six
+    # row policies; here a band picks the skip-block size for its posting
+    # lists).  Tuple of (df_upper_bound, block_size) pairs, ascending, with
+    # a final (None, block_size) catch-all; None disables banding (every
+    # chunk uses ``block_size``).  Block boundaries are self-describing at
+    # query time (WAND looks blocks up by searchsorted on last_docs), so
+    # banding changes no format — only the metadata/skip granularity
+    # tradeoff per frequency band.  Example:
+    #   ((256, 64), (65536, 128), (None, 256))
+    treatment_bands: tuple | None = None
 
     # --- the build shuffle ---
     # number of term-hash buckets = number of shuffle groups = number of

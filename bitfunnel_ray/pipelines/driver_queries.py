@@ -539,6 +539,74 @@ def q_multimodal_features(sf_dir):
     )
 
 
+def q_vocab_growth(sf_dir):
+    """Cumulative distinct-term counts by first-appearance doc (the
+    DocumentFrequencyTableBuilder cumulative-counts analog)."""
+    from bitfunnel_ray.build.stats import vocabulary_growth
+
+    return vocabulary_growth(corpus_from_documents(sf_dir), EngineConfig(max_gram=1))
+
+
+SQL_VOCAB_GROWTH = f"""
+WITH firsts AS (
+  SELECT term, min(doc_id) AS first_doc FROM ({_tokens_sql()}) GROUP BY term
+)
+SELECT CAST(first_doc AS BIGINT) AS first_doc,
+       CAST(count(*) AS BIGINT) AS new_terms,
+       CAST(sum(count(*)) OVER (ORDER BY first_doc) AS BIGINT) AS cum_terms
+FROM firsts GROUP BY first_doc ORDER BY first_doc
+"""
+
+
+def q_term_to_text(sf_dir):
+    """Round-trip the TermToText sidecar (TermToText.cpp analog): write it
+    from the corpus, load it, emit the unigram vocabulary it stores."""
+    import pyarrow.compute as pc
+
+    from bitfunnel_ray.build.stats import write_term_to_text
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/bfr_termtext/{tag}"
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        write_term_to_text(corpus_from_documents(sf_dir), path, EngineConfig(max_gram=1))
+        with open(os.path.join(path, "_DONE"), "w") as f:
+            f.write("ok")
+    t = pq.read_table(path, columns=["gram_size", "term"])
+    terms = t.filter(pc.equal(t["gram_size"], 1))["term"]
+    return pa.table({"term": terms.sort()})
+
+
+SQL_TERM_TO_TEXT = f"""
+SELECT DISTINCT term FROM ({_tokens_sql()}) ORDER BY term
+"""
+
+
+def q_verify_log(sf_dir):
+    """Whole-log verification results (VerifyCommand CSV shape) — exact
+    index, so every row must come back ok with fp = fn = 0."""
+    from bitfunnel_ray.query.verify import verify_log
+
+    eng = get_engine(sf_dir)
+    return verify_log(
+        corpus_from_documents(sf_dir),
+        eng,
+        ["table join", "merge | window", "table -join", '"batch batch"'],
+    )
+
+
+def q_analyze_bands(sf_dir):
+    """IdfX10-banded storage stats of the built segment (RowTableAnalyzer
+    analog) — runs over the same cached segment the search queries use."""
+    from bitfunnel_ray.build.analyze import segment_band_stats
+
+    get_engine(sf_dir)  # ensures the segment is built
+    tag = sf_dir.strip("/").replace("/", "_")
+    return segment_band_stats(f"/tmp/bfr_idx_cache/{tag}")
+
+
 REGISTRY: dict[str, tuple] = {
     "df_table": (q_df_table, SQL_DF_TABLE),
     "doclen_histogram": (q_doclen_histogram, SQL_DOCLEN_HISTOGRAM),
@@ -564,7 +632,11 @@ REGISTRY: dict[str, tuple] = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
     "annotate_shard": (q_annotate_shard, SQL_ANNOTATE_SHARD),
+    "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
+    "term_to_text": (q_term_to_text, SQL_TERM_TO_TEXT),
     # rows-only (non-SQL-expressible: sketch/LSH/model-stub operators)
+    "verify_log": (q_verify_log, None),
+    "analyze_bands": (q_analyze_bands, None),
     "minhash_dedup": (q_minhash_dedup, None),
     "simhash": (q_simhash, None),
     "embedding_dup_pairs": (q_embedding_dup_pairs, None),
