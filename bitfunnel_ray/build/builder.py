@@ -174,7 +174,9 @@ ACK_SCHEMA = pa.schema(
 )
 
 
-def _spill_bucket_shards(postings: pa.Table, spill_dir: str) -> tuple[list[int], list[int]]:
+def _spill_bucket_shards(
+    postings: pa.Table, spill_dir: str, compression: str | None = None
+) -> tuple[list[int], list[int]]:
     """Split a postings table by bucket and append one Arrow-IPC spill
     shard per bucket (classic map-side shuffle-file layout).  The bucket
     id lives in the directory name, so the shard itself drops the bucket
@@ -192,12 +194,15 @@ def _spill_bucket_shards(postings: pa.Table, spill_dir: str) -> tuple[list[int],
     payload = postings.drop_columns(["bucket"])
     out_b, out_n = [], []
     shard = uuid.uuid4().hex
+    opts = _ipc.IpcWriteOptions(compression=compression) if compression else None
     for i in range(len(starts)):
         b = int(sorted_b[starts[i]])
         sub = payload.take(idx.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i])))
         d = os.path.join(spill_dir, f"bucket={b:05d}")
         os.makedirs(d, exist_ok=True)
-        with _ipc.new_file(os.path.join(d, f"part-{shard}.arrow"), sub.schema) as w:
+        with _ipc.new_file(
+            os.path.join(d, f"part-{shard}.arrow"), sub.schema, options=opts
+        ) as w:
             w.write_table(sub)
         out_b.append(b)
         out_n.append(len(sub))
@@ -219,6 +224,10 @@ class TokenizeSpill:
         self.tp = TokenizePostings(cfg, head_ref, skip_buckets)
         self.spill_dir = spill_dir
         self.meta_dir = meta_dir
+        # raw IPC by default — measured A/B on the bench corpus: lz4's
+        # CPU cost ≈ the bandwidth it saves on a RAM-backed spill (set
+        # "spill_compression": "lz4" for disk-backed spill_roots)
+        self.compression = cfg.extra.get("spill_compression", None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -238,7 +247,7 @@ class TokenizeSpill:
         os.makedirs(self.meta_dir, exist_ok=True)
         _pq.write_table(meta, os.path.join(self.meta_dir, f"part-{uuid.uuid4().hex}.parquet"))
         if len(postings):
-            out_b, out_n = _spill_bucket_shards(postings, self.spill_dir)
+            out_b, out_n = _spill_bucket_shards(postings, self.spill_dir, self.compression)
         else:
             out_b, out_n = [], []
         out_b.append(-1)
@@ -427,8 +436,20 @@ def build_index(
     # the salt participates in bucket routing) ---------------------------
     head_ref = None
     n_head_terms = 0
-    gate_docs = n_docs if n_docs is not None else corpus.count()
-    if gate_docs > cfg.head_df_threshold:
+    pre_heads = cfg.extra.get("head_hashes")
+    if pre_heads is not None:
+        # caller already ran a statistics pass (the reference's own order:
+        # statistics → termtable build → ingest) and hands the head-term
+        # hashes over directly — no scan here
+        head_arr = np.sort(np.asarray(pre_heads, dtype=np.uint64))
+        if len(head_arr):
+            head_ref = ray.put(head_arr)
+            n_head_terms = len(head_arr)
+            pq.write_table(
+                pa.table({"term_hash": pa.array(head_arr, pa.uint64())}),
+                os.path.join(out_dir, "heads.parquet"),
+            )
+    elif (n_docs if n_docs is not None else corpus.count()) > cfg.head_df_threshold:
         import pyarrow.compute as pc
 
         # Head detection is a skew HEURISTIC (any head set yields identical

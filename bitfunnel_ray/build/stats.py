@@ -193,10 +193,12 @@ class DocMetaBatch:
         return pa.table(cols)
 
 
-def doc_meta(corpus: "ray.data.Dataset", cfg: EngineConfig | None = None) -> "ray.data.Dataset":
+def doc_meta(
+    corpus: "ray.data.Dataset", cfg: EngineConfig | None = None, light: bool = False
+) -> "ray.data.Dataset":
     cfg = cfg or EngineConfig()
     return corpus.select_columns(["doc_id", "url", "text"]).map_batches(
-        DocMetaBatch(cfg.max_gram), batch_format="pyarrow"
+        DocMetaBatch(cfg.max_gram, light=light), batch_format="pyarrow"
     )
 
 

@@ -90,7 +90,9 @@ SELECT n_postings, count(*) AS n_docs FROM (
 
 
 def q_doc_meta(sf_dir):
-    ds = doc_meta(corpus_from_documents(sf_dir), EngineConfig(max_gram=1))
+    # light=True: only doclen/n_bytes are selected, so skip the full
+    # tokenize+dedup pass (the whitespace split alone yields doclen)
+    ds = doc_meta(corpus_from_documents(sf_dir), EngineConfig(max_gram=1), light=True)
     return ds.select_columns(["doc_id", "doclen", "n_bytes"])
 
 

@@ -66,8 +66,22 @@ def posting_count_filter(
 
 def first_n(corpus: "ray.data.Dataset", n: int) -> "ray.data.Dataset":
     """First N documents by ascending doc_id (DocumentCountFilter analog
-    with a deterministic order; ``sort`` is the wide op here)."""
-    return corpus.sort("doc_id").limit(n)
+    with a deterministic order).  Map-side min-k prune first: each block
+    keeps only its n smallest doc_ids, so the sort exchange moves at most
+    n rows per block instead of the whole corpus."""
+
+    def block_min_k(t: pa.Table) -> pa.Table:
+        if len(t) <= n:
+            return t
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        idx = np.argpartition(ids, n)[:n]
+        return t.take(pa.array(np.sort(idx)))
+
+    return (
+        corpus.map_batches(block_min_k, batch_format="pyarrow")
+        .sort("doc_id")
+        .limit(n)
+    )
 
 
 def annotate_shard(
