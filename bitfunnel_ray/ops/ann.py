@@ -25,6 +25,9 @@ import ray.data
 def _batch_topk(
     t: pa.Table, *, q_ref, k: int, id_col: str, vec_col: str
 ) -> pa.Table:
+    from bitfunnel_ray.functions.mem import tune_allocator
+
+    tune_allocator()
     queries = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref  # (nq, dim), unit rows
     vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
     unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)

@@ -102,6 +102,9 @@ def minhash_signatures(texts: pa.Array, k: int = 3) -> np.ndarray:
     """(n_docs, 64) minhash matrix, fully vectorized: xor-permutation
     family + one segmented min (reduceat) per batch.  Docs with no
     shingles get all-max sentinel signatures."""
+    from bitfunnel_ray.functions.mem import tune_allocator
+
+    tune_allocator()
     acc, d, n_docs = shingle_flat(texts, k)
     sigs = np.full((n_docs, _NPERM), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
     if len(acc):
@@ -161,6 +164,9 @@ def _pairs_from_block(t: pa.Table, *, max_group: int) -> pa.Table:
     template each (millions of tiny groups cost ~zero python calls).
     Oversized runs (> max_group, degenerate boilerplate keys) are skipped
     — a deliberate, documented coverage cap."""
+    from bitfunnel_ray.functions.mem import tune_allocator
+
+    tune_allocator()
     if len(t) == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
     bid = t["band_id"].to_numpy(zero_copy_only=False)
@@ -658,6 +664,9 @@ def minhash_dedup_pairs(
 def simhash_batch(t: pa.Table) -> pa.Table:
     """64-bit simhash of the token multiset (tf-weighted ±1 bit votes).
     vote_b = 2*set_count_b - doclen, one segmented bincount per bit."""
+    from bitfunnel_ray.functions.mem import tune_allocator
+
+    tune_allocator()
     flat, doc_of, doclen = flat_tokens(t["text"])
     h = hash_token_array(flat)
     n = len(t)
