@@ -1,0 +1,297 @@
+"""Segment merge / compaction — completes the north-star's "shard-local
+segments merged" story (reference: slices recycle into shards,
+src/Index/src/Shard.cpp; here immutable additive segments are the unit).
+
+Segments built with the same EngineConfig share term-hash bucketing, so
+merging is embarrassingly parallel PER BUCKET — no shuffle: bucket b of
+every input segment co-locates exactly the same term-hash range.  Each
+merge task decodes its bucket's posting lists (whole-bucket vectorized
+varint decode — no per-chunk python), concatenates across segments,
+optionally drops tombstoned documents (compaction), and re-encodes with
+the COMBINED avgdl so BM25 block-max metadata is exact for the merged
+corpus.  Output is bit-for-bit what a from-scratch build over the union
+corpus would produce (pytest asserts table equality).
+
+Salted head-term chunks stay in their original buckets (salt participates
+in routing); the merged ``heads.parquet`` is the union, so query-time
+scatter still finds every chunk.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from bitfunnel_ray.build import segment as seglib
+from bitfunnel_ray.build.encode import encode_bucket
+from bitfunnel_ray.config import EngineConfig
+from bitfunnel_ray.functions import varint
+
+
+def _column_stream(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Concatenated bytes of a large_binary column as one uint8 array."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data[offs[0] : offs[-1]]
+
+
+def decode_bucket_table(t: pa.Table):
+    """dict table → flat posting arrays (term_hash, gram, salt, doc_id,
+    tf, doclen), whole-bucket vectorized: one varint decode per stream and
+    a segmented cumsum to undo the per-chunk delta encoding."""
+    n_post = t["n_postings"].to_numpy()
+    total = int(n_post.sum())
+    if total == 0:
+        e = np.empty(0, np.uint64)
+        return e, np.empty(0, np.uint8), np.empty(0, np.uint32), e, e, e
+    deltas = varint.decode(_column_stream(t["docs_payload"]), count=total)
+    tf = varint.decode(_column_stream(t["tf_payload"]), count=total)
+    dl = varint.decode(_column_stream(t["dl_payload"]), count=total)
+    starts = np.concatenate([[0], np.cumsum(n_post)[:-1]]).astype(np.int64)
+    # segmented cumsum: the first delta of each chunk is absolute, so
+    # doc_id = running_total - running_total[chunk_start - 1]
+    run = np.cumsum(deltas, dtype=np.uint64)
+    prev = np.empty(len(starts), dtype=np.uint64)
+    prev[0] = 0
+    prev[1:] = run[starts[1:] - 1]
+    doc_ids = run - np.repeat(prev, n_post)
+    h = np.repeat(t["term_hash"].to_numpy(), n_post)
+    g = np.repeat(t["gram_size"].to_numpy(), n_post)
+    s = np.repeat(t["salt"].to_numpy(), n_post)
+    return h, g, s, doc_ids, tf, dl
+
+
+def _merge_bucket_batch(
+    batch: pa.Table,
+    *,
+    seg_dirs: "list[str]",
+    out_dir: str,
+    avgdl: float,
+    cfg: EngineConfig,
+    dead_ref=None,
+) -> pa.Table:
+    import ray
+
+    from bitfunnel_ray.functions.mem import tune_allocator
+
+    tune_allocator()
+    dead = (
+        ray.get(dead_ref) if dead_ref is not None else np.empty(0, np.uint64)
+    )  # sorted uint64
+    rows = []
+    for b in batch["bucket"].to_pylist():
+        parts = []
+        for d in seg_dirs:
+            p = seglib.bucket_path(d, int(b))
+            if os.path.exists(p):
+                parts.append(decode_bucket_table(pq.read_table(p)))
+        if not parts:
+            continue
+        h = np.concatenate([p[0] for p in parts])
+        g = np.concatenate([p[1] for p in parts])
+        s = np.concatenate([p[2] for p in parts])
+        doc = np.concatenate([p[3] for p in parts])
+        tf = np.concatenate([p[4] for p in parts])
+        dl = np.concatenate([p[5] for p in parts])
+        if len(dead):
+            pos = np.searchsorted(dead, doc)
+            pos[pos == len(dead)] = 0
+            keep = dead[pos] != doc
+            h, g, s, doc, tf, dl = h[keep], g[keep], s[keep], doc[keep], tf[keep], dl[keep]
+        enc = encode_bucket(
+            h, g, s, doc, tf, dl, avgdl, cfg.k1, cfg.b,
+            cfg.treatment_bands or cfg.block_size,
+        )
+        seglib.write_bucket_atomic(enc, out_dir, int(b))
+        rows.append(
+            {
+                "bucket": int(b),
+                "n_chunks": len(enc),
+                "n_postings": int(len(doc)),
+                "payload_bytes": enc.nbytes,
+            }
+        )
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {
+            "bucket": pa.array([], pa.int32()),
+            "n_chunks": pa.array([], pa.int64()),
+            "n_postings": pa.array([], pa.int64()),
+            "payload_bytes": pa.array([], pa.int64()),
+        }
+    )
+
+
+def merge_segments(
+    seg_dirs: "list[str]",
+    out_dir: str,
+    tombstones: "np.ndarray | None" = None,
+) -> dict:
+    """Merge (and optionally compact) bucket-aligned segments into one.
+
+    ``tombstones``: doc ids to drop — their postings and docmeta rows are
+    gone from the merged segment (the soft-delete anti-join becomes a real
+    delete).  Idempotent/resumable like ``build_index``: completed buckets
+    are skipped on rerun.
+    """
+    import ray
+
+    from functools import partial
+
+    mans = []
+    for d in seg_dirs:
+        man = seglib.load_manifest(d)
+        if man is None:
+            raise FileNotFoundError(f"no manifest in {d}")
+        mans.append(man)
+    c0 = mans[0]["config"]
+    for man in mans[1:]:
+        c = man["config"]
+        for key in ("num_buckets", "max_gram", "k1", "b", "streams"):
+            if c.get(key) != c0.get(key):
+                raise ValueError(
+                    f"segments disagree on {key}: {c.get(key)} vs {c0.get(key)} "
+                    "— bucket-aligned merge requires identical hashing/bucketing config"
+                )
+    bands = c0.get("treatment_bands")
+    cfg = EngineConfig(
+        max_gram=int(c0["max_gram"]),
+        k1=float(c0["k1"]),
+        b=float(c0["b"]),
+        block_size=int(c0["block_size"]),
+        num_buckets=int(c0["num_buckets"]),
+        head_df_threshold=int(c0["head_df_threshold"]),
+        salt_shift=int(c0["salt_shift"]),
+        streams=tuple(tuple(s) for s in c0["streams"]),
+        treatment_bands=tuple(tuple(b) for b in bands) if bands else None,
+    )
+    existing = seglib.load_manifest(out_dir)
+    if existing is not None and existing.get("complete"):
+        return existing
+    os.makedirs(out_dir, exist_ok=True)
+
+    dead = (
+        np.sort(np.asarray(tombstones, dtype=np.uint64))
+        if tombstones is not None and len(tombstones)
+        else np.empty(0, np.uint64)
+    )
+    dead_ref = ray.put(dead) if len(dead) else None
+
+    # --- docmeta: distributed rewrite (filtering tombstones) + totals ----
+    meta_dir = os.path.join(out_dir, "docmeta")
+    meta_done = os.path.join(meta_dir, "_DONE")
+    import shutil
+
+    meta_files = [
+        f
+        for d in seg_dirs
+        for f in sorted(
+            os.path.join(d, "docmeta", p)
+            for p in os.listdir(os.path.join(d, "docmeta"))
+            if p.endswith(".parquet")
+        )
+    ]
+
+    def meta_rewrite(t: pa.Table, *, dest: str) -> pa.Table:
+        import uuid as _uuid
+
+        if dead_ref is not None:
+            dd = ray.get(dead_ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            pos = np.searchsorted(dd, ids)
+            pos[pos == len(dd)] = 0
+            t = t.filter(pa.array(dd[pos] != ids))
+        os.makedirs(dest, exist_ok=True)
+        pq.write_table(t, os.path.join(dest, f"part-{_uuid.uuid4().hex}.parquet"))
+        dl = t["doclen"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_docs": pa.array([len(t)], pa.int64()),
+                "sum_doclen": pa.array([int(np.sum(dl, dtype=np.int64))], pa.int64()),
+            }
+        )
+
+    if not os.path.exists(meta_done):
+        meta_tmp = meta_dir + ".tmp"
+        shutil.rmtree(meta_tmp, ignore_errors=True)
+        totals = (
+            ray.data.read_parquet(meta_files)
+            .map_batches(partial(meta_rewrite, dest=meta_tmp), batch_format="pyarrow")
+            .to_pandas()
+        )
+        n_docs = int(totals["n_docs"].sum())
+        sum_dl = int(totals["sum_doclen"].sum())
+        shutil.rmtree(meta_dir, ignore_errors=True)
+        os.replace(meta_tmp, meta_dir)
+        with open(meta_done, "w") as f:
+            f.write(f"{n_docs},{sum_dl}")
+    else:
+        with open(meta_done) as f:
+            n_docs, sum_dl = (int(x) for x in f.read().split(","))
+    avgdl = (sum_dl / n_docs) if n_docs else 1.0
+
+    # --- heads union ------------------------------------------------------
+    heads = [
+        pq.read_table(hp)["term_hash"].to_numpy().astype(np.uint64)
+        for d in seg_dirs
+        if os.path.exists(hp := os.path.join(d, "heads.parquet"))
+    ]
+    n_head_terms = 0
+    if heads:
+        head_arr = np.unique(np.concatenate(heads))
+        n_head_terms = len(head_arr)
+        pq.write_table(
+            pa.table({"term_hash": pa.array(head_arr, pa.uint64())}),
+            os.path.join(out_dir, "heads.parquet"),
+        )
+
+    # --- bucket-aligned merge (one task per missing bucket, no shuffle) --
+    done = seglib.completed_buckets(out_dir)
+    todo = [b for b in range(cfg.num_buckets) if b not in done]
+    bucket_stats: list[dict] = []
+    if todo:
+        enc = ray.data.from_items([{"bucket": int(b)} for b in todo]).map_batches(
+            partial(
+                _merge_bucket_batch,
+                seg_dirs=list(seg_dirs),
+                out_dir=out_dir,
+                avgdl=avgdl,
+                cfg=cfg,
+                dead_ref=dead_ref,
+            ),
+            batch_size=1,
+            batch_format="pyarrow",
+        )
+        bucket_stats = enc.to_pandas().to_dict("records")
+
+    manifest = {
+        "format_version": 1,
+        "complete": True,
+        "n_docs": n_docs,
+        "sum_doclen": sum_dl,
+        "avgdl": avgdl,
+        "config": {
+            "max_gram": cfg.max_gram,
+            "k1": cfg.k1,
+            "b": cfg.b,
+            "block_size": cfg.block_size,
+            "num_buckets": cfg.num_buckets,
+            "head_df_threshold": cfg.head_df_threshold,
+            "salt_shift": cfg.salt_shift,
+            "streams": [list(s) for s in cfg.streams],
+        },
+        "n_head_terms": n_head_terms,
+        "merged_from": [os.path.abspath(d) for d in seg_dirs],
+        "n_tombstones_compacted": int(len(dead)),
+        "buckets_completed": sorted(seglib.completed_buckets(out_dir)),
+        "bucket_stats": {
+            int(r["bucket"]): {k: int(v) for k, v in r.items() if k != "bucket"}
+            for r in bucket_stats
+        },
+    }
+    seglib.write_manifest(out_dir, manifest)
+    return manifest

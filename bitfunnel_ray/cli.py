@@ -199,6 +199,84 @@ def cmd_verify_log(args):
         sys.exit(1)
 
 
+def cmd_merge(args):
+    """Merge bucket-aligned segments into one (optionally compacting
+    tombstoned docs away).  No shuffle: bucket b of every input holds the
+    same term-hash range, so the merge is one task per bucket."""
+    import numpy as np
+
+    from bitfunnel_ray.build.merge import merge_segments
+
+    tomb = None
+    if args.tombstones:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(args.tombstones)
+        col = "doc_id" if "doc_id" in t.column_names else t.column_names[0]
+        tomb = t[col].to_numpy().astype(np.uint64)
+    man = merge_segments(args.segments, args.out, tombstones=tomb)
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "n_docs": man["n_docs"],
+                "buckets": len(man["buckets_completed"]),
+                "n_tombstones_compacted": man["n_tombstones_compacted"],
+            }
+        )
+    )
+
+
+def cmd_verify_synthetic(args):
+    """End-to-end self-check against the prime-factors synthetic corpus —
+    the ``verify synthetic`` analog (VerifyOneQuerySynthetic.cpp): doc i's
+    text is its sorted prime factorization, so ground truth is computed
+    closed-form, independent of tokenizer/hash/codec/index.  Builds a
+    fresh index over N docs and diffs every query shape."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.query.engine import SearchEngine
+    from bitfunnel_ray.query.verify import verify_synthetic
+    from bitfunnel_ray.sources.corpus import make_prime_factors_corpus
+
+    n = int(args.docs)
+    queries = [
+        "2", "2 3", "2 | 3", "-2", '"2 2"', "2 -3", '"3 5"', "7 11",
+        "(2 | 3) -5", '"2 3"', "13", "-2 -3",
+    ]
+    tmp = tempfile.mkdtemp(prefix="bfr-synth-")
+    try:
+        build_index(
+            rd.from_arrow(make_prime_factors_corpus(n)),
+            os.path.join(tmp, "seg"),
+            EngineConfig(max_gram=2, num_buckets=4),
+        )
+        eng = SearchEngine(os.path.join(tmp, "seg"), load_urls=False)
+        out = verify_synthetic(eng, queries, n)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    n_bad = int(sum(0 if ok else 1 for ok in out["ok"].to_pylist()))
+    print(
+        json.dumps(
+            {
+                "docs": n,
+                "queries": len(queries),
+                "ok": len(queries) - n_bad,
+                "failed": n_bad,
+                "fp_total": int(sum(out["fp"].to_pylist())),
+                "fn_total": int(sum(out["fn"].to_pylist())),
+            }
+        )
+    )
+    if n_bad:
+        sys.exit(1)
+
+
 def cmd_analyze(args):
     """Banded storage analysis — the RowTableAnalyzer analog
     (RowTableAnalyzer.cpp:165-290): per (IdfX10 band, gram) term counts,
@@ -266,6 +344,15 @@ def main(argv=None):
     s.add_argument("index"); s.add_argument("corpus"); s.add_argument("queries")
     s.add_argument("--out", default=None)
     s.set_defaults(fn=cmd_verify_log, needs_ray=True)
+
+    s = sub.add_parser("merge")
+    s.add_argument("out"); s.add_argument("segments", nargs="+")
+    s.add_argument("--tombstones", default=None)
+    s.set_defaults(fn=cmd_merge, needs_ray=True)
+
+    s = sub.add_parser("verify-synthetic")
+    s.add_argument("--docs", type=int, default=1024)
+    s.set_defaults(fn=cmd_verify_synthetic, needs_ray=True)
 
     s = sub.add_parser("analyze")
     s.add_argument("index")

@@ -211,3 +211,63 @@ def verify_query(
         "fn": int(len(fn)),
         "ok": bool(len(fp) == 0 and len(fn) == 0),
     }
+
+
+def synthetic_ground_truth(query: str, n_docs: int, max_gram: int = 2) -> np.ndarray:
+    """Closed-form match set for a boolean query over the prime-factors
+    synthetic corpus (doc i's text = its sorted prime factorization) — the
+    ``verify synthetic`` analog (reference:
+    tools/BitFunnel/src/VerifyOneQuerySynthetic.cpp evaluates queries
+    against the PrimeFactors mock corpus whose ground truth is
+    divisibility).  Evaluation walks the factor lists generated by the
+    same closed-form rule the corpus writer uses — fully independent of
+    the tokenizer, hash, codec and index."""
+    from bitfunnel_ray.sources.corpus import prime_factors_text
+
+    node = parse_query(query)
+
+    def matches(factors: "list[str]", n: ast.Node) -> bool:
+        if isinstance(n, ast.Term):
+            return n.text in factors
+        if isinstance(n, ast.Phrase):
+            t = n.tokens
+            return any(
+                factors[i : i + len(t)] == list(t)
+                for i in range(len(factors) - len(t) + 1)
+            )
+        if isinstance(n, ast.And):
+            return all(matches(factors, c) for c in n.children)
+        if isinstance(n, ast.Or):
+            return any(matches(factors, c) for c in n.children)
+        if isinstance(n, ast.Not):
+            return not matches(factors, n.child)
+        raise TypeError(n)
+
+    out = [
+        i for i in range(n_docs) if matches(prime_factors_text(i).split(), node)
+    ]
+    return np.asarray(out, dtype=np.uint64)
+
+
+def verify_synthetic(engine, queries: "list[str]", n_docs: int) -> pa.Table:
+    """Diff the engine against the closed-form prime-factors ground truth
+    for a list of queries; same result shape as ``verify_log``."""
+    rows = []
+    for q in queries:
+        want = synthetic_ground_truth(q, n_docs, engine.max_gram)
+        got = engine.eval(parse_query(q))
+        tp = np.intersect1d(got, want, assume_unique=True)
+        fp = np.setdiff1d(got, want, assume_unique=True)
+        fn = np.setdiff1d(want, got, assume_unique=True)
+        rows.append(
+            {
+                "query": q,
+                "expected": int(len(want)),
+                "matched": int(len(got)),
+                "tp": int(len(tp)),
+                "fp": int(len(fp)),
+                "fn": int(len(fn)),
+                "ok": bool(len(fp) == 0 and len(fn) == 0),
+            }
+        )
+    return pa.Table.from_pylist(rows)

@@ -141,3 +141,28 @@ def test_treatment_bands_identical_results(built, sf_tiny, tmp_path, ray_session
         )
 
     assert total_blocks(banded_dir) > total_blocks(built)
+
+
+def test_verify_synthetic(tmp_path, ray_session):
+    """Prime-factors closed-form ground truth vs the full build+query path
+    (the VerifyOneQuerySynthetic analog): every query shape exact."""
+    import ray.data as rd
+
+    from bitfunnel_ray.query.verify import synthetic_ground_truth, verify_synthetic
+    from bitfunnel_ray.sources.corpus import make_prime_factors_corpus
+
+    n = 256
+    # spot-check the closed-form itself: multiples of 2 in [0, 256)
+    assert len(synthetic_ground_truth("2", n)) == 127  # 2,4,...,254
+    assert len(synthetic_ground_truth('"2 2"', n)) == 63  # multiples of 4
+    out_dir = str(tmp_path / "synth")
+    build_index(
+        rd.from_arrow(make_prime_factors_corpus(n)),
+        out_dir,
+        EngineConfig(max_gram=2, num_buckets=4),
+    )
+    eng = SearchEngine(out_dir, load_urls=False)
+    out = verify_synthetic(
+        eng, ["2", "2 3", "2 | 3", "-2", '"2 2"', "2 -3", '"3 5"', "7 11"], n
+    ).to_pandas()
+    assert out["ok"].all(), out.to_string()

@@ -1,0 +1,102 @@
+"""Segment merge/compaction (bitfunnel_ray/build/merge.py): a merged
+segment must be bit-for-bit what a from-scratch build over the union
+corpus produces; tombstone compaction must equal building without the
+dead docs."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from bitfunnel_ray.build.builder import build_index
+from bitfunnel_ray.build.merge import decode_bucket_table, merge_segments
+from bitfunnel_ray.config import EngineConfig
+from bitfunnel_ray.query.engine import SearchEngine
+from bitfunnel_ray.sources.corpus import _lift_documents_batch, corpus_from_documents
+
+SF = "/root/testdata/sf0.001"
+CFG = EngineConfig(max_gram=2, num_buckets=4)
+
+
+@pytest.fixture(scope="module")
+def halves(tmp_path_factory, ray_session):
+    root = tmp_path_factory.mktemp("merge")
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    s1, s2 = str(root / "s1"), str(root / "s2")
+    build_index(rd.from_arrow(_lift_documents_batch(docs.slice(0, 250))), s1, CFG)
+    build_index(rd.from_arrow(_lift_documents_batch(docs.slice(250))), s2, CFG)
+    full = str(root / "full")
+    build_index(corpus_from_documents(SF), full, CFG)
+    return s1, s2, full, str(root)
+
+
+def _dict_tables(seg):
+    return {
+        os.path.basename(f): pq.read_table(f)
+        for f in sorted(glob.glob(os.path.join(seg, "dict-*.parquet")))
+    }
+
+
+def test_merge_equals_fresh_build(halves):
+    s1, s2, full, root = halves
+    out = str(os.path.join(root, "merged"))
+    man = merge_segments([s1, s2], out)
+    assert man["n_docs"] == 500
+    a, b = _dict_tables(out), _dict_tables(full)
+    assert a.keys() == b.keys()
+    for name in a:
+        assert a[name].equals(b[name]), name  # bit-for-bit per bucket
+
+
+def test_decode_roundtrip(halves):
+    s1, *_ = halves
+    f = sorted(glob.glob(os.path.join(s1, "dict-*.parquet")))[0]
+    t = pq.read_table(f)
+    h, g, s, doc, tf, dl = decode_bucket_table(t)
+    assert len(doc) == int(np.sum(t["n_postings"].to_numpy()))
+    # doc ids ascend within each chunk
+    n_post = t["n_postings"].to_numpy()
+    starts = np.concatenate([[0], np.cumsum(n_post)[:-1]])
+    for i, (st, ln) in enumerate(zip(starts[:20], n_post[:20])):
+        chunk = doc[st : st + ln]
+        assert (np.diff(chunk.astype(np.int64)) > 0).all()
+
+
+def test_merge_compaction_tombstones(halves, tmp_path):
+    s1, s2, full, root = halves
+    dead = np.arange(0, 500, 7, dtype=np.uint64)  # every 7th doc
+    out = str(tmp_path / "compacted")
+    man = merge_segments([s1, s2], out, tombstones=dead)
+    assert man["n_tombstones_compacted"] == len(dead)
+    assert man["n_docs"] == 500 - len(dead)
+    # equals a fresh build over the corpus minus the dead docs
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    keep = ~np.isin(np.arange(500), dead.astype(np.int64))
+    ref = str(tmp_path / "ref")
+    build_index(
+        rd.from_arrow(_lift_documents_batch(docs.filter(keep))), ref, CFG
+    )
+    a, b = _dict_tables(out), _dict_tables(ref)
+    assert a.keys() == b.keys()
+    for name in a:
+        assert a[name].equals(b[name]), name
+    # docmeta rows gone too
+    meta = pq.read_table(os.path.join(out, "docmeta"))
+    assert len(meta) == 500 - len(dead)
+    assert not np.isin(meta["doc_id"].to_numpy().astype(np.uint64), dead).any()
+
+
+def test_merged_segment_serves(halves, tmp_path):
+    s1, s2, full, root = halves
+    out = os.path.join(root, "merged")
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        merge_segments([s1, s2], out)
+    a = SearchEngine(out, load_urls=False)
+    b = SearchEngine(full, load_urls=False)
+    for q in ["table join", "merge | window", "table -join", '"batch batch"', "-table"]:
+        ra, rb = a.search(q, k=10).to_pandas(), b.search(q, k=10).to_pandas()
+        assert ra["doc_id"].tolist() == rb["doc_id"].tolist(), q
+        assert np.allclose(ra["score"], rb["score"]), q
