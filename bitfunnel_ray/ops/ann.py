@@ -143,3 +143,142 @@ def lsh_topk(
     return partials.groupby("query_id").map_groups(
         partial(_final_topk, k=k), batch_format="pandas"
     )
+
+
+# --- IVF (inverted-file) ANN ---------------------------------------------
+
+
+def kmeans_centroids(
+    embeddings: "ray.data.Dataset",
+    n_clusters: int = 16,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed spherical k-means (cosine metric): each Lloyd iteration
+    is one streaming pass — centroids broadcast via ``ray.put``, every
+    batch emits per-cluster (sum, count) partials, the driver folds the
+    tiny (n_clusters × dim) partial table and renormalizes.  Deterministic:
+    init takes the first ``n_clusters`` vectors (stable parquet order), no
+    RNG in the data path."""
+    init_rows = embeddings.select_columns([vec_col]).limit(n_clusters).to_pandas()
+    cents = np.stack(init_rows[vec_col].to_numpy()).astype(np.float64)
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    nc, dim = cents.shape
+
+    def partials(t: pa.Table, *, c_ref) -> pa.Table:
+        c = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else c_ref
+        vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(unit @ c.T, axis=1)
+        order = np.argsort(assign, kind="stable")
+        a_s = assign[order]
+        starts = np.flatnonzero(np.diff(a_s, prepend=-1))
+        sums = np.add.reduceat(unit[order], starts, axis=0)  # (n_present, dim)
+        counts = np.diff(np.append(starts, len(a_s)))
+        offsets = pa.array(np.arange(0, (len(starts) + 1) * dim, dim, dtype=np.int32))
+        return pa.table(
+            {
+                "cluster": pa.array(a_s[starts].astype(np.int64)),
+                "count": pa.array(counts.astype(np.int64)),
+                "vsum": pa.ListArray.from_arrays(offsets, pa.array(sums.ravel(), pa.float64())),
+            }
+        )
+
+    from functools import partial as _bind
+
+    for _ in range(n_iter):
+        c_ref = ray.put(cents)
+        part = (
+            embeddings.select_columns([vec_col])
+            .map_batches(_bind(partials, c_ref=c_ref), batch_format="pyarrow")
+            .to_pandas()
+        )
+        sums = np.zeros((nc, dim))
+        counts = np.zeros(nc)
+        np.add.at(counts, part["cluster"].to_numpy(), part["count"].to_numpy())
+        np.add.at(sums, part["cluster"].to_numpy(), np.stack(part["vsum"].to_numpy()))
+        live = counts > 0
+        cents[live] = sums[live] / np.maximum(
+            np.linalg.norm(sums[live], axis=1, keepdims=True), 1e-12
+        )
+        # empty clusters keep their previous centroid (deterministic)
+    return cents
+
+
+def ivf_topk(
+    embeddings: "ray.data.Dataset",
+    query_vectors: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> "ray.data.Dataset":
+    """IVF approximate top-k: a spherical-k-means coarse quantizer assigns
+    every vector to its nearest centroid; each query scores only vectors in
+    its ``nprobe`` nearest clusters.  Same output schema as
+    ``brute_force_topk``; recall grows with nprobe (nprobe = n_clusters is
+    exhaustive).  Pass ``centroids`` to reuse a trained quantizer (the
+    scale path: train once on a sample, search many times)."""
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else kmeans_centroids(embeddings, n_clusters, n_iter, vec_col)
+    )
+    q = np.asarray(query_vectors, dtype=np.float64)
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    npb = min(nprobe, len(cents))
+    qsims = q @ cents.T  # (nq, nc)
+    probe = np.argpartition(-qsims, npb - 1, axis=1)[:, :npb]  # (nq, npb)
+    probe_mask = np.zeros((len(q), len(cents)), dtype=bool)
+    np.put_along_axis(probe_mask, probe, True, axis=1)
+    q_ref = ray.put(q)
+    c_ref = ray.put(cents)
+    m_ref = ray.put(probe_mask)
+
+    def probed_topk(t: pa.Table) -> pa.Table:
+        from bitfunnel_ray.functions.mem import tune_allocator
+
+        tune_allocator()
+        c = ray.get(c_ref)
+        qm = ray.get(q_ref)
+        mask = ray.get(m_ref)  # (nq, nc)
+        vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(unit @ c.T, axis=1)  # (n,)
+        ids = t[id_col].to_numpy()
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(qm)):
+            keep = mask[qi, assign]
+            if not keep.any():
+                continue
+            s = unit[keep] @ qm[qi]
+            cids = ids[keep]
+            kk = min(k, len(s))
+            part = np.argpartition(-s, kk - 1)[:kk]
+            thresh = s[part].min()
+            cand = np.flatnonzero(s >= thresh)
+            sel = cand[np.lexsort((cids[cand], -s[cand]))[:kk]]
+            out_q.append(np.full(len(sel), qi, dtype=np.int64))
+            out_id.append(cids[sel])
+            out_sim.append(s[sel])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id).astype(np.int64)),
+                "cosine": pa.array(np.concatenate(out_sim), pa.float64()),
+            }
+        )
+
+    parts = embeddings.select_columns([id_col, vec_col]).map_batches(
+        probed_topk, batch_format="pyarrow"
+    )
+    return parts.groupby("query_id").map_groups(
+        partial(_final_topk, k=k), batch_format="pandas"
+    )

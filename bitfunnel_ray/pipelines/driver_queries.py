@@ -525,6 +525,12 @@ def q_ann_lsh_topk(sf_dir):
     return ann.lsh_topk(emb, _ann_query_matrix(sf_dir), k=10)
 
 
+def q_ann_ivf_topk(sf_dir):
+    """IVF ANN: distributed spherical-k-means quantizer + nprobe search."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.ivf_topk(emb, _ann_query_matrix(sf_dir), k=10, n_clusters=8, nprobe=3)
+
+
 def q_multimodal_features(sf_dir):
     from bitfunnel_ray.ops.multimodal import extract_features, html_to_media
 
@@ -645,5 +651,6 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, None),
     "fingerprint": (q_fingerprint, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
     "multimodal_features": (q_multimodal_features, None),
 }

@@ -100,3 +100,23 @@ def test_merged_segment_serves(halves, tmp_path):
         ra, rb = a.search(q, k=10).to_pandas(), b.search(q, k=10).to_pandas()
         assert ra["doc_id"].tolist() == rb["doc_id"].tolist(), q
         assert np.allclose(ra["score"], rb["score"]), q
+
+
+def test_merge_resume_after_partial(halves, tmp_path):
+    """A merge killed mid-way (some buckets written, no manifest) must
+    resume to a byte-identical result, re-doing only missing buckets."""
+    s1, s2, full, root = halves
+    out = str(tmp_path / "resume")
+    man = merge_segments([s1, s2], out)
+    # simulate the kill: drop the manifest and two bucket files
+    os.remove(os.path.join(out, "manifest.json"))
+    victims = sorted(glob.glob(os.path.join(out, "dict-*.parquet")))[:2]
+    for v in victims:
+        os.remove(v)
+    man2 = merge_segments([s1, s2], out)
+    assert man2["n_docs"] == man["n_docs"]
+    ref = _dict_tables(os.path.join(root, "merged"))
+    got = _dict_tables(out)
+    assert got.keys() == ref.keys()
+    for name in got:
+        assert got[name].equals(ref[name]), name

@@ -228,3 +228,51 @@ def test_jaccard_verify_distributed_no_cap():
     j01 = got[(got.doc_a == 0) & (got.doc_b == 1)]["jaccard"].iloc[0]
     assert j01 == 27 / 29  # |∩|=27, |∪|=28+28-27
     assert got[(got.doc_a == 0) & (got.doc_b == 2)]["jaccard"].iloc[0] == 0.0
+
+
+def test_ann_ivf_recall_and_exhaustive():
+    rng = np.random.default_rng(29)
+    vecs = rng.standard_normal((600, 32))
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(600), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    q = vecs[:3]
+    exact = ann.brute_force_topk(emb, q, k=10).to_pandas()
+    # nprobe == n_clusters probes everything → identical to brute force
+    full = ann.ivf_topk(emb, q, k=10, n_clusters=8, nprobe=8, n_iter=3).to_pandas()
+    for qi in range(3):
+        e = exact[exact.query_id == qi].sort_values("rank")
+        f = full[full.query_id == qi].sort_values("rank")
+        assert e["vec_id"].tolist() == f["vec_id"].tolist(), qi
+    # nprobe < n_clusters: approximate but majority recall, and the query
+    # vector itself always survives (its own cluster is probed first)
+    approx = ann.ivf_topk(emb, q, k=10, n_clusters=8, nprobe=3, n_iter=3).to_pandas()
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5
+    assert 0 in set(approx[approx.query_id == 0]["vec_id"])
+
+
+def test_kmeans_centroids_deterministic():
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((300, 16))
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    c1 = ann.kmeans_centroids(emb, n_clusters=4, n_iter=3)
+    c2 = ann.kmeans_centroids(emb, n_clusters=4, n_iter=3)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
