@@ -34,6 +34,9 @@ DICT_SCHEMA = pa.schema(
         ("salt", pa.uint32()),
         ("n_postings", pa.int64()),
         ("cf", pa.int64()),
+        # doc-delta stream codec per chunk (treatment-band choice):
+        # 0 = LEB128 varint, 1 = PFor patched bit-packing (functions/pfor.py)
+        ("codec", pa.uint8()),
         ("docs_payload", pa.large_binary()),
         ("tf_payload", pa.large_binary()),
         ("dl_payload", pa.large_binary()),
@@ -41,6 +44,10 @@ DICT_SCHEMA = pa.schema(
         ("max_tfn", pa.list_(pa.float64())),
     ]
 )
+
+CODEC_VARINT = 0
+CODEC_PFOR = 1
+_CODEC_IDS = {"varint": CODEC_VARINT, "pfor": CODEC_PFOR}
 
 
 def _binary_from_stream(stream: np.ndarray, cell_ends: np.ndarray) -> pa.LargeBinaryArray:
@@ -162,15 +169,48 @@ def _encode_part(term_hash, gram_size, salt, doc_id, tf, doclen, avgdl, k1, b, b
     dl_ends = np.add.reduceat(dl_len, starts).cumsum()
 
     # block metadata (segmented by chunk, blocks of block_size postings).
-    # block_size may be a df-banded treatment spec — each chunk's skip
-    # granularity then follows its frequency band (TermTreatmentFactory
-    # analog); boundaries stay self-describing via last_docs.
+    # block_size may be a df-banded treatment spec (ub, block_size[, codec])
+    # — each chunk's skip granularity AND doc-delta codec then follow its
+    # frequency band (TermTreatmentFactory analog); boundaries stay
+    # self-describing via last_docs.
     if isinstance(block_size, int):
         bs_chunk = np.full(len(lens), block_size, dtype=np.int64)
+        codec_chunk = np.zeros(len(lens), dtype=np.uint8)
     else:
-        bs_chunk = np.full(len(lens), int(block_size[-1][1]), dtype=np.int64)
-        for ub, bs in reversed([p for p in block_size if p[0] is not None]):
-            bs_chunk[lens <= int(ub)] = int(bs)
+        def _parse(band):
+            return (
+                band[0],
+                int(band[1]),
+                _CODEC_IDS[band[2]] if len(band) > 2 else CODEC_VARINT,
+            )
+
+        _, last_bs, last_cd = _parse(block_size[-1])
+        bs_chunk = np.full(len(lens), last_bs, dtype=np.int64)
+        codec_chunk = np.full(len(lens), last_cd, dtype=np.uint8)
+        for band in reversed([b for b in block_size if b[0] is not None]):
+            ub, bs, cd = _parse(band)
+            m = lens <= int(ub)
+            bs_chunk[m] = bs
+            codec_chunk[m] = cd
+    if codec_chunk.any():
+        # splice PFor-encoded doc-delta segments over the varint stream for
+        # the (few, long) chunks whose band chose the pfor codec
+        from bitfunnel_ray.functions.pfor import encode_pfor
+
+        sz = np.diff(np.concatenate([[0], docs_ends]))
+        vstarts = docs_ends - sz
+        new_sz = sz.copy()
+        pieces = []
+        cursor = 0
+        for j in np.flatnonzero(codec_chunk == CODEC_PFOR):
+            pieces.append(docs_stream[cursor : vstarts[j]])
+            seg = encode_pfor(deltas[starts[j] : starts[j] + lens[j]])
+            pieces.append(seg)
+            new_sz[j] = len(seg)
+            cursor = int(docs_ends[j])
+        pieces.append(docs_stream[cursor:])
+        docs_stream = np.concatenate(pieces)
+        docs_ends = np.cumsum(new_sz)
     nblocks = (lens + bs_chunk - 1) // bs_chunk
     total_blocks = int(nblocks.sum())
     block_cum0 = np.cumsum(nblocks)
@@ -191,6 +231,7 @@ def _encode_part(term_hash, gram_size, salt, doc_id, tf, doclen, avgdl, k1, b, b
         "salt": s[starts],
         "n_postings": lens.astype(np.int64),
         "cf": cf,
+        "codec": codec_chunk,
         "docs_stream": docs_stream,
         "tf_stream": tf_stream,
         "dl_stream": dl_stream,
@@ -248,6 +289,7 @@ def _assemble(parts) -> pa.Table:
             "salt": pa.array(_cat(parts, "salt"), pa.uint32()),
             "n_postings": pa.array(_cat(parts, "n_postings")),
             "cf": pa.array(_cat(parts, "cf")),
+            "codec": pa.array(_cat(parts, "codec"), pa.uint8()),
             "docs_payload": _binary_from_stream(_cat(parts, "docs_stream"), _cat_ends(parts, "docs_ends")),
             "tf_payload": _binary_from_stream(_cat(parts, "tf_stream"), _cat_ends(parts, "tf_ends")),
             "dl_payload": _binary_from_stream(_cat(parts, "dl_stream"), _cat_ends(parts, "dl_ends")),
@@ -265,8 +307,20 @@ class DecodedChunk:
     doclen: np.ndarray   # uint64
 
 
-def decode_chunk(docs_payload: bytes, tf_payload: bytes, dl_payload: bytes, n_postings: int) -> DecodedChunk:
-    deltas = varint.decode(np.frombuffer(docs_payload, dtype=np.uint8), count=n_postings)
+def decode_chunk(
+    docs_payload: bytes,
+    tf_payload: bytes,
+    dl_payload: bytes,
+    n_postings: int,
+    codec: int = CODEC_VARINT,
+) -> DecodedChunk:
+    buf = np.frombuffer(docs_payload, dtype=np.uint8)
+    if codec == CODEC_PFOR:
+        from bitfunnel_ray.functions.pfor import decode_pfor
+
+        deltas = decode_pfor(buf, n_postings)
+    else:
+        deltas = varint.decode(buf, count=n_postings)
     doc_ids = np.cumsum(deltas, dtype=np.uint64)
     tf = varint.decode(np.frombuffer(tf_payload, dtype=np.uint8), count=n_postings)
     dl = varint.decode(np.frombuffer(dl_payload, dtype=np.uint8), count=n_postings)

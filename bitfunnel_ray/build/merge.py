@@ -43,13 +43,49 @@ def _column_stream(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
 def decode_bucket_table(t: pa.Table):
     """dict table → flat posting arrays (term_hash, gram, salt, doc_id,
     tf, doclen), whole-bucket vectorized: one varint decode per stream and
-    a segmented cumsum to undo the per-chunk delta encoding."""
+    a segmented cumsum to undo the per-chunk delta encoding.  PFor-coded
+    chunks (treatment bands — few, long lists) decode chunk-wise and are
+    spliced back into the delta stream."""
     n_post = t["n_postings"].to_numpy()
     total = int(n_post.sum())
     if total == 0:
         e = np.empty(0, np.uint64)
         return e, np.empty(0, np.uint8), np.empty(0, np.uint32), e, e, e
-    deltas = varint.decode(_column_stream(t["docs_payload"]), count=total)
+    codec = (
+        t["codec"].to_numpy(zero_copy_only=False)
+        if "codec" in t.column_names
+        else np.zeros(len(t), np.uint8)
+    )
+    if codec.any():
+        from bitfunnel_ray.build.encode import CODEC_PFOR
+        from bitfunnel_ray.functions.pfor import decode_pfor
+
+        docs_col = t["docs_payload"].combine_chunks() if isinstance(
+            t["docs_payload"], pa.ChunkedArray
+        ) else t["docs_payload"]
+        post_starts = np.concatenate([[0], np.cumsum(n_post)[:-1]]).astype(np.int64)
+        deltas = np.empty(total, dtype=np.uint64)
+        v_rows = np.flatnonzero(codec != CODEC_PFOR)
+        if len(v_rows):
+            vt = t.take(pa.array(v_rows))
+            v_deltas = varint.decode(
+                _column_stream(vt["docs_payload"]),
+                count=int(vt["n_postings"].to_numpy().sum()),
+            )
+            # scatter the varint rows' deltas back to their chunk slots
+            v_np = n_post[v_rows]
+            idx = np.repeat(post_starts[v_rows], v_np) + (
+                np.arange(int(v_np.sum()))
+                - np.repeat(np.cumsum(v_np) - v_np, v_np)
+            )
+            deltas[idx] = v_deltas
+        for r in np.flatnonzero(codec == CODEC_PFOR):
+            deltas[post_starts[r] : post_starts[r] + n_post[r]] = decode_pfor(
+                np.frombuffer(docs_col[int(r)].as_py(), dtype=np.uint8),
+                int(n_post[r]),
+            )
+    else:
+        deltas = varint.decode(_column_stream(t["docs_payload"]), count=total)
     tf = varint.decode(_column_stream(t["tf_payload"]), count=total)
     dl = varint.decode(_column_stream(t["dl_payload"]), count=total)
     starts = np.concatenate([[0], np.cumsum(n_post)[:-1]]).astype(np.int64)

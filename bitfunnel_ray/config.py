@@ -30,14 +30,17 @@ class EngineConfig:
     block_size: int = 128
     # df-banded treatments — the TermTreatmentFactory analog (reference:
     # src/Index/src/TermTreatmentFactory.cpp:47-55 maps IdfX10 bands to six
-    # row policies; here a band picks the skip-block size for its posting
-    # lists).  Tuple of (df_upper_bound, block_size) pairs, ascending, with
-    # a final (None, block_size) catch-all; None disables banding (every
-    # chunk uses ``block_size``).  Block boundaries are self-describing at
-    # query time (WAND looks blocks up by searchsorted on last_docs), so
-    # banding changes no format — only the metadata/skip granularity
-    # tradeoff per frequency band.  Example:
-    #   ((256, 64), (65536, 128), (None, 256))
+    # row policies; here a band picks the skip-block size AND the doc-delta
+    # codec for its posting lists).  Tuple of
+    # (df_upper_bound, block_size[, codec]) entries, ascending, with a
+    # final (None, ...) catch-all; codec ∈ {"varint", "pfor"} (default
+    # varint; pfor = patched bit-packing, functions/pfor.py — worth it for
+    # long/head lists where deltas are small and dense).  None disables
+    # banding (every chunk uses ``block_size`` + varint).  Block boundaries
+    # are self-describing at query time (WAND looks blocks up by
+    # searchsorted on last_docs) and the codec is a per-chunk dict column,
+    # so bands change the storage plan, never the results.  Example:
+    #   ((256, 64), (65536, 128), (None, 256, "pfor"))
     treatment_bands: tuple | None = None
 
     # --- the build shuffle ---

@@ -104,9 +104,17 @@ class _Segment:
         docs_col = self.dict["docs_payload"]
         tf_col = self.dict["tf_payload"]
         dl_col = self.dict["dl_payload"]
+        # codec column absent in pre-treatment segments → all-varint
+        codec_col = (
+            self.dict["codec"] if "codec" in self.dict.column_names else None
+        )
         parts = [
             decode_chunk(
-                docs_col[r].as_py(), tf_col[r].as_py(), dl_col[r].as_py(), int(self._np[r])
+                docs_col[r].as_py(),
+                tf_col[r].as_py(),
+                dl_col[r].as_py(),
+                int(self._np[r]),
+                int(codec_col[r].as_py()) if codec_col is not None else 0,
             )
             for r in rows
         ]
