@@ -35,6 +35,11 @@ def _band_partials(batch: pa.Table, *, n_docs: int) -> pa.Table:
 
     df = batch["n_postings"].to_numpy().astype(np.float64)
     gram = batch["gram_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    codec = (
+        batch["codec"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if "codec" in batch.column_names
+        else np.zeros(len(batch), np.int64)
+    )
     # IdfX10 = round(10 * log10(n_docs / df)), clipped to [0, 60] like the
     # reference's IdfX10 ceiling (Term.h MaxIdfX10Value = 60)
     idf = np.clip(np.round(10.0 * np.log10(max(n_docs, 1) / np.maximum(df, 1.0))), 0, 60)
@@ -43,14 +48,15 @@ def _band_partials(batch: pa.Table, *, n_docs: int) -> pa.Table:
         + pc.binary_length(batch["tf_payload"]).to_numpy().astype(np.int64)
         + pc.binary_length(batch["dl_payload"]).to_numpy().astype(np.int64)
     )
-    key = idf.astype(np.int64) * 16 + gram
+    key = (idf.astype(np.int64) * 16 + gram) * 4 + codec
     order = np.argsort(key, kind="stable")
     k = key[order]
     starts = np.flatnonzero(np.diff(k, prepend=-1))
     return pa.table(
         {
-            "idf_x10": pa.array(k[starts] // 16, pa.int64()),
-            "gram_size": pa.array(k[starts] % 16, pa.int64()),
+            "idf_x10": pa.array(k[starts] // 64, pa.int64()),
+            "gram_size": pa.array((k[starts] // 4) % 16, pa.int64()),
+            "codec": pa.array(k[starts] % 4, pa.int64()),
             "n_chunks": pa.array(
                 np.diff(np.append(starts, len(k))).astype(np.int64)
             ),
@@ -74,6 +80,7 @@ def segment_band_stats(index_dir: str) -> pa.Table:
             {
                 "idf_x10": pa.array([], pa.int64()),
                 "gram_size": pa.array([], pa.int64()),
+                "codec": pa.array([], pa.int64()),
                 "n_chunks": pa.array([], pa.int64()),
                 "n_postings": pa.array([], pa.int64()),
                 "payload_bytes": pa.array([], pa.int64()),
@@ -81,19 +88,21 @@ def segment_band_stats(index_dir: str) -> pa.Table:
         )
     from functools import partial
 
+    import pyarrow.parquet as pq
+
+    cols = ["n_postings", "gram_size", "docs_payload", "tf_payload", "dl_payload"]
+    if "codec" in pq.read_schema(files[0]).names:
+        cols.insert(2, "codec")  # absent in pre-treatment segments
     out = (
-        ray.data.read_parquet(
-            files,
-            columns=["n_postings", "gram_size", "docs_payload", "tf_payload", "dl_payload"],
-        )
+        ray.data.read_parquet(files, columns=cols)
         .map_batches(partial(_band_partials, n_docs=n_docs), batch_format="pyarrow")
-        .groupby(["idf_x10", "gram_size"])
+        .groupby(["idf_x10", "gram_size", "codec"])
         .aggregate(
             Sum("n_chunks", alias_name="n_chunks"),
             Sum("n_postings", alias_name="n_postings"),
             Sum("payload_bytes", alias_name="payload_bytes"),
         )
-        .sort(["idf_x10", "gram_size"])
+        .sort(["idf_x10", "gram_size", "codec"])
         .to_pandas()
     )
     out["bytes_per_posting"] = (out["payload_bytes"] / out["n_postings"]).round(3)

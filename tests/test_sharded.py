@@ -93,3 +93,32 @@ def test_actor_pool_serving(server):
     # zero-match query emits its rank-0 marker row
     marker = res[res["query_id"] == QUERIES.index("zzz_nonexistent_term")]
     assert (marker["rank"] == 0).all() and (marker["n_matches"] == 0).all()
+
+
+def test_sharded_multi_segment(tmp_path_factory, ray_session):
+    """Sharded serving over TWO additive segments must equal the local
+    multi-segment engine on every query shape."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from bitfunnel_ray.sources.corpus import _lift_documents_batch
+
+    root = tmp_path_factory.mktemp("sharded_multi")
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    cfg = EngineConfig(max_gram=2, num_buckets=8)
+    s1, s2 = str(root / "s1"), str(root / "s2")
+    build_index(rd.from_arrow(_lift_documents_batch(docs.slice(0, 250))), s1, cfg)
+    build_index(rd.from_arrow(_lift_documents_batch(docs.slice(250))), s2, cfg)
+    # fractional CPUs: the module-scoped server's actors are still alive,
+    # and whole-CPU reservations would deadlock the 4-cpu test session
+    srv = ShardedServer([s1, s2], n_shards=3, num_cpus_per_shard=0.25)
+    try:
+        local = SearchEngine([s1, s2], load_urls=False)
+        eng = srv.engine()
+        for q in QUERIES:
+            node = parse_query(q)
+            assert np.array_equal(eng.eval(node), local.eval(node)), q
+        stats = srv.shard_stats()
+        assert sum(s["local_docs"] for s in stats) == 500
+    finally:
+        srv.shutdown()
