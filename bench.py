@@ -127,7 +127,9 @@ def run_bench() -> dict:
     # shard count + concurrency pinned (not a function of ncpu): actor init
     # (dict load) is part of the measured stage; identical pool = same work
     server = ShardedServer(idx_dir, n_shards=4)
-    results = server.run(qlog, k=10, concurrency=4, batch_size=32)
+    # batch 128: fewer per-batch shard RPCs (measured ~10% QPS; larger
+    # pools gain little — the mean query cost, not the pool, dominates)
+    results = server.run(qlog, k=10, concurrency=4, batch_size=128)
     stats = summarize(results)
     server.shutdown()
     timings["query_serve"] = time.perf_counter() - t0

@@ -87,18 +87,59 @@ def quality_score(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
 # built once per actor) ---------------------------------------------------
 
 _PROFILES: dict[str, frozenset[str]] = {
-    "en": frozenset("the of and to in is was for on that it with as at by".split()),
-    "de": frozenset("der die das und ist von zu mit den nicht auf ein eine".split()),
-    "es": frozenset("el la de que y los en un una es por con para".split()),
-    "fr": frozenset("le la les de et des en un une est que pour dans".split()),
-    "zh": frozenset("的 是 了 在 我 有 和 不 人 这".split()),
+    "en": frozenset(
+        "the of and to in is was for on that it with as at by this be are "
+        "from or an have not but had his they you which one were her she".split()
+    ),
+    "de": frozenset(
+        "der die das und ist von zu mit den nicht auf ein eine im dem des "
+        "sich als auch es an werden aus er hat dass sie nach wird bei um".split()
+    ),
+    "es": frozenset(
+        "el la de que y los en un una es por con para las del se su al lo "
+        "como más pero sus le ya o este sí porque esta entre cuando".split()
+    ),
+    "fr": frozenset(
+        "le la les de et des en un une est que pour dans ce il qui ne sur "
+        "se pas plus par je avec tout faire son mais comme ou si leur".split()
+    ),
+    "it": frozenset(
+        "il di che e la un a per in una sono mi si lo ma ha le con non "
+        "come io questo qui hai del più al sei ci nel".split()
+    ),
+    "pt": frozenset(
+        "o de a e que do da em um para com não uma os no se na por mais "
+        "as dos como mas ao ele das à seu sua ou quando muito".split()
+    ),
+    "nl": frozenset(
+        "de het een en van ik te dat die in je niet zijn is was op aan "
+        "met als voor had er maar om hem dan zou of wat mijn".split()
+    ),
 }
+
+# UTF-8 lead-byte script classes (vectorized over raw bytes — no per-char
+# python): a dominant non-latin script decides the language directly.
+# Thresholds are on the LEAD-byte fraction of all bytes: a pure 2-byte
+# script tops out at 1/2 lead bytes, a pure 3-byte script at 1/3, so the
+# "dominant" bar sits at roughly half the ceiling.
+_SCRIPTS = (
+    # (lang, lead lo, lead hi, dominance threshold)
+    ("ru", 0xD0, 0xD1, 0.25),  # Cyrillic U+0400-04FF (2-byte)
+    ("ar", 0xD8, 0xDB, 0.25),  # Arabic U+0600-06FF (2-byte)
+    ("zh", 0xE4, 0xE9, 0.15),  # CJK Unified U+4E00-9FFF (3-byte)
+    ("ko", 0xEA, 0xED, 0.15),  # Hangul syllables U+AC00-D7AF (3-byte)
+)
+_KANA_LEAD = 0xE3  # U+3000-3FFF incl. hiragana/katakana (3-byte) → ja
 
 
 class LangId:
-    """Marker-word language classifier (stub-grade heuristic: real models
-    aren't in this container; the Ray plumbing — actor pool, batch shape,
-    output schema — is the real deliverable)."""
+    """Deterministic two-stage language classifier: (1) vectorized UTF-8
+    script detection over raw bytes — a document dominated by Cyrillic /
+    Arabic / CJK / Hangul / kana bytes is classified by script (kana
+    presence upgrades CJK to ja); (2) otherwise a stopword vote over seven
+    Latin-script languages (dictionary-encoded batch → unique-vocab
+    lookup).  No external models (none exist in this container); both
+    stages are closed-form and reproducible."""
 
     def __init__(self, profiles: dict[str, frozenset[str]] | None = None):
         self.profiles = profiles or _PROFILES
@@ -108,6 +149,27 @@ class LangId:
             for w in self.profiles[lang]:
                 self.vocab.setdefault(w, 0)
                 self.vocab[w] |= 1 << li
+
+    def _script_votes(self, t: pa.Table, n: int):
+        """Per-doc byte counts for each script class (+ kana)."""
+        import pyarrow.compute as pc
+
+        bin_col = pc.cast(pc.fill_null(t["text"], ""), pa.large_binary())
+        arr = bin_col.combine_chunks() if isinstance(bin_col, pa.ChunkedArray) else bin_col
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=n + 1)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        bounds = offs[:-1]
+        counts = {}
+        for lang, lo, hi, _thr in _SCRIPTS:
+            ind = ((data >= lo) & (data <= hi)).astype(np.int64)
+            cs = np.concatenate([[0], np.cumsum(ind)])
+            counts[lang] = cs[offs[1:]] - cs[bounds]
+        ind = (data == _KANA_LEAD).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(ind)])
+        counts["_kana"] = cs[offs[1:]] - cs[bounds]
+        total = np.maximum(offs[1:] - bounds, 1)
+        return counts, total
 
     def __call__(self, t: pa.Table) -> pa.Table:
         flat, doc_of, doclen = flat_tokens(t["text"])
@@ -128,7 +190,30 @@ class LangId:
             scores[:, li] = np.bincount(doc_of, weights=hit.astype(np.float64), minlength=n)
         best = np.argmax(scores, axis=1)
         conf = scores[np.arange(n), best] / np.maximum(doclen, 1)
-        pred = np.where(scores.sum(axis=1) > 0, np.asarray(self.langs, object)[best], "und")
+        # real prose carries a 30-70% stopword share; below 15% the vote is
+        # noise (pseudo-words hitting one-letter markers) → undetermined
+        pred = np.where(conf >= 0.15, np.asarray(self.langs, object)[best], "und")
+        # script stage overrides the stopword vote where a non-latin
+        # script dominates the document's bytes
+        sc, total = self._script_votes(t, n)
+        kana_frac = sc["_kana"] / total
+        for lang, _lo, _hi, thr in _SCRIPTS:
+            frac = sc[lang] / total
+            if lang == "zh":
+                # CJK text with meaningful kana share is Japanese (kanji +
+                # kana mix); the combined lead fraction crosses the bar
+                both = frac + kana_frac
+                ja = (both > thr) & (kana_frac > 0.05)
+                pred[ja] = "ja"
+                conf[ja] = both[ja]
+                m = (frac > thr) & ~ja
+            else:
+                m = frac > thr
+            pred[m] = lang
+            conf[m] = frac[m]
+        kana_only = kana_frac > 0.15  # kana-dominant (little kanji) → ja
+        pred[kana_only] = "ja"
+        conf[kana_only] = np.maximum(conf[kana_only], kana_frac[kana_only])
         return pa.table(
             {
                 "doc_id": t["doc_id"],

@@ -128,10 +128,32 @@ def test_lang_id_markers():
             "the cat sat on the mat and it was happy",
             "der hund ist nicht auf der wiese und das ist gut",
             "el perro es un animal que vive en la casa",
+            "le chien est dans la maison avec le chat",
+            "il cane è un animale che vive nella casa ma non qui",
+            "o cão é um animal que vive na casa e não sai",
+            "de hond is een dier dat in het huis woont en niet weg wil",
         ]
     )
     got = textstats.lang_id(c).to_pandas().sort_values("doc_id")
-    assert got["lang_pred"].tolist() == ["en", "de", "es"]
+    assert got["lang_pred"].tolist() == ["en", "de", "es", "fr", "it", "pt", "nl"]
+
+
+def test_lang_id_scripts():
+    """Non-latin scripts classify by vectorized UTF-8 lead-byte detection
+    (kana presence upgrades CJK to ja; kana-only is ja too)."""
+    c = _corpus(
+        [
+            "Это русский текст о собаках и кошках в доме",
+            "هذا نص عربي عن الكلاب والقطط في المنزل",
+            "这是一段关于猫和狗的中文文本 它们住在房子里",
+            "これは犬と猫についての日本語のテキストです",
+            "이것은 집에 사는 개와 고양이에 관한 한국어 텍스트입니다",
+            "ひらがなだけのにほんごのぶんしょうです",
+            "zxq wvv qqq zz",
+        ]
+    )
+    got = textstats.lang_id(c).to_pandas().sort_values("doc_id")
+    assert got["lang_pred"].tolist() == ["ru", "ar", "zh", "ja", "ko", "ja", "und"]
 
 
 def test_fingerprint_order_sensitive():
