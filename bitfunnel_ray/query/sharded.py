@@ -60,6 +60,13 @@ class IndexShardActor:
 
     def __init__(self, index_dirs: "list[str]", shard_id: int, n_shards: int):
         self.shard_id, self.n_shards = int(shard_id), int(n_shards)
+        # decoded-postings ref cache: hot terms are decoded + ray.put ONCE
+        # per shard, then every front-end fetch returns the same tiny
+        # ObjectRef and reads the plasma object zero-copy — without this,
+        # each of F front-ends forces a fresh decode + serialization of
+        # multi-MB posting lists per hot term (F× shard CPU, F× copies)
+        self._ref_cache: dict = {}
+        self._ref_cache_cap = 65536
         self.segments = []
         local_doc_parts = []
         for d in index_dirs:
@@ -101,20 +108,31 @@ class IndexShardActor:
         )
 
     def postings_many(self, pairs: "list[tuple[int, int]]", serve_avgdl: float):
-        """For each (term_hash, gram): this shard's decoded chunks +
-        block-max metadata (max_tfn pre-inflated to the serving avgdl).
-        Returns a list of (parts, metas) aligned with ``pairs`` where
-        parts = [(doc_ids, tf, doclen), ...]."""
+        """For each (term_hash, gram): an ObjectRef to this shard's decoded
+        chunks + block-max metadata (max_tfn pre-inflated to the serving
+        avgdl).  The ref points at ``(parts, metas)`` where parts =
+        [(doc_ids, tf, doclen), ...]; callers ``ray.get`` the refs and read
+        the numpy payloads zero-copy from the object store.  Refs are
+        cached so repeated fetches of the same term (every front-end warms
+        the same hot query terms) cost one decode + one serialization
+        total per shard."""
+        ak = round(float(serve_avgdl), 3)
         out = []
         for h, g in pairs:
-            parts, metas = [], []
-            for s in self.segments:
-                rows = s.chunk_rows(h, g)
-                for dc in s.decode_rows(rows):
-                    parts.append((dc.doc_ids, dc.tf, dc.doclen))
-                infl = max(1.0, serve_avgdl / s.avgdl) if s.avgdl > 0 else 1.0
-                metas.extend((ld, mt * infl) for ld, mt in s.block_meta_rows(rows))
-            out.append((parts, metas))
+            key = (int(h), int(g), ak)
+            ref = self._ref_cache.get(key)
+            if ref is None:
+                parts, metas = [], []
+                for s in self.segments:
+                    rows = s.chunk_rows(h, g)
+                    for dc in s.decode_rows(rows):
+                        parts.append((dc.doc_ids, dc.tf, dc.doclen))
+                    infl = max(1.0, serve_avgdl / s.avgdl) if s.avgdl > 0 else 1.0
+                    metas.extend((ld, mt * infl) for ld, mt in s.block_meta_rows(rows))
+                ref = ray.put((parts, metas))
+                if len(self._ref_cache) < self._ref_cache_cap:
+                    self._ref_cache[key] = ref
+            out.append(ref)
         return out
 
     def complement(self, sorted_docs: np.ndarray) -> np.ndarray:
@@ -220,11 +238,19 @@ class ShardedSearchEngine(QueryAlgebra):
             s: self.shards[s].postings_many.remote(ps, self.avgdl)
             for s, ps in per_shard.items()
         }
-        gathered: dict[tuple[int, int], tuple[list, list]] = {k: ([], []) for k in need}
+        # two-level gather: the RPC returns tiny ObjectRefs (shard-side ref
+        # cache); one batched ray.get then reads every posting payload
+        # zero-copy from the object store
+        inner: "list" = []
+        owners: "list[tuple[int, tuple[int, int]]]" = []
         for s, ref in refs.items():
-            for key, (parts, metas) in zip(per_shard[s], ray.get(ref)):
-                gathered[key][0].extend(_DecodedChunkView(t) for t in parts)
-                gathered[key][1].extend(metas)
+            for key, pref in zip(per_shard[s], ray.get(ref)):
+                inner.append(pref)
+                owners.append((s, key))
+        gathered: dict[tuple[int, int], tuple[list, list]] = {k: ([], []) for k in need}
+        for (_s, key), (parts, metas) in zip(owners, ray.get(inner)):
+            gathered[key][0].extend(_DecodedChunkView(t) for t in parts)
+            gathered[key][1].extend(metas)
         for key, (parts, metas) in gathered.items():
             out = merge_chunks(parts, metas)
             if len(self._cache) < self._cache_cap:
@@ -239,15 +265,16 @@ class ShardedSearchEngine(QueryAlgebra):
             hit = self._cache.get(key)
             if hit is None:  # cache full: fetch without storing
                 s_ids = self._shards_for(key[0])
-                parts, metas = [], []
-                for s, res in zip(
-                    s_ids,
-                    ray.get(
+                inner = [
+                    r[0]
+                    for r in ray.get(
                         [self.shards[s].postings_many.remote([key], self.avgdl) for s in s_ids]
-                    ),
-                ):
-                    parts.extend(_DecodedChunkView(t) for t in res[0][0])
-                    metas.extend(res[0][1])
+                    )
+                ]
+                parts, metas = [], []
+                for p, m in ray.get(inner):
+                    parts.extend(_DecodedChunkView(t) for t in p)
+                    metas.extend(m)
                 hit = merge_chunks(parts, metas)
         return hit
 
