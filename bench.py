@@ -75,16 +75,24 @@ def run_bench() -> dict:
     # runs FIRST, like the reference's own workflow (statistics run →
     # termtable build → ingest): the build's head-term set falls out of
     # this table for free
+    from bitfunnel_ray.build.stats import top_k_by
+
     t0 = time.perf_counter()
-    df_tbl = (
+    # map-side top-k prune instead of .sort().limit(): the exchange moves
+    # ≤ 5000 rows/block, not the whole multi-million-term vocabulary (the
+    # full sort spilled and dominated this stage at low parallelism)
+    # 128 input blocks (= the corpus's row-group granularity, FIXED across
+    # scaling levels): 64 whole-file blocks leave 32 cpus with 2 coarse
+    # waves and ~25% idle tail; 128 packs both the 8- and 32-cpu runs
+    df_tbl = top_k_by(
         document_frequency_table(
-            rd.read_parquet(parquet_files), EngineConfig(max_gram=1)
-        )
-        .select_columns(["term", "df"])  # uint64 cols poison Ray's sort path
-        .sort("df", descending=True)
-        .limit(5000)
-        .to_pandas()
-    )
+            rd.read_parquet(parquet_files, override_num_blocks=128),
+            EngineConfig(max_gram=1),
+        ).select_columns(["term", "df", "term_hash"]),
+        k=5000,
+        col="df",
+        tiebreak="term_hash",
+    ).to_pandas()
     timings["stats_df"] = time.perf_counter() - t0
 
     # --- index build (docs/sec headline) --------------------------------
@@ -112,7 +120,9 @@ def run_bench() -> dict:
     idx_dir = "/tmp/bfr_bench_idx"
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    manifest = build_index(rd.read_parquet(parquet_files), idx_dir, cfg)
+    manifest = build_index(
+        rd.read_parquet(parquet_files, override_num_blocks=128), idx_dir, cfg
+    )
     timings["index_build"] = time.perf_counter() - t0
     extras["build_docs_per_sec"] = round(n_corpus / timings["index_build"], 1)
     extras["build_stages"] = manifest.get("stage_seconds", {})

@@ -134,6 +134,38 @@ def _combine_term_stats(t: pa.Table, *, emit_text: bool) -> pa.Table:
     return pa.table(cols)
 
 
+def top_k_by(
+    ds: "ray.data.Dataset",
+    k: int,
+    col: str = "df",
+    tiebreak: str | None = "term_hash",
+) -> pa.Table:
+    """Top-k rows by ``col`` descending (tiebreak ascending) WITHOUT the
+    all-to-all sort ``.sort(col).limit(k)`` runs: each block keeps only its
+    own top-k (exact, tie-aware), the ≤ k-rows-per-block partials are
+    gathered, and one in-memory sort finishes.  The exchange moves
+    O(k · n_blocks) rows instead of the whole table — at low parallelism
+    the full sort of a multi-million-term vocabulary dominated the stats
+    stage and spilled.  Returns the small result as a pyarrow Table."""
+    import pyarrow.compute as pc
+
+    keys = [(col, "descending")] + ([(tiebreak, "ascending")] if tiebreak else [])
+
+    def block_top_k(t: pa.Table) -> pa.Table:
+        if len(t) <= k:
+            return t
+        return t.take(pc.sort_indices(t, sort_keys=keys)[:k])
+
+    parts = ds.map_batches(block_top_k, batch_format="pyarrow", batch_size=None)
+    merged = pa.concat_tables(
+        parts.iter_batches(batch_format="pyarrow", batch_size=None),
+        promote_options="default",
+    )
+    if len(merged) == 0:
+        return merged
+    return merged.take(pc.sort_indices(merged, sort_keys=keys)[:k]).combine_chunks()
+
+
 class PartialDoclenHist:
     def __init__(self, max_gram: int = 1):
         self.max_gram = max_gram

@@ -103,13 +103,15 @@ def cmd_querylog(args):
     from bitfunnel_ray.config import EngineConfig
     from bitfunnel_ray.pipelines.querylog import generate_query_log
 
-    df = (
+    from bitfunnel_ray.build.stats import top_k_by
+
+    df = top_k_by(
         document_frequency_table(_load_corpus(args.corpus), EngineConfig(max_gram=1))
-        .select_columns(["term", "df"])
-        .sort("df", descending=True)
-        .limit(10000)
-        .to_pandas()
-    )
+        .select_columns(["term", "df", "term_hash"]),
+        k=10000,
+        col="df",
+        tiebreak="term_hash",
+    ).to_pandas()
     tbl = generate_query_log(df["term"].tolist(), args.count)
     pq.write_table(tbl, args.out)
     print(json.dumps({"out": args.out, "queries": len(tbl)}))

@@ -64,3 +64,28 @@ def test_doc_meta(sf_tiny):
     ).df()
     assert meta["doclen"].tolist() == want["doclen"].astype(int).tolist()
     assert meta["url"].iloc[0] == "https://example.org/doc/00000000"
+
+
+def test_top_k_by_matches_full_sort(sf_tiny):
+    """top_k_by (map-side prune + small merge) == full sort().limit(k),
+    including boundary ties, under the (df desc, term_hash asc) order."""
+    from bitfunnel_ray.build.stats import top_k_by
+
+    corpus = corpus_from_documents(sf_tiny)
+    ds = document_frequency_table(corpus, EngineConfig(max_gram=1)).select_columns(
+        ["term", "df", "term_hash"]
+    )
+    got = top_k_by(ds, k=10, col="df", tiebreak="term_hash").to_pandas()
+    full = (
+        document_frequency_table(corpus, EngineConfig(max_gram=1))
+        .select_columns(["term", "df", "term_hash"])
+        .to_pandas()
+        .sort_values(["df", "term_hash"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert len(got) == 10
+    pd.testing.assert_frame_equal(
+        got[["term", "df", "term_hash"]].reset_index(drop=True),
+        full[["term", "df", "term_hash"]],
+    )
