@@ -859,3 +859,294 @@ def embedding_dup_pairs(
         )
     out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- exact n-gram Jaccard dedup (no sketch) -------------------------------
+#
+# The sketch-free sibling of minhash_dedup_pairs: candidate pairs are docs
+# sharing at least one NON-HOT k-token shingle (exact, every true pair with
+# jaccard > 0 over the filtered shingle space is a candidate), and the
+# jaccard itself falls out of the same exchange — the pair's multiplicity
+# across shingle groups IS |A∩B|, and |A| + |B| come from a size join.
+# Fully SQL-expressible, so this operator carries a DuckDB oracle (unlike
+# the LSH paths).  Four hash exchanges, no driver funnel:
+#   shingle → (pairs + size partials)   [hot filter is EXACT here: the
+#                                        exchange co-locates a shingle's
+#                                        rows, so run length = global df]
+#   doc     → exact per-doc filtered sizes
+#   pair    → distinct pairs + intersection counts
+#   doc/pair→ attach sizes, reduce jaccard (same union-carrier pattern as
+#             _payload_join)
+
+
+def _shingle_doc_rows(t: pa.Table, *, k: int) -> pa.Table:
+    acc, d, _ = shingle_flat(t["text"], k)
+    if len(acc) == 0:
+        return pa.table(
+            {"shingle": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+        )
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[d]
+    return pa.table(
+        {
+            "shingle": pa.array(acc.view(np.int64), pa.int64()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+        }
+    )
+
+
+def _jaccard_pairs_and_sizes_block(t: pa.Table, *, max_df: int) -> pa.Table:
+    """One shingle-partitioned block → pair rows (doc_id = sentinel) +
+    per-doc size partials (doc_a/doc_b = sentinel).  Shingle runs longer
+    than ``max_df`` are stop-shingles: dropped from BOTH pair-gen and the
+    size partials, so jaccard stays exact over the filtered shingle
+    space (the SQL oracle applies the identical HAVING df <= max_df
+    filter)."""
+    from bitfunnel_ray.functions.mem import tune_allocator
+
+    tune_allocator()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "n_part": pa.array([], pa.int64()),
+        }
+    )
+    if len(t) == 0:
+        return empty
+    sh = t["shingle"].to_numpy(zero_copy_only=False)
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, sh))
+    sh, doc = sh[order], doc[order]
+    new = np.empty(len(sh), dtype=bool)
+    new[0] = True
+    new[1:] = sh[1:] != sh[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(sh)))
+    keep_run = lens <= max_df
+    # rows belonging to kept runs → size partials per doc
+    row_keep = np.repeat(keep_run, lens)
+    kept_docs = doc[row_keep]
+    out_tables = []
+    if len(kept_docs):
+        ud, cnt = np.unique(kept_docs, return_counts=True)
+        s = np.full(len(ud), _SENTINEL, np.int64)
+        out_tables.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(ud, pa.int64()),
+                    "doc_a": pa.array(s, pa.int64()),
+                    "doc_b": pa.array(s, pa.int64()),
+                    "n_part": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+        )
+    # pairs per kept run of length >= 2, by length class (no python loop
+    # over groups — one broadcasted index template per distinct length)
+    out_a, out_b = [], []
+    for L in np.unique(lens):
+        if L < 2 or L > max_df:
+            continue
+        s = starts[(lens == L) & keep_run]
+        if not len(s):
+            continue
+        ai, bj = np.triu_indices(int(L), k=1)
+        out_a.append(doc[(s[:, None] + ai[None, :]).ravel()])
+        out_b.append(doc[(s[:, None] + bj[None, :]).ravel()])
+    if out_a:
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        s = np.full(len(a), _SENTINEL, np.int64)
+        out_tables.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(s, pa.int64()),
+                    "doc_a": pa.array(lo, pa.int64()),
+                    "doc_b": pa.array(hi, pa.int64()),
+                    "n_part": pa.array(np.zeros(len(a), np.int64), pa.int64()),
+                }
+            )
+        )
+    if not out_tables:
+        return empty
+    return pa.concat_tables(out_tables)
+
+
+def _combine_doc_sizes(t: pa.Table) -> pa.Table:
+    if len(t) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "size": pa.array([], pa.int64())}
+        )
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    n = t["n_part"].to_numpy(zero_copy_only=False)
+    order = np.argsort(doc, kind="stable")
+    doc, n = doc[order], n[order]
+    new = np.empty(len(doc), dtype=bool)
+    new[0] = True
+    new[1:] = doc[1:] != doc[:-1]
+    starts = np.flatnonzero(new)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[starts], pa.int64()),
+            "size": pa.array(np.add.reduceat(n, starts).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _attach_sizes_block(t: pa.Table) -> pa.Table:
+    """doc-partitioned block of size carriers (doc_a == sentinel) + pair
+    side-rows: fill each side-row's ``size`` from its doc's carrier, emit
+    side-rows only."""
+    if len(t) == 0:
+        return t
+    a = t["doc_a"].to_numpy(zero_copy_only=False)
+    carriers = a == _SENTINEL
+    cd = t["doc_id"].to_numpy(zero_copy_only=False)[carriers]
+    cs = t["size"].to_numpy(zero_copy_only=False)[carriers]
+    order = np.argsort(cd)
+    cd, cs = cd[order], cs[order]
+    side = t.filter(pa.array(~carriers))
+    if len(side) == 0:
+        return side
+    sd = side["doc_id"].to_numpy(zero_copy_only=False)
+    if len(cd) == 0:  # defensive: a side-row's doc always has a carrier
+        size = np.zeros(len(sd), np.int64)
+    else:
+        pos = np.clip(np.searchsorted(cd, sd), 0, len(cd) - 1)
+        size = cs[pos]
+    return side.set_column(
+        side.schema.get_field_index("size"), "size", pa.array(size, pa.int64())
+    )
+
+
+def _reduce_ngram_jaccard(t: pa.Table, *, threshold: float) -> pa.Table:
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if len(t) == 0:
+        return empty
+    a = t["doc_a"].to_numpy(zero_copy_only=False)
+    b = t["doc_b"].to_numpy(zero_copy_only=False)
+    inter = t["inter"].to_numpy(zero_copy_only=False)
+    size = t["size"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b, inter, size = a[order], b[order], inter[order], size[order]
+    new = np.empty(len(a), dtype=bool)
+    new[0] = True
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(new)
+    union = np.add.reduceat(size, starts) - inter[starts]
+    j = inter[starts] / np.maximum(union, 1)
+    keep = j >= threshold
+    return pa.table(
+        {
+            "doc_a": pa.array(a[starts][keep], pa.int64()),
+            "doc_b": pa.array(b[starts][keep], pa.int64()),
+            "jaccard": pa.array(j[keep], pa.float64()),
+        }
+    )
+
+
+def ngram_jaccard_pairs(
+    corpus: "ray.data.Dataset",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1024,
+) -> pa.Table:
+    """EXACT n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥
+    threshold) over the stop-shingle-filtered shingle space (shingles in
+    more than ``max_df`` docs are excluded everywhere, consistently).
+
+    Unlike the MinHash path there is no estimation anywhere: every pair
+    sharing ≥ 1 kept shingle is scored, and the score is the true
+    set-Jaccard of the kept shingles.  Cost is O(Σ df²) pair rows over
+    non-hot shingles — the documented trade for exactness (max_df bounds
+    the per-shingle blowup; a real corpus run pairs this with the MinHash
+    path and uses this one on candidate subsets or audits)."""
+    from functools import partial
+
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    rows = corpus.select_columns(["doc_id", "text"]).map_batches(
+        partial(_shingle_doc_rows, k=k), batch_format="pyarrow"
+    )
+    n_blocks = tune_hash_shuffle(rows.context)
+    mixed = (
+        rows.repartition(num_blocks=n_blocks, keys=["shingle"])
+        .map_batches(
+            partial(_jaccard_pairs_and_sizes_block, max_df=max_df),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    sizes = (
+        mixed.filter(expr="doc_a < 0")
+        .repartition(num_blocks=n_blocks, keys=["doc_id"])
+        .map_batches(_combine_doc_sizes, batch_size=None, batch_format="pyarrow")
+    )
+    inter = (
+        mixed.filter(expr="doc_a >= 0")
+        .select_columns(["doc_a", "doc_b"])
+        .repartition(num_blocks=n_blocks, keys=["doc_a", "doc_b"])
+        .map_batches(_dedup_pairs_block, batch_size=None, batch_format="pyarrow")
+    )
+
+    def size_carrier(t: pa.Table) -> pa.Table:
+        n = len(t)
+        s = np.full(n, _SENTINEL, np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "doc_a": pa.array(s, pa.int64()),
+                "doc_b": pa.array(s, pa.int64()),
+                "inter": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "size": t["size"],
+            }
+        )
+
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        i = t["n_bands"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "inter": pa.array(np.concatenate([i, i]), pa.int64()),
+                "size": pa.array(np.zeros(2 * len(a), np.int64), pa.int64()),
+            }
+        )
+
+    unioned = sizes.map_batches(size_carrier, batch_format="pyarrow").union(
+        inter.map_batches(explode_pairs, batch_format="pyarrow")
+    )
+    reduced = (
+        unioned.repartition(num_blocks=n_blocks, keys=["doc_id"])
+        .materialize()
+        .map_batches(_attach_sizes_block, batch_size=None, batch_format="pyarrow")
+        .repartition(num_blocks=n_blocks, keys=["doc_a", "doc_b"])
+        .materialize()
+        .map_batches(
+            partial(_reduce_ngram_jaccard, threshold=threshold),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+    )
+    out = reduced.to_pandas()
+    if out.empty:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

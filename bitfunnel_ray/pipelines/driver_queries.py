@@ -503,6 +503,36 @@ def q_minhash_dedup(sf_dir):
     return dedup.minhash_dedup_pairs(corpus_from_documents(sf_dir), k=3, bands=16, threshold=0.5)
 
 
+def q_ngram_jaccard(sf_dir):
+    """Exact n-gram Jaccard near-dup pairs — the sketch-free dedup path
+    (fully SQL-expressible, unlike MinHash/SimHash)."""
+    return dedup.ngram_jaccard_pairs(
+        corpus_from_documents(sf_dir), k=3, threshold=0.8, max_df=1024
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM toks CROSS JOIN unnest(range(1, len(a)-1)) AS t(i)
+  WHERE len(a) >= 3
+),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1024),
+sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS da, s2.doc_id AS db, count(*) AS i
+  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+       CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8
+"""
+
+
 def q_simhash(sf_dir):
     return dedup.simhash(corpus_from_documents(sf_dir))
 
@@ -642,6 +672,7 @@ REGISTRY: dict[str, tuple] = {
     "annotate_shard": (q_annotate_shard, SQL_ANNOTATE_SHARD),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "term_to_text": (q_term_to_text, SQL_TERM_TO_TEXT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     # rows-only (non-SQL-expressible: sketch/LSH/model-stub operators)
     "verify_log": (q_verify_log, None),
     "analyze_bands": (q_analyze_bands, None),

