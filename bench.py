@@ -141,12 +141,19 @@ def run_bench() -> dict:
     # pools gain little — the mean query cost, not the pool, dominates)
     results = server.run(qlog, k=10, concurrency=4, batch_size=128)
     stats = summarize(results)
-    server.shutdown()
     timings["query_serve"] = time.perf_counter() - t0
     extras["qps"] = round(n_queries / timings["query_serve"], 1)
     extras["query_p50_ms"] = round(stats["p50_ms"], 3)
     extras["query_p99_ms"] = round(stats["p99_ms"], 3)
     extras["query_errors"] = stats["n_errors"]
+    # steady-state: same log again over the live server — shard-side
+    # decoded-ref caches are hot, so this is the long-running-service QPS
+    # (the timed stage above deliberately includes every cold-start cost).
+    # extras-only: not part of the headline total.
+    t0 = time.perf_counter()
+    summarize(server.run(qlog, k=10, concurrency=4, batch_size=128))
+    extras["qps_warm"] = round(n_queries / (time.perf_counter() - t0), 1)
+    server.shutdown()
 
     # --- training-data ops (dedup over the big synthetic corpus so the
     # band shuffle has real work; ann over the sf dir embeddings) --------
