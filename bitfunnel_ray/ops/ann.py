@@ -58,13 +58,48 @@ def _batch_topk(
     )
 
 
-def _final_topk(g, k: int):
-    import pandas as pd
+def _final_topk_reduce(partials: "ray.data.Dataset", k: int) -> "ray.data.Dataset":
+    """Final per-query top-k over the map-side partials.  The partials are
+    already pruned to ≤ k rows/query/block, so the whole set is tiny
+    (nq · k · n_blocks) — coalesce to ONE block and reduce vectorized.  A
+    ``groupby('query_id').map_groups`` here costs the hash-aggregator
+    actor pool's fixed ~2-4 s startup, dominating the stage wall-time for
+    any realistic nq."""
 
-    g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-    g = g.reset_index(drop=True)
-    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    return g
+    def reduce_all(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        qid = t["query_id"].to_numpy(zero_copy_only=False)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        cos = t["cosine"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -cos, qid))  # (qid asc, cosine desc, vec_id asc)
+        qid, vid, cos = qid[order], vid[order], cos[order]
+        new = np.empty(len(qid), dtype=bool)
+        new[0] = True
+        new[1:] = qid[1:] != qid[:-1]
+        rank = np.arange(len(qid), dtype=np.int64) - np.maximum.accumulate(
+            np.where(new, np.arange(len(qid), dtype=np.int64), 0)
+        ) + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "query_id": pa.array(qid[keep], pa.int64()),
+                "vec_id": pa.array(vid[keep].astype(np.int64), pa.int64()),
+                "cosine": pa.array(cos[keep], pa.float64()),
+                "rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    return partials.repartition(num_blocks=1).map_batches(
+        reduce_all, batch_size=None, batch_format="pyarrow"
+    )
 
 
 def brute_force_topk(
@@ -83,9 +118,7 @@ def brute_force_topk(
         partial(_batch_topk, q_ref=q_ref, k=k, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
     )
-    return partials.groupby("query_id").map_groups(
-        partial(_final_topk, k=k), batch_format="pandas"
-    )
+    return _final_topk_reduce(partials, k)
 
 
 def lsh_topk(
@@ -140,9 +173,7 @@ def lsh_topk(
     partials = embeddings.select_columns([id_col, vec_col]).map_batches(
         filtered_topk, batch_format="pyarrow"
     )
-    return partials.groupby("query_id").map_groups(
-        partial(_final_topk, k=k), batch_format="pandas"
-    )
+    return _final_topk_reduce(partials, k)
 
 
 # --- IVF (inverted-file) ANN ---------------------------------------------
@@ -279,6 +310,4 @@ def ivf_topk(
     parts = embeddings.select_columns([id_col, vec_col]).map_batches(
         probed_topk, batch_format="pyarrow"
     )
-    return parts.groupby("query_id").map_groups(
-        partial(_final_topk, k=k), batch_format="pandas"
-    )
+    return _final_topk_reduce(parts, k)
