@@ -101,6 +101,19 @@ class QueryActor:
         return eval_queries(self.engine, qids, nodes, parse_errs, self.k)
 
 
+def table_to_blocks(table: pa.Table, batch_size: int, concurrency: int):
+    """One Arrow table → a Dataset of ~batch_size blocks, sliced
+    driver-side (zero-copy, no cluster tasks).  Ray Data dispatches actor
+    tasks at BLOCK granularity, so a single-block log would serialize
+    through one pool actor; a repartition() stage instead can deadlock
+    against the actor pool's CPU reservation on small clusters."""
+    n = len(table)
+    step = max(1, min(batch_size, (n + 2 * concurrency - 1) // (2 * concurrency)))
+    return ray.data.from_arrow(
+        [table.slice(i, step) for i in range(0, n, step)] or [table]
+    )
+
+
 def run_query_log(
     queries: "ray.data.Dataset | pa.Table",
     index_dirs,
@@ -110,7 +123,7 @@ def run_query_log(
 ) -> "ray.data.Dataset":
     """Serve a query log through an actor pool → result Dataset."""
     if isinstance(queries, pa.Table):
-        queries = ray.data.from_arrow(queries)
+        queries = table_to_blocks(queries, batch_size, concurrency)
     return queries.map_batches(
         QueryActor,
         fn_constructor_kwargs={"k": k, "index_dirs": index_dirs},

@@ -380,18 +380,9 @@ class ShardedServer:
         import ray.data
 
         if isinstance(queries, pa.Table):
-            # Ray Data dispatches actor tasks at BLOCK granularity: a query
-            # log arriving as one Arrow table is ONE block and would
-            # serialize the whole log through a single front-end.  Slice it
-            # driver-side (zero-copy) into ~batch_size blocks so every
-            # front-end gets work — a repartition() stage here can
-            # deadlock against the actor pool's CPU reservation on small
-            # clusters, so no cluster tasks are spent on the split.
-            n = len(queries)
-            step = max(1, min(batch_size, (n + 2 * concurrency - 1) // (2 * concurrency)))
-            queries = ray.data.from_arrow(
-                [queries.slice(i, step) for i in range(0, n, step)] or [queries]
-            )
+            from bitfunnel_ray.query.runner import table_to_blocks
+
+            queries = table_to_blocks(queries, batch_size, concurrency)
         return queries.map_batches(
             ShardedQueryActor,
             fn_constructor_kwargs={
