@@ -503,6 +503,38 @@ def q_minhash_dedup(sf_dir):
     return dedup.minhash_dedup_pairs(corpus_from_documents(sf_dir), k=3, bands=16, threshold=0.5)
 
 
+def q_sessionize(sf_dir):
+    """Gap-based session windows over the events stream (30-min gap) —
+    the windowed-aggregate op Ray Data lacks natively; one hash exchange
+    on user_id + a vectorized per-block kernel (ops/sessions.py)."""
+    from bitfunnel_ray.ops.sessions import sessionize
+
+    return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet"), gap_minutes=30.0)
+
+
+SQL_SESSIONIZE = """
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_ngram_jaccard(sf_dir):
     """Exact n-gram Jaccard near-dup pairs — the sketch-free dedup path
     (fully SQL-expressible, unlike MinHash/SimHash)."""
@@ -673,6 +705,7 @@ REGISTRY: dict[str, tuple] = {
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "term_to_text": (q_term_to_text, SQL_TERM_TO_TEXT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     # rows-only (non-SQL-expressible: sketch/LSH/model-stub operators)
     "verify_log": (q_verify_log, None),
     "analyze_bands": (q_analyze_bands, None),

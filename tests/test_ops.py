@@ -330,3 +330,43 @@ def test_ngram_jaccard_hot_shingle_filter():
     # with the filter off the boilerplate makes every pair similar
     got2 = dedup.ngram_jaccard_pairs(c, k=3, threshold=0.3, max_df=1024).to_pandas()
     assert len(got2) == 8 * 7 // 2
+
+
+def test_sessionize_gap_semantics():
+    """Strictly-greater gap splits; equal-to-gap events stay in session;
+    interleaved users partition independently."""
+    import pyarrow as pa
+
+    from bitfunnel_ray.ops.sessions import sessionize
+
+    M = 60 * 1_000_000  # one minute in us
+    rows = [
+        # user 1: events at 0, 30m (== gap, same session), 61m (> gap, new)
+        (1, 0), (1, 30 * M), (1, 91 * M),
+        # user 2 interleaved: single event
+        (2, 5 * M),
+        # user 3: two sessions of 2 events each
+        (3, 0), (3, 1 * M), (3, 200 * M), (3, 201 * M),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    out = (
+        sessionize(rd.from_arrow(t), gap_minutes=30.0)
+        .to_pandas()
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    got = list(
+        zip(out["user_id"], out["session_start_us"], out["session_end_us"], out["n_events"])
+    )
+    assert got == [
+        (1, 0, 30 * M, 2),
+        (1, 91 * M, 91 * M, 1),
+        (2, 5 * M, 5 * M, 1),
+        (3, 0, 1 * M, 2),
+        (3, 200 * M, 201 * M, 2),
+    ]
