@@ -96,8 +96,12 @@ def run_bench() -> dict:
     timings["stats_df"] = time.perf_counter() - t0
 
     # --- index build (docs/sec headline) --------------------------------
-    # num_buckets is pinned (NOT a function of ncpu) so the 8- and 32-cpu
-    # scaling runs do identical work.  head_df_threshold is set BELOW the
+    # num_buckets floor is pinned (NOT a function of ncpu) so the 8- and
+    # 32-cpu scaling runs do identical work; build_index auto-scales the
+    # count with corpus size (~16Ki docs/bucket — deterministic in the
+    # input, so still identical at both cpu levels) because oversized
+    # buckets send the encode stage superlinear (BASELINE.md round-2
+    # notes).  head_df_threshold is set BELOW the
     # corpus's hottest zipf terms so the skew-salting path actually runs
     # at bench scale; salt_shift=14 caps salted chunks at 16k postings.
     # Head hashes come from the statistics table above (reference order),

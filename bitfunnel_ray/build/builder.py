@@ -365,6 +365,37 @@ def encode_block(block: pa.Table, *, out_dir: str, avgdl: float, cfg: EngineConf
     )
 
 
+def effective_num_buckets(cfg: EngineConfig, corpus: "ray.data.Dataset") -> int:
+    """Scale the shuffle/segment bucket count with corpus size.
+
+    Buckets are the unit of encode parallelism AND of per-task working-set
+    size; measured on this box (BASELINE.md round-2 perf notes), encode
+    wall-time goes superlinear once a bucket holds the postings of more
+    than ~30k web documents (~4M posting rows — the radix parts stay
+    cache-blocked, but the per-task concat/sort working set leaves the
+    shared LLC and 32 concurrent tasks saturate the memory bus).  Target
+    ~``docs_per_bucket`` docs per bucket (default 16Ki ≈ 2M posting rows),
+    rounded up to a power of two, never below ``cfg.num_buckets``.
+
+    Only applies when the corpus row count is free (parquet metadata —
+    ``_meta_count``); a transformed Dataset keeps the configured count
+    rather than paying an execution pass.  Disable with
+    ``extra={"auto_buckets": False}``.  Deterministic in the corpus, so
+    resume runs re-derive the same count.
+    """
+    if not cfg.extra.get("auto_buckets", True):
+        return cfg.num_buckets
+    try:
+        n = corpus._meta_count()
+    except Exception:
+        n = None
+    if not n:
+        return cfg.num_buckets
+    dpb = int(cfg.extra.get("docs_per_bucket", 1 << 14))
+    need = 1 << max(0, int(np.ceil(np.log2(max(1.0, n / dpb)))))
+    return max(cfg.num_buckets, need)
+
+
 def build_index(
     corpus: "ray.data.Dataset",
     out_dir: str,
@@ -376,6 +407,11 @@ def build_index(
     immediately; a partial one rebuilds only missing buckets.
     """
     cfg = cfg or EngineConfig()
+    eff_buckets = effective_num_buckets(cfg, corpus)
+    if eff_buckets != cfg.num_buckets:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, num_buckets=eff_buckets)
     t0 = time.time()
     stage_s: dict[str, float] = {}
 

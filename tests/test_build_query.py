@@ -153,3 +153,25 @@ def test_resume_after_partial_build(tmp_path):
     got = SearchEngine(partial).search("spark join", 10)
     assert got["doc_id"].to_pylist() == ref_res["doc_id"].to_pylist()
     assert got["score"].to_pylist() == ref_res["score"].to_pylist()
+
+
+def test_effective_num_buckets_scales_with_corpus():
+    """Bucket auto-scaling: ~16Ki docs/bucket, power of two, never below
+    the configured floor, metadata-count only (BASELINE.md round-2 perf
+    notes: >~30k docs/bucket sends the encode stage superlinear)."""
+    from bitfunnel_ray.build.builder import effective_num_buckets
+
+    class FakeDs:
+        def __init__(self, n):
+            self._n = n
+
+        def _meta_count(self):
+            return self._n
+
+    cfg = EngineConfig(num_buckets=16)
+    assert effective_num_buckets(cfg, FakeDs(None)) == 16  # unknown count
+    assert effective_num_buckets(cfg, FakeDs(1_000)) == 16  # never shrinks
+    assert effective_num_buckets(cfg, FakeDs(600_000)) == 64  # bench scale
+    assert effective_num_buckets(cfg, FakeDs(2_000_000)) == 128  # stress
+    off = EngineConfig(num_buckets=16, extra={"auto_buckets": False})
+    assert effective_num_buckets(off, FakeDs(2_000_000)) == 16
