@@ -565,6 +565,122 @@ WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8
 """
 
 
+def q_asof_join(sf_dir):
+    """For each purchase event, the latest click by the same user at or
+    before the purchase — the as-of join the brief names as a custom
+    operator Ray Data lacks (ops/joins.py: tagged union + one hash
+    exchange on user_id + vectorized forward-fill kernel)."""
+    import pyarrow.compute as pc
+
+    from bitfunnel_ray.ops.joins import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+
+    def only(et):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], et))
+
+        return f
+
+    purchases = ev.map_batches(only("purchase"), batch_format="pyarrow")
+    clicks = ev.map_batches(only("click"), batch_format="pyarrow")
+    return asof_join(purchases, clicks, key="user_id", ts="ts", id_col="event_id")
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+     j AS (
+  SELECT p.user_id AS key, p.event_id AS left_id, epoch_us(p.ts) AS left_ts_us,
+         c.event_id AS right_id, epoch_us(c.ts) AS right_ts_us,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT CAST(key AS BIGINT) AS key, CAST(left_id AS BIGINT) AS left_id,
+       CAST(left_ts_us AS BIGINT) AS left_ts_us,
+       CAST(right_id AS BIGINT) AS right_id,
+       CAST(right_ts_us AS BIGINT) AS right_ts_us
+FROM j WHERE rn = 1
+"""
+
+
+def q_region_rollup(sf_dir):
+    """Customer account balances rolled up to region name — the
+    broadcast-join pattern: the nation x region dims (30 rows) ship via
+    ray.put once, customers join map-side, partials reduce through one
+    tiny exchange (never a shuffle join of the big side)."""
+    import pyarrow.parquet as _pq
+
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+    from bitfunnel_ray.ops.joins import broadcast_dim_join
+
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet")
+    region = _pq.read_table(f"{sf_dir}/region.parquet")
+    dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    joined = broadcast_dim_join(
+        cust, dim, big_key="c_nationkey", dim_key="n_nationkey", dim_cols=["r_name"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["r_name", "c_acctbal"]).to_pandas()
+        g = df.groupby("r_name", as_index=False).agg(
+            n_customers=("c_acctbal", "size"), sum_acctbal=("c_acctbal", "sum")
+        )
+        g["n_customers"] = g["n_customers"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("r_name", as_index=False).agg(
+            n_customers=("n_customers", "sum"), sum_acctbal=("sum_acctbal", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p = joined.map_batches(partial, batch_format="pyarrow")
+    n_blocks = tune_hash_shuffle(p.context)
+    return p.repartition(num_blocks=n_blocks, keys=["r_name"]).map_batches(
+        combine, batch_size=None, batch_format="pyarrow"
+    )
+
+
+SQL_REGION_ROLLUP = """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+       sum(c_acctbal) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_doclen_percentiles(sf_dir):
+    """Exact percentiles of document length (n_chars) via the distributed
+    value-histogram (ops/quantiles.py) — domain-bounded exchange, no sort
+    of the data."""
+    from bitfunnel_ray.ops.quantiles import exact_percentiles
+
+    return exact_percentiles(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"]), "n_chars"
+    )
+
+
+SQL_DOCLEN_PERCENTILES = """
+SELECT CAST(0.25 AS DOUBLE) AS q, CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT CAST(0.5 AS DOUBLE), CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) FROM documents
+UNION ALL
+SELECT CAST(0.75 AS DOUBLE), CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) FROM documents
+UNION ALL
+SELECT CAST(0.95 AS DOUBLE), CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) FROM documents
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE), CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) FROM documents
+"""
+
+
 def q_simhash(sf_dir):
     return dedup.simhash(corpus_from_documents(sf_dir))
 
@@ -706,6 +822,9 @@ REGISTRY: dict[str, tuple] = {
     "term_to_text": (q_term_to_text, SQL_TERM_TO_TEXT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
+    "doclen_percentiles": (q_doclen_percentiles, SQL_DOCLEN_PERCENTILES),
     # rows-only (non-SQL-expressible: sketch/LSH/model-stub operators)
     "verify_log": (q_verify_log, None),
     "analyze_bands": (q_analyze_bands, None),

@@ -370,3 +370,76 @@ def test_sessionize_gap_semantics():
         (3, 0, 1 * M, 2),
         (3, 200 * M, 201 * M, 2),
     ]
+
+
+def test_asof_join_ties_and_no_match():
+    """Tie semantics: equal-ts right rows match inclusively, largest id
+    wins; left rows with no prior right row are dropped (inner as-of)."""
+    import ray.data as rd
+
+    from bitfunnel_ray.ops.joins import asof_join
+
+    left = rd.from_items(
+        [
+            {"k": 1, "ts": 100, "id": 10},  # matches click id 3 (ts 100, tie -> max id)
+            {"k": 1, "ts": 50, "id": 11},   # matches click id 1 (ts 40)
+            {"k": 1, "ts": 30, "id": 12},   # no prior click -> dropped
+            {"k": 2, "ts": 500, "id": 13},  # other key, no clicks -> dropped
+        ]
+    )
+    right = rd.from_items(
+        [
+            {"k": 1, "ts": 40, "id": 1},
+            {"k": 1, "ts": 100, "id": 2},
+            {"k": 1, "ts": 100, "id": 3},
+            {"k": 3, "ts": 1, "id": 4},
+        ]
+    )
+    out = (
+        asof_join(left, right, key="k", ts="ts", id_col="id")
+        .to_pandas()
+        .sort_values("left_id")
+        .reset_index(drop=True)
+    )
+    assert out["left_id"].tolist() == [10, 11]
+    assert out["right_id"].tolist() == [3, 1]
+    assert out["right_ts_us"].tolist() == [100, 40]
+
+
+def test_broadcast_dim_join_drops_unmatched():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bitfunnel_ray.ops.joins import broadcast_dim_join
+
+    big = rd.from_items([{"fk": 1, "x": 10}, {"fk": 2, "x": 20}, {"fk": 9, "x": 30}])
+    dim = pa.table({"pk": pa.array([2, 1], pa.int64()), "name": pa.array(["b", "a"])})
+    out = (
+        broadcast_dim_join(big, dim, big_key="fk", dim_key="pk", dim_cols=["name"])
+        .to_pandas()
+        .sort_values("fk")
+        .reset_index(drop=True)
+    )
+    assert out["fk"].tolist() == [1, 2]  # fk=9 has no dim row
+    assert out["name"].tolist() == ["a", "b"]
+
+
+def test_exact_percentiles_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bitfunnel_ray.ops.quantiles import exact_percentiles
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 50, size=10_001)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    got = exact_percentiles(ds, "v", (0.01, 0.5, 0.99, 1.0)).to_pandas()
+    con = duckdb.connect()
+    con.register("t", pa.table({"v": pa.array(vals, pa.int64())}))
+    for q, v in zip(got["q"], got["value"]):
+        want = con.sql(
+            f"SELECT percentile_disc({q}) WITHIN GROUP (ORDER BY v) FROM t"
+        ).fetchone()[0]
+        assert v == want, (q, v, want)
