@@ -681,6 +681,49 @@ SELECT CAST(0.99 AS DOUBLE), CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n
 """
 
 
+def q_top_per_source(sf_dir):
+    """Top-3 documents per source by length — grouped top-k with the
+    map-side-pruned exchange (ops/grouped.py: each block forwards <= k
+    rows per group; the shuffle never carries the input)."""
+    from bitfunnel_ray.ops.grouped import top_k_per_group
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "doc_id", "n_chars"]
+    )
+    return top_k_per_group(
+        docs, group_col="source", order_col="n_chars", k=3,
+        descending=True, tiebreak_col="doc_id",
+    )
+
+
+SQL_TOP_PER_SOURCE = """
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM (SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents) WHERE rn <= 3
+"""
+
+
+def q_stratified_sample(sf_dir):
+    """Deterministic 20-docs-per-source sample (Knuth-hash order within
+    each group) — the per-stratum sampler a training-data pipeline uses
+    to balance sources; same two-level grouped-top-k shape."""
+    from bitfunnel_ray.ops.grouped import stratified_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "doc_id"])
+    return stratified_sample(docs, group_col="source", id_col="doc_id", n_per_group=20)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id
+FROM (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+      FROM documents) WHERE rn <= 20
+"""
+
+
 def q_simhash(sf_dir):
     return dedup.simhash(corpus_from_documents(sf_dir))
 
@@ -825,6 +868,8 @@ REGISTRY: dict[str, tuple] = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
     "doclen_percentiles": (q_doclen_percentiles, SQL_DOCLEN_PERCENTILES),
+    "top_per_source": (q_top_per_source, SQL_TOP_PER_SOURCE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     # rows-only (non-SQL-expressible: sketch/LSH/model-stub operators)
     "verify_log": (q_verify_log, None),
     "analyze_bands": (q_analyze_bands, None),

@@ -443,3 +443,46 @@ def test_exact_percentiles_matches_duckdb():
             f"SELECT percentile_disc({q}) WITHIN GROUP (ORDER BY v) FROM t"
         ).fetchone()[0]
         assert v == want, (q, v, want)
+
+
+def test_top_k_per_group_ties_and_small_groups():
+    import ray.data as rd
+
+    from bitfunnel_ray.ops.grouped import top_k_per_group
+
+    rows = [
+        {"g": "a", "v": 5, "id": 1},
+        {"g": "a", "v": 5, "id": 2},   # tie on v -> lower id wins rank
+        {"g": "a", "v": 9, "id": 3},
+        {"g": "a", "v": 1, "id": 4},
+        {"g": "b", "v": 7, "id": 5},   # group smaller than k
+    ]
+    out = (
+        top_k_per_group(
+            rd.from_items(rows).repartition(3),  # force multi-block map side
+            group_col="g", order_col="v", k=2, descending=True, tiebreak_col="id",
+        )
+        .to_pandas()
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)
+    )
+    assert out[out.g == "a"]["id"].tolist() == [1, 3]  # v=9 then v=5 (id 1)
+    assert out[out.g == "b"]["id"].tolist() == [5]
+
+
+def test_stratified_sample_deterministic():
+    import ray.data as rd
+
+    from bitfunnel_ray.ops.grouped import stratified_sample
+
+    rows = [{"g": "s" + str(i % 3), "id": i} for i in range(300)]
+    a = stratified_sample(
+        rd.from_items(rows), group_col="g", id_col="id", n_per_group=5
+    ).to_pandas()
+    b = stratified_sample(
+        rd.from_items(rows).repartition(7), group_col="g", id_col="id", n_per_group=5
+    ).to_pandas()
+    ka = sorted(map(tuple, a[["g", "id"]].to_numpy()))
+    kb = sorted(map(tuple, b[["g", "id"]].to_numpy()))
+    assert ka == kb  # partitioning-independent
+    assert a.groupby("g").size().tolist() == [5, 5, 5]
