@@ -1,0 +1,78 @@
+"""Property tests for the vectorized as-of-join and grouped-top-k block
+kernels against brute-force python reference implementations (kernel
+level — no Ray session needed)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bitfunnel_ray.ops.grouped import _topk_block
+from bitfunnel_ray.ops.joins import _asof_block
+
+rows_st = st.lists(
+    st.tuples(
+        st.integers(0, 4),      # key
+        st.integers(0, 20),     # ts
+        st.integers(0, 1),      # side (0=right, 1=left)
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(rows_st)
+def test_asof_block_matches_bruteforce(rows):
+    # ids unique per row, so the max-id tie-break is well-defined
+    k = np.array([r[0] for r in rows], dtype=np.int64)
+    ts = np.array([r[1] for r in rows], dtype=np.int64)
+    side = np.array([r[2] for r in rows], dtype=np.int8)
+    rid = np.arange(len(rows), dtype=np.int64)
+    t = pa.table(
+        {"key": pa.array(k), "ts_us": pa.array(ts), "rid": pa.array(rid),
+         "side": pa.array(side)}
+    )
+    got = _asof_block(t).to_pandas()
+    got_map = {int(r.left_id): (int(r.right_id), int(r.right_ts_us)) for r in got.itertuples()}
+
+    want = {}
+    for i in range(len(rows)):
+        if side[i] != 1:
+            continue
+        cands = [
+            j for j in range(len(rows))
+            if side[j] == 0 and k[j] == k[i] and ts[j] <= ts[i]
+        ]
+        if cands:
+            best = max(cands, key=lambda j: (ts[j], rid[j]))
+            want[int(rid[i])] = (int(rid[best]), int(ts[best]))
+    assert got_map == want
+
+
+grp_st = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 9)),  # (group, value)
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(grp_st, st.integers(1, 5), st.booleans())
+def test_topk_block_matches_bruteforce(rows, kk, desc):
+    g = pa.array([f"g{a}" for a, _ in rows])
+    v = pa.array([b for _, b in rows], pa.int64())
+    tb = pa.array(list(range(len(rows))), pa.int64())
+    t = pa.table({"g": g, "v": v, "id": tb})
+    got = _topk_block(
+        t, group_col="g", key=None, k=kk, order_col="v",
+        descending=desc, tiebreak_col="id",
+    ).to_pandas()
+    got_ids = sorted(got["id"].tolist())
+
+    want_ids = []
+    for grp in {a for a, _ in rows}:
+        members = [(b, i) for i, (a, b) in enumerate(rows) if a == grp]
+        members.sort(key=lambda m: (-m[0] if desc else m[0], m[1]))
+        want_ids.extend(i for _, i in members[:kk])
+    assert got_ids == sorted(want_ids)
