@@ -52,6 +52,90 @@ def _sessions_block(t: pa.Table, *, gap_us: int) -> pa.Table:
     )
 
 
+def _rolling_block(t: pa.Table, *, window_us: int) -> pa.Table:
+    """Per row: count + sum of ``value`` over the same key's rows with ts
+    in [ts - window, ts] — RANGE-frame semantics (equal-ts peers all
+    included).  Sort once, prefix-sum once, then one vectorized
+    searchsorted per key segment (bounded by distinct keys per block,
+    never per row)."""
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "ts_us": pa.array([], pa.int64()),
+            "n_window": pa.array([], pa.int64()),
+            "sum_window": pa.array([], pa.float64()),
+        }
+    )
+    if len(t) == 0:
+        return empty
+    key = t["user_id"].to_numpy(zero_copy_only=False)
+    ts = t["ts_us"].to_numpy(zero_copy_only=False)
+    rid = t["event_id"].to_numpy(zero_copy_only=False)
+    val = t["value"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ts, key))
+    key, ts, rid, val = key[order], ts[order], rid[order], val[order]
+    n = len(key)
+    psum = np.concatenate([[0.0], np.cumsum(val)])
+    starts = np.flatnonzero(np.diff(key, prepend=key[0] - 1))
+    bounds = np.append(starts, n)
+    lo = np.empty(n, dtype=np.int64)
+    hi = np.empty(n, dtype=np.int64)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        seg = ts[s:e]
+        lo[s:e] = s + np.searchsorted(seg, seg - window_us, side="left")
+        hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+    return pa.table(
+        {
+            "event_id": pa.array(rid, pa.int64()),
+            "user_id": pa.array(key, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "n_window": pa.array(hi - lo, pa.int64()),
+            "sum_window": pa.array(psum[hi] - psum[lo], pa.float64()),
+        }
+    )
+
+
+def rolling_window(
+    events: "ray.data.Dataset",
+    window_minutes: float = 60.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> "ray.data.Dataset":
+    """Per-event trailing-window aggregate (count + sum of ``value`` over
+    the same user's events within the last ``window_minutes``) — the
+    moving-window feature op (rate limits, activity features).  Same
+    shape as sessionize: one hash exchange on the key, one vectorized
+    kernel per block.  RANGE-frame semantics: all equal-ts peers count."""
+    from functools import partial
+
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    window_us = int(round(window_minutes * 60 * 1_000_000))
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t[user_col].cast(pa.int64()),
+                "ts_us": t[ts_col].cast(pa.int64()),
+                "event_id": t[id_col].cast(pa.int64()),
+                "value": t[value_col].cast(pa.float64()),
+            }
+        )
+
+    rows = events.select_columns([user_col, ts_col, id_col, value_col]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    n_blocks = tune_hash_shuffle(rows.context)
+    return rows.repartition(num_blocks=n_blocks, keys=["user_id"]).map_batches(
+        partial(_rolling_block, window_us=window_us),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
 def sessionize(
     events: "ray.data.Dataset",
     gap_minutes: float = 30.0,

@@ -681,6 +681,27 @@ SELECT CAST(0.99 AS DOUBLE), CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n
 """
 
 
+def q_rolling_window(sf_dir):
+    """Per-event trailing 60-minute (count, sum) of value for the same
+    user — the moving-window feature op (ops/sessions.py::rolling_window;
+    RANGE-frame semantics, oracle uses the equivalent window frame)."""
+    from bitfunnel_ray.ops.sessions import rolling_window
+
+    return rolling_window(rd.read_parquet(f"{sf_dir}/events.parquet"), window_minutes=60.0)
+
+
+SQL_ROLLING_WINDOW = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       sum(value) OVER w AS sum_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_top_per_source(sf_dir):
     """Top-3 documents per source by length — grouped top-k with the
     map-side-pruned exchange (ops/grouped.py: each block forwards <= k
@@ -868,6 +889,7 @@ REGISTRY: dict[str, tuple] = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
     "doclen_percentiles": (q_doclen_percentiles, SQL_DOCLEN_PERCENTILES),
+    "rolling_window": (q_rolling_window, SQL_ROLLING_WINDOW),
     "top_per_source": (q_top_per_source, SQL_TOP_PER_SOURCE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     # rows-only (non-SQL-expressible: sketch/LSH/model-stub operators)

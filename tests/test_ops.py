@@ -486,3 +486,33 @@ def test_stratified_sample_deterministic():
     kb = sorted(map(tuple, b[["g", "id"]].to_numpy()))
     assert ka == kb  # partitioning-independent
     assert a.groupby("g").size().tolist() == [5, 5, 5]
+
+
+def test_rolling_window_peers_and_bounds():
+    """RANGE-frame semantics: equal-ts peers all count; window is
+    inclusive at ts - window."""
+    import ray.data as rd
+
+    from bitfunnel_ray.ops.sessions import rolling_window
+
+    US = 60_000_000  # 1 minute
+    rows = [
+        {"user_id": 1, "ts": 0 * US, "event_id": 1, "value": 1.0},
+        {"user_id": 1, "ts": 60 * US, "event_id": 2, "value": 2.0},  # exactly window edge
+        {"user_id": 1, "ts": 60 * US, "event_id": 3, "value": 4.0},  # peer
+        {"user_id": 1, "ts": 121 * US, "event_id": 4, "value": 8.0},  # edge passed
+        {"user_id": 2, "ts": 60 * US, "event_id": 5, "value": 16.0},
+    ]
+    out = (
+        rolling_window(rd.from_items(rows), window_minutes=60.0)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_window"] == 1 and out.loc[1, "sum_window"] == 1.0
+    # events 2,3: window [0,60] includes event 1 AND both peers
+    assert out.loc[2, "n_window"] == 3 and out.loc[2, "sum_window"] == 7.0
+    assert out.loc[3, "n_window"] == 3 and out.loc[3, "sum_window"] == 7.0
+    # event 4: window [61,121] excludes the ts=60 peers
+    assert out.loc[4, "n_window"] == 1 and out.loc[4, "sum_window"] == 8.0
+    assert out.loc[5, "n_window"] == 1 and out.loc[5, "sum_window"] == 16.0
