@@ -104,6 +104,92 @@ def asof_join(
     )
 
 
+class _BlocklistFilter:
+    """Map-side anti-join: the blocklist key array rides the object store
+    once per actor; each batch drops rows whose key is present
+    (vectorized ``np.isin`` against the sorted blocklist)."""
+
+    def __init__(self, keys_ref, key_col: str):
+        import ray as _ray
+
+        keys = _ray.get(keys_ref) if isinstance(keys_ref, _ray.ObjectRef) else keys_ref
+        self.keys = np.sort(np.asarray(keys))
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bk = batch[self.key_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(bk, self.keys)))
+
+
+def anti_join(
+    big: "ray.data.Dataset",
+    blocklist,
+    *,
+    key: str,
+    broadcast: bool = True,
+) -> "ray.data.Dataset":
+    """Drop big-side rows whose ``key`` appears in ``blocklist``.
+
+    ``broadcast=True`` (blocklist is a numpy array / pyarrow array that
+    fits the object store — the usual case for curated blocklists): one
+    ``ray.put``, map-side ``np.isin``, no exchange.
+
+    ``broadcast=False`` (blocklist is a Dataset too big to broadcast):
+    both sides are tagged, unioned, and co-partitioned by key in ONE hash
+    exchange; each block then drops left rows whose key occurs among its
+    right rows — the distributed anti-join shape (same partitioning
+    contract as asof_join)."""
+    import ray as _ray
+
+    if broadcast:
+        arr = blocklist.to_numpy(zero_copy_only=False) if isinstance(
+            blocklist, (pa.Array, pa.ChunkedArray)
+        ) else np.asarray(blocklist)
+        ref = _ray.put(arr)
+        return big.map_batches(
+            _BlocklistFilter,
+            fn_constructor_args=(ref, key),
+            concurrency=(1, 8),
+            batch_format="pyarrow",
+        )
+
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    big_schema = big.schema().base_schema  # pyarrow schema
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            if side == 0:
+                # blocklist rows widen to the big schema (nulls) so the
+                # union is schema-stable through the exchange
+                t = pa.table(
+                    {
+                        f.name: t[key] if f.name == key else pa.nulls(len(t), f.type)
+                        for f in big_schema
+                    }
+                )
+            return t.append_column(
+                "_side", pa.array(np.full(len(t), side, dtype=np.int8))
+            )
+
+        return f
+
+    def drop_blocked(t: pa.Table) -> pa.Table:
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        k = t[key].to_numpy(zero_copy_only=False)
+        blocked = np.unique(k[side == 0])
+        keep = (side == 1) & ~np.isin(k, blocked)
+        return t.filter(pa.array(keep)).drop_columns(["_side"])
+
+    both = big.map_batches(tag(1), batch_format="pyarrow").union(
+        blocklist.select_columns([key]).map_batches(tag(0), batch_format="pyarrow")
+    )
+    n_blocks = tune_hash_shuffle(both.context)
+    return both.repartition(num_blocks=n_blocks, keys=[key]).map_batches(
+        drop_blocked, batch_size=None, batch_format="pyarrow"
+    )
+
+
 class _DimLookup:
     """Map-side dimension lookup: the dim table rides the object store
     once per actor (``ray.put`` ref in ``__init__``), each batch joins by

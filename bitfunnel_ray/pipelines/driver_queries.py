@@ -681,6 +681,48 @@ SELECT CAST(0.99 AS DOUBLE), CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n
 """
 
 
+def q_anti_join(sf_dir):
+    """Drop documents from the two largest sources — the blocklist
+    anti-join (ops/joins.py::anti_join): the blocklist (bounded by the
+    source domain) broadcasts once via ray.put, rows filter map-side
+    with np.isin; no exchange touches the big side."""
+    from bitfunnel_ray.ops.joins import anti_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("source", as_index=False).size()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .to_pandas()  # bounded by source cardinality, not rows
+        .groupby("source", as_index=False)["size"].sum()
+        .sort_values(["size", "source"], ascending=[False, True])
+    )
+    blocklist = hist["source"].head(2).to_numpy()
+    return anti_join(docs, blocklist, key="source", broadcast=True)
+
+
+SQL_ANTI_JOIN = """
+WITH bl AS (SELECT source FROM documents
+            GROUP BY source ORDER BY count(*) DESC, source LIMIT 2)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents
+WHERE source NOT IN (SELECT source FROM bl)
+"""
+
+
+def q_pack_sequences(sf_dir):
+    """Fixed-budget sequence packing over token counts (ops/packing.py)
+    — next-fit-decreasing per block, one row per doc with its pack
+    assignment.  No SQL oracle (greedy packing isn't SQL-expressible);
+    invariants are pytest-covered."""
+    from bitfunnel_ray.ops import textstats
+    from bitfunnel_ray.ops.packing import pack_sequences
+
+    return pack_sequences(textstats.token_count(corpus_from_documents(sf_dir)), budget=512)
+
+
 def q_rolling_window(sf_dir):
     """Per-event trailing 60-minute (count, sum) of value for the same
     user — the moving-window feature op (ops/sessions.py::rolling_window;
@@ -890,9 +932,11 @@ REGISTRY: dict[str, tuple] = {
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
     "doclen_percentiles": (q_doclen_percentiles, SQL_DOCLEN_PERCENTILES),
     "rolling_window": (q_rolling_window, SQL_ROLLING_WINDOW),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "top_per_source": (q_top_per_source, SQL_TOP_PER_SOURCE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     # rows-only (non-SQL-expressible: sketch/LSH/model-stub operators)
+    "pack_sequences": (q_pack_sequences, None),
     "verify_log": (q_verify_log, None),
     "analyze_bands": (q_analyze_bands, None),
     "minhash_dedup": (q_minhash_dedup, None),

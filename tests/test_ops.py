@@ -516,3 +516,47 @@ def test_rolling_window_peers_and_bounds():
     # event 4: window [61,121] excludes the ts=60 peers
     assert out.loc[4, "n_window"] == 1 and out.loc[4, "sum_window"] == 8.0
     assert out.loc[5, "n_window"] == 1 and out.loc[5, "sum_window"] == 16.0
+
+
+def test_anti_join_broadcast_and_distributed_agree():
+    import numpy as np
+    import ray.data as rd
+
+    from bitfunnel_ray.ops.joins import anti_join
+
+    big = rd.from_items([{"k": i % 7, "v": i} for i in range(200)])
+    bl_arr = np.array([2, 5])
+    a = anti_join(big, bl_arr, key="k", broadcast=True).to_pandas()
+    bl_ds = rd.from_items([{"k": 2}, {"k": 5}, {"k": 5}])  # dupes fine
+    b = anti_join(big, bl_ds, key="k", broadcast=False).to_pandas()
+    want = sorted(i for i in range(200) if i % 7 not in (2, 5))
+    assert sorted(a["v"].tolist()) == want
+    assert sorted(b["v"].tolist()) == want
+
+
+def test_pack_sequences_invariants():
+    import numpy as np
+    import ray.data as rd
+
+    from bitfunnel_ray.ops.packing import pack_sequences
+
+    rng = np.random.default_rng(3)
+    lens = rng.integers(1, 900, size=500).tolist() + [5000]  # one oversized doc
+    rows = [{"doc_id": i, "n_tokens": L} for i, L in enumerate(lens)]
+    out = pack_sequences(rd.from_items(rows).repartition(4), budget=2048).to_pandas()
+    # every doc assigned exactly once, lengths preserved
+    assert sorted(out["doc_id"].tolist()) == list(range(len(lens)))
+    assert out.set_index("doc_id")["n_tokens"].sort_index().tolist() == lens
+    g = out.groupby("pack_id")["n_tokens"]
+    sums = g.sum()
+    counts = g.count()
+    # packs fit the budget unless a single doc alone exceeds it
+    over = sums[sums > 2048]
+    assert all(counts[p] == 1 for p in over.index)
+    assert 5000 in sums.values
+    # pack_pos is a dense 0..len-1 ordinal within each pack
+    for _, grp in out.groupby("pack_id"):
+        assert sorted(grp["pack_pos"].tolist()) == list(range(len(grp)))
+    # packing is reasonably tight: #packs within 2x of the lower bound
+    lower = int(np.ceil((sum(lens) - 5000) / 2048)) + 1
+    assert out["pack_id"].nunique() <= 2 * lower
