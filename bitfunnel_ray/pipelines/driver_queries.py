@@ -681,6 +681,34 @@ SELECT CAST(0.99 AS DOUBLE), CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n
 """
 
 
+def q_chunk_documents(sf_dir):
+    """Overlapping 64-token / 32-stride chunks of each document — the
+    embedding/retrieval prep op (ops/chunking.py; map-only, vectorized
+    window take + one binary_join per block)."""
+    from bitfunnel_ray.ops.chunking import chunk_documents
+
+    return chunk_documents(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        window=64,
+        stride=32,
+    )
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+c AS (
+  SELECT doc_id, a, CAST(t.i AS BIGINT) AS chunk_idx
+  FROM toks
+  CROSS JOIN unnest(range(0,
+      CAST(ceil(greatest(len(a) - 64, 0) / 32.0) AS BIGINT) + 1)) AS t(i)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_idx,
+       CAST(least(64, len(a) - chunk_idx*32) AS BIGINT) AS n_tokens,
+       array_to_string(a[chunk_idx*32 + 1 : chunk_idx*32 + 64], ' ') AS chunk_text
+FROM c
+"""
+
+
 def q_anti_join(sf_dir):
     """Drop documents from the two largest sources — the blocklist
     anti-join (ops/joins.py::anti_join): the blocklist (bounded by the
@@ -933,6 +961,7 @@ REGISTRY: dict[str, tuple] = {
     "doclen_percentiles": (q_doclen_percentiles, SQL_DOCLEN_PERCENTILES),
     "rolling_window": (q_rolling_window, SQL_ROLLING_WINDOW),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "top_per_source": (q_top_per_source, SQL_TOP_PER_SOURCE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     # rows-only (non-SQL-expressible: sketch/LSH/model-stub operators)

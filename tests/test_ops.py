@@ -560,3 +560,30 @@ def test_pack_sequences_invariants():
     # packing is reasonably tight: #packs within 2x of the lower bound
     lower = int(np.ceil((sum(lens) - 5000) / 2048)) + 1
     assert out["pack_id"].nunique() <= 2 * lower
+
+
+def test_chunk_documents_edges():
+    import ray.data as rd
+
+    from bitfunnel_ray.ops.chunking import chunk_documents
+
+    docs = [
+        {"doc_id": 1, "text": "a b c"},                      # shorter than window
+        {"doc_id": 2, "text": " ".join(f"t{i}" for i in range(8))},   # == window
+        {"doc_id": 3, "text": " ".join(f"t{i}" for i in range(9))},   # window + 1
+    ]
+    out = (
+        chunk_documents(rd.from_items(docs), window=8, stride=4)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out.doc_id == 1]
+    assert len(d1) == 1 and d1.iloc[0].n_tokens == 3 and d1.iloc[0].chunk_text == "a b c"
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0].n_tokens == 8
+    d3 = out[out.doc_id == 3]
+    assert len(d3) == 2
+    assert d3.iloc[0].chunk_text == " ".join(f"t{i}" for i in range(8))
+    assert d3.iloc[1].chunk_text == " ".join(f"t{i}" for i in range(4, 9))
+    assert d3.iloc[1].n_tokens == 5
