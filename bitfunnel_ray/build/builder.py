@@ -425,6 +425,16 @@ def build_index(
     if existing is not None and existing.get("complete"):
         return existing
 
+    # input lineage (north-rule: per-partition lineage in the checkpoint):
+    # which source files this segment was built from — free for parquet
+    # reads, empty for synthetic/transformed inputs
+    try:
+        input_files = sorted(
+            getattr(corpus, "_bfr_input_files", None) or corpus.input_files() or []
+        )
+    except Exception:
+        input_files = []
+
     meta_dir = os.path.join(out_dir, "docmeta")
     meta_done = os.path.join(meta_dir, "_DONE")
     done = frozenset(segment.completed_buckets(out_dir))
@@ -642,6 +652,8 @@ def build_index(
             "streams": [list(s) for s in cfg.streams],
         },
         "n_head_terms": n_head_terms,
+        "input_files": input_files[:4096],
+        "n_input_files": len(input_files),
         "buckets_completed": sorted(segment.completed_buckets(out_dir)),
         "bucket_stats": {int(r["bucket"]): {k: int(v) for k, v in r.items() if k != "bucket"} for r in bucket_stats},
         "build_seconds": round(time.time() - t0, 3),

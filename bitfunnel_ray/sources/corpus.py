@@ -75,7 +75,11 @@ def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    return ds.map_batches(_lift_documents_batch, batch_format="pyarrow")
+    out = ds.map_batches(_lift_documents_batch, batch_format="pyarrow")
+    # input_files() doesn't survive transforms; carry the lineage forward
+    # for the build manifest (builder checks this attribute first)
+    out._bfr_input_files = ds.input_files()
+    return out
 
 
 # --- deterministic synthetic corpora (FIXTURES.md §1) --------------------

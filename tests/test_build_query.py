@@ -47,6 +47,10 @@ def test_manifest_sane(built):
     out, cfg, manifest, oracle = built
     assert manifest["complete"] and manifest["n_docs"] == 500
     assert manifest["avgdl"] == pytest.approx(oracle.avgdl)
+    # per-partition lineage + metrics (north-rule checkpoint contract)
+    assert manifest["n_input_files"] == 1
+    assert manifest["input_files"][0].endswith("documents.parquet")
+    assert len(manifest["bucket_stats"]) == manifest["config"]["num_buckets"]
 
 
 def test_match_sets_and_scores_rank_identical(built):
