@@ -681,6 +681,54 @@ SELECT CAST(0.99 AS DOUBLE), CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n
 """
 
 
+def q_customer_orders(sf_dir):
+    """Per-market-segment order revenue via Ray Data's NATIVE hash join
+    (Dataset.join, both sides big — the equi-join case where broadcast
+    doesn't apply), then the map-side-partial + tiny-exchange aggregate.
+    num_partitions is the explicit shuffle width (the 100 TB knob)."""
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    n_blocks = tune_hash_shuffle(orders.context)
+    j = orders.join(
+        cust, "inner", num_partitions=n_blocks,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["c_mktsegment", "o_totalprice"]).to_pandas()
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), revenue=("o_totalprice", "sum")
+        )
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("n_orders", "sum"), revenue=("revenue", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p = j.map_batches(partial, batch_format="pyarrow")
+    return p.repartition(num_blocks=n_blocks, keys=["c_mktsegment"]).map_batches(
+        combine, batch_size=None, batch_format="pyarrow"
+    )
+
+
+SQL_CUSTOMER_ORDERS = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       sum(o_totalprice) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def q_chunk_documents(sf_dir):
     """Overlapping 64-token / 32-stride chunks of each document — the
     embedding/retrieval prep op (ops/chunking.py; map-only, vectorized
@@ -962,6 +1010,7 @@ REGISTRY: dict[str, tuple] = {
     "rolling_window": (q_rolling_window, SQL_ROLLING_WINDOW),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "customer_orders": (q_customer_orders, SQL_CUSTOMER_ORDERS),
     "top_per_source": (q_top_per_source, SQL_TOP_PER_SOURCE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     # rows-only (non-SQL-expressible: sketch/LSH/model-stub operators)
