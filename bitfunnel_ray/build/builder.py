@@ -580,14 +580,26 @@ def build_index(
             try:
                 schema_names = corpus.schema().names
                 sel = ["doc_id"] + (["url"] if "url" in schema_names else []) + stream_cols
+                # docs per map task: pins the spill-shard count (and the
+                # per-shard size) independent of input block layout and CPU
+                # count — identical work shape at every parallelism.  The
+                # default SCALES with the bucket count so the per-(task,
+                # bucket) shard stays ~8k postings as auto-bucketing grows
+                # the segment: at 4096 docs/task a 256-bucket build writes
+                # tasks×buckets ≈ 250k tiny (~2k-posting) shards and both
+                # spill and encode go file-metadata-bound (measured 4M-doc
+                # A/B: 16384-doc batches beat 4096 in 4/4 interleaved runs,
+                # best 134k vs 91k docs/s).  Deterministic in cfg, so resume
+                # and both scaling-run CPU levels see identical work.
+                spill_batch = int(
+                    cfg.extra.get(
+                        "spill_batch_docs",
+                        min(65536, 4096 * max(1, cfg.num_buckets // 64)),
+                    )
+                )
                 acks = corpus.select_columns(sel).map_batches(
                     TokenizeSpill(cfg, head_ref, done, spill_dir, meta_tmp),
-                    # docs per map task: pins the spill-shard count (and the
-                    # per-shard size) independent of input block layout and
-                    # CPU count — identical work shape at every parallelism.
-                    # 4096 ≈ 0.5M postings/task at web-text doclens: enough
-                    # tasks for 32-way load balance, big enough spill shards
-                    batch_size=int(cfg.extra.get("spill_batch_docs", 4096)),
+                    batch_size=spill_batch,
                     batch_format="pyarrow",
                 ).to_pandas()
                 t1 = _mark("tokenize_spill", t1)
