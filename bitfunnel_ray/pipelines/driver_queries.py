@@ -729,6 +729,100 @@ GROUP BY c_mktsegment
 """
 
 
+def q_connected_components(sf_dir):
+    """Distributed connected components (ops/cc.py, alternating
+    large-star/small-star) over a deterministic SQL-checkable edge set:
+    (doc_id, doc_id+1) whenever the two docs share ``lang``.  Components
+    are maximal consecutive same-lang runs — LONG chains, the worst case
+    for label propagation and the case the star algorithm must close in
+    O(log n) rounds.  Edge build is Ray Data's native hash join (shifted
+    key); output assigns EVERY doc (singletons = self)."""
+    import pyarrow.compute as pc
+
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+    from bitfunnel_ray.ops.cc import connected_components
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    n_blocks = tune_hash_shuffle(docs.context)
+
+    def shift(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": t["doc_id"].cast(pa.int64()),
+                "lang_a": t["lang"],
+                "nbr": pc.add(t["doc_id"].cast(pa.int64()), 1),
+            }
+        )
+
+    def rhs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_b": t["doc_id"].cast(pa.int64()), "lang_b": t["lang"]}
+        )
+
+    left = docs.map_batches(shift, batch_format="pyarrow")
+    right = docs.map_batches(rhs, batch_format="pyarrow")
+    edges = left.join(
+        right, "inner", num_partitions=n_blocks, on=("nbr",), right_on=("doc_b",)
+    ).filter(expr="lang_a == lang_b")
+    # the join materializes the matched key once, as "nbr" (== doc_b)
+    assign = connected_components(edges, cols=("doc_a", "nbr"))
+
+    def assign_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["node"], "component": t["component"]}
+        )
+
+    # every doc gets a row: docs not in any edge are their own component
+    # (left-outer join against the assignment, null → self)
+    full = docs.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).join(
+        assign.map_batches(assign_rows, batch_format="pyarrow"),
+        "left_outer",
+        num_partitions=n_blocks,
+        on=("doc_id",),
+    )
+
+    def fill_self(t: pa.Table) -> pa.Table:
+        comp = pc.coalesce(t["component"], t["doc_id"])
+        return pa.table({"doc_id": t["doc_id"], "component": comp.cast(pa.int64())})
+
+    return full.map_batches(fill_self, batch_format="pyarrow")
+
+
+# gaps-and-islands: consecutive same-lang doc_ids share an island;
+# component = the island's minimum doc_id (matches transitive closure of
+# the (doc_id, doc_id+1, equal-lang) edge relation)
+SQL_CONNECTED_COMPONENTS = """
+WITH runs AS (
+  SELECT doc_id, lang,
+         doc_id - ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS island
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(doc_id) OVER (PARTITION BY lang, island) AS BIGINT) AS component
+FROM runs
+"""
+
+
+def q_dedup_canonical(sf_dir):
+    """End-to-end near-dup REMOVAL: minhash pairs → transitive clusters
+    (connected components) → corpus minus non-canonical members via the
+    distributed anti-join.  Returns the surviving doc_ids (rows-only:
+    minhash is not SQL-expressible; the transitivity semantics are
+    pytest-proven in tests/test_cc.py)."""
+    from bitfunnel_ray.ops.cc import dedup_canonical
+    from bitfunnel_ray.ops.dedup import minhash_dedup_pairs
+    from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+    corpus = corpus_from_documents(sf_dir)
+    pairs = minhash_dedup_pairs(corpus, k=3, bands=16, threshold=0.7)
+    kept = dedup_canonical(corpus.select_columns(["doc_id"]), pairs)
+    out = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_chunk_documents(sf_dir):
     """Overlapping 64-token / 32-stride chunks of each document — the
     embedding/retrieval prep op (ops/chunking.py; map-only, vectorized
@@ -1011,6 +1105,7 @@ REGISTRY: dict[str, tuple] = {
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "customer_orders": (q_customer_orders, SQL_CUSTOMER_ORDERS),
+    "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
     "top_per_source": (q_top_per_source, SQL_TOP_PER_SOURCE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     # rows-only (non-SQL-expressible: sketch/LSH/model-stub operators)
@@ -1025,4 +1120,5 @@ REGISTRY: dict[str, tuple] = {
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     "multimodal_features": (q_multimodal_features, None),
+    "dedup_canonical": (q_dedup_canonical, None),
 }
