@@ -806,6 +806,33 @@ FROM runs
 """
 
 
+def q_extract_text(sf_dir):
+    """HTML → text extraction (stages/extract.py) over the canonical
+    corpus; the oracle is the north-rule invariant itself — extracted
+    text must be byte-identical to the reference ``text`` column per
+    url/doc.  Map-only, zero exchanges."""
+    from bitfunnel_ray.sources.corpus import corpus_from_documents
+    from bitfunnel_ray.stages.extract import extract_text
+
+    out = extract_text(corpus_from_documents(sf_dir), out_col="extracted")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "text": t["extracted"],
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_EXTRACT_TEXT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, COALESCE(text, '') AS text
+FROM documents
+"""
+
+
 def q_dedup_canonical(sf_dir):
     """End-to-end near-dup REMOVAL: minhash pairs → transitive clusters
     (connected components) → corpus minus non-canonical members via the
@@ -1106,6 +1133,7 @@ REGISTRY: dict[str, tuple] = {
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "customer_orders": (q_customer_orders, SQL_CUSTOMER_ORDERS),
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
+    "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "top_per_source": (q_top_per_source, SQL_TOP_PER_SOURCE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     # rows-only (non-SQL-expressible: sketch/LSH/model-stub operators)
