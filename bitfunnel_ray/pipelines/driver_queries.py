@@ -406,7 +406,7 @@ SQL_ANN_TOPK = f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
            WHERE vec_id IN (0, 1, 2)),
 sims AS (SELECT q.qid AS query_id, e.vec_id,
-                list_cosine_similarity(e.embedding, q.qe) AS cosine
+                CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE) AS cosine
          FROM embeddings e CROSS JOIN q),
 ranked AS (SELECT query_id, vec_id, cosine,
                   CAST(row_number() OVER (PARTITION BY query_id
