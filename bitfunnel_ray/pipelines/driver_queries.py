@@ -543,6 +543,41 @@ def q_ngram_jaccard(sf_dir):
     )
 
 
+def q_decontaminate(sf_dir):
+    """Benchmark decontamination: docs whose distinct 3-shingle overlap
+    with a deterministic held-out benchmark (doc_id % 13 == 0) is ≥ 10%.
+    Broadcast small-side membership — no shuffle."""
+    from bitfunnel_ray.ops.decontam import decontaminate
+
+    return decontaminate(
+        corpus_from_documents(sf_dir), k=3, threshold=0.1, benchmark_mod=13
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM toks CROSS JOIN unnest(range(1, len(a)-1)) AS t(i)
+  WHERE len(a) >= 3
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 13 = 0),
+stats AS (
+  SELECT c.doc_id, count(*) AS n_sh,
+         sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_ov
+  FROM sh c LEFT JOIN bench b ON c.s = b.s
+  WHERE c.doc_id % 13 <> 0 GROUP BY c.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_sh AS BIGINT) AS n_shingles,
+       CAST(n_ov AS BIGINT) AS n_overlap,
+       CAST(n_ov AS DOUBLE)/n_sh AS contamination
+FROM stats
+WHERE CAST(n_ov AS DOUBLE)/n_sh >= 0.1
+ORDER BY doc_id
+"""
+
+
 SQL_NGRAM_JACCARD = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
 sh0 AS (
@@ -1124,6 +1159,7 @@ REGISTRY: dict[str, tuple] = {
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "term_to_text": (q_term_to_text, SQL_TERM_TO_TEXT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),

@@ -587,3 +587,42 @@ def test_chunk_documents_edges():
     assert d3.iloc[0].chunk_text == " ".join(f"t{i}" for i in range(8))
     assert d3.iloc[1].chunk_text == " ".join(f"t{i}" for i in range(4, 9))
     assert d3.iloc[1].n_tokens == 5
+
+
+def test_decontaminate_planted_overlap():
+    """Planted contamination: a candidate doc copying half a benchmark
+    doc's shingles is flagged with the exact overlap fraction; an
+    independent doc is not; benchmark docs never appear as candidates."""
+    from bitfunnel_ray.ops.decontam import decontaminate
+
+    # mod=2 → even doc_ids are the benchmark
+    bench_text = " ".join(f"b{i}" for i in range(22))  # 20 3-shingles
+    # candidate 1: first 12 bench tokens (10 bench shingles) + 10 unique
+    # tokens (8 own shingles + 2 boundary shingles) → 20 shingles, 10 hits
+    contaminated = " ".join(f"b{i}" for i in range(12)) + " " + " ".join(
+        f"c{i}" for i in range(10)
+    )
+    clean = " ".join(f"z{i}" for i in range(30))
+    c = _corpus([bench_text, contaminated, clean], ids=[0, 1, 3])
+    out = decontaminate(c, k=3, threshold=0.4, benchmark_mod=2).to_pandas()
+    assert list(out.doc_id) == [1]
+    row = out.iloc[0]
+    assert row.n_shingles == 20 and row.n_overlap == 10
+    assert row.contamination == 0.5
+    # threshold above the planted fraction → empty
+    out2 = decontaminate(c, k=3, threshold=0.6, benchmark_mod=2).to_pandas()
+    assert len(out2) == 0
+
+
+def test_decontaminate_explicit_benchmark_dataset():
+    """Explicit bench dataset mode: corpus is scored in full (no mod
+    split) against the provided benchmark text."""
+    from bitfunnel_ray.ops.decontam import decontaminate
+
+    bench = _corpus([" ".join(f"b{i}" for i in range(10))])
+    cand = _corpus(
+        [" ".join(f"b{i}" for i in range(10)), "x y z w v"], ids=[7, 8]
+    )
+    out = decontaminate(cand, bench, k=3, threshold=0.9).to_pandas()
+    assert list(out.doc_id) == [7]
+    assert out.iloc[0].contamination == 1.0
