@@ -191,6 +191,26 @@ def q_bm25_topk(sf_dir):
     )
 
 
+def q_search_snippets(sf_dir):
+    """Serving-side snippet generation: BM25 top-10 for AND(spark, join),
+    then a 15-token window around the first query-term hit in each result
+    doc (map-only corpus scan filtered by the k doc_ids)."""
+    from bitfunnel_ray.query.snippets import result_snippets
+
+    eng = get_engine(sf_dir)
+    t = eng.search(" ".join(_BM25_TERMS), k=10)
+    results = pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+    return result_snippets(
+        corpus_from_documents(sf_dir), results, _BM25_TERMS, before=5, after=9
+    )
+
+
 # BM25(k1=1.2, b=0.75) with AND(spark, join) match semantics; two-term sum
 # is order-independent in IEEE double, so scores are bit-comparable after
 # round(.,6).
@@ -214,6 +234,39 @@ scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
        doc_id, round(score, 6) AS score
 FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+# Same ranking CTEs as SQL_BM25_TOPK, plus the snippet window: 1-based
+# list slice a[p-5 : p+9] == the Ray side's 0-based tokens[f-5 : f+10].
+SQL_SEARCH_SNIPPETS = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join') GROUP BY term),
+matches AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+topk AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scores ORDER BY score DESC, doc_id LIMIT 10),
+arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+pos AS (SELECT t.rank, t.doc_id, t.score, a,
+          least(list_position(a, 'spark'), list_position(a, 'join')) AS p
+        FROM topk t JOIN arr USING (doc_id))
+SELECT rank, CAST(doc_id AS BIGINT) AS doc_id, score,
+       array_to_string(a[greatest(1, p-5):least(len(a), p+9)], ' ') AS snippet
+FROM pos ORDER BY rank
 """
 
 
@@ -1160,6 +1213,7 @@ REGISTRY: dict[str, tuple] = {
     "term_to_text": (q_term_to_text, SQL_TERM_TO_TEXT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),

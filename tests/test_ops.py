@@ -626,3 +626,30 @@ def test_decontaminate_explicit_benchmark_dataset():
     out = decontaminate(cand, bench, k=3, threshold=0.9).to_pandas()
     assert list(out.doc_id) == [7]
     assert out.iloc[0].contamination == 1.0
+
+
+def test_result_snippets_window_clipping():
+    """Snippet windows clip at doc edges and anchor on the FIRST hit of
+    any query term; ranks/scores pass through the driver-side join."""
+    from bitfunnel_ray.query.snippets import result_snippets
+
+    docs = [
+        "hit " + " ".join(f"a{i}" for i in range(20)),  # term at doc start
+        " ".join(f"b{i}" for i in range(20)) + " hit",  # term at doc end
+        "x0 x1 x2 hit x3 hit x4 x5",  # two hits → first anchors
+    ]
+    c = _corpus(docs)
+    results = pa.table(
+        {
+            "rank": pa.array([1, 2, 3], pa.int64()),
+            "doc_id": pa.array([2, 0, 1], pa.int64()),
+            "score": pa.array([3.0, 2.0, 1.0], pa.float64()),
+        }
+    )
+    out = result_snippets(c, results, ["hit"], before=2, after=3).to_pandas()
+    assert list(out["rank"]) == [1, 2, 3]
+    assert list(out.doc_id) == [2, 0, 1]
+    by_doc = dict(zip(out.doc_id, out.snippet))
+    assert by_doc[0] == "hit a0 a1 a2"          # left-clipped
+    assert by_doc[1] == "b18 b19 hit"           # right-clipped
+    assert by_doc[2] == "x1 x2 hit x3 hit x4"   # first hit anchors
