@@ -237,6 +237,33 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_facet_counts(sf_dir):
+    """Facet counts for AND(spark, join): matching-doc counts per
+    (lang, source) — the search + analytics serving feature.  Match set
+    broadcast once; map-side partial counts; driver merges
+    facet-cardinality rows only."""
+    from bitfunnel_ray.query.facets import facet_counts
+
+    eng = get_engine(sf_dir)
+    meta = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    return facet_counts(eng, meta, " ".join(_BM25_TERMS))
+
+
+SQL_FACET_COUNTS = f"""
+WITH toks AS ({_tokens_sql()}),
+m AS (
+  SELECT doc_id FROM toks WHERE term = 'spark'
+  INTERSECT
+  SELECT doc_id FROM toks WHERE term = 'join'
+)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents WHERE doc_id IN (SELECT doc_id FROM m)
+GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 # Same ranking CTEs as SQL_BM25_TOPK, plus the snippet window: 1-based
 # list slice a[p-5 : p+9] == the Ray side's 0-based tokens[f-5 : f+10].
 SQL_SEARCH_SNIPPETS = f"""
@@ -1214,6 +1241,7 @@ REGISTRY: dict[str, tuple] = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
+    "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),

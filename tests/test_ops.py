@@ -653,3 +653,38 @@ def test_result_snippets_window_clipping():
     assert by_doc[0] == "hit a0 a1 a2"          # left-clipped
     assert by_doc[1] == "b18 b19 hit"           # right-clipped
     assert by_doc[2] == "x1 x2 hit x3 hit x4"   # first hit anchors
+
+
+def test_facet_counts_boolean_match(tmp_path):
+    """Facet counts group the EXACT boolean match set by metadata: docs
+    matching AND(spark, join) are counted per (lang, source); non-matching
+    docs never contribute."""
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.query.engine import SearchEngine
+    from bitfunnel_ray.query.facets import facet_counts
+    from bitfunnel_ray.config import EngineConfig
+
+    texts = [
+        "spark join fast",      # match, en/a
+        "spark join slow",      # match, en/b
+        "spark only here",      # no join → no match
+        "join only here",       # no spark → no match
+        "spark join again",     # match, de/a
+    ]
+    langs = ["en", "en", "en", "de", "de"]
+    srcs = ["a", "b", "a", "b", "a"]
+    c = _corpus(texts)
+    idx = str(tmp_path / "idx")
+    build_index(c, idx, EngineConfig(max_gram=1, num_buckets=2))
+    meta = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "lang": pa.array(langs),
+                "source": pa.array(srcs),
+            }
+        )
+    )
+    out = facet_counts(SearchEngine(idx), meta, "spark join").to_pandas()
+    got = {(r.lang, r.source): r.n_docs for r in out.itertuples()}
+    assert got == {("de", "a"): 1, ("en", "a"): 1, ("en", "b"): 1}
