@@ -237,6 +237,34 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_distinct_terms(sf_dir):
+    """Exact distinct-token count per source: block-deduped fixed-width
+    (group, hash) pairs through ONE hash exchange, vectorized unique +
+    segment count after."""
+    from bitfunnel_ray.ops.sketch import distinct_terms_by_group
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return distinct_terms_by_group(docs, "source")
+
+
+SQL_DISTINCT_TERMS = """
+SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY source ORDER BY source
+"""
+
+
+def q_distinct_terms_hll(sf_dir):
+    """HyperLogLog distinct-token count per source — the no-exchange
+    scale path (16 KiB mergeable registers per group per block).
+    Approximate by design → rows-only driver check; the error bound and
+    merge associativity are pytest-verified against the exact op."""
+    from bitfunnel_ray.ops.sketch import distinct_terms_hll
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return distinct_terms_hll(docs, "source")
+
+
 def q_facet_counts(sf_dir):
     """Facet counts for AND(spark, join): matching-doc counts per
     (lang, source) — the search + analytics serving feature.  Match set
@@ -1242,6 +1270,7 @@ REGISTRY: dict[str, tuple] = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
+    "distinct_terms": (q_distinct_terms, SQL_DISTINCT_TERMS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
@@ -1267,4 +1296,5 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     "multimodal_features": (q_multimodal_features, None),
     "dedup_canonical": (q_dedup_canonical, None),
+    "distinct_terms_hll": (q_distinct_terms_hll, None),
 }

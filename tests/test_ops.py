@@ -688,3 +688,47 @@ def test_facet_counts_boolean_match(tmp_path):
     out = facet_counts(SearchEngine(idx), meta, "spark join").to_pandas()
     got = {(r.lang, r.source): r.n_docs for r in out.itertuples()}
     assert got == {("de", "a"): 1, ("en", "a"): 1, ("en", "b"): 1}
+
+
+def test_distinct_terms_exact_and_hll():
+    """Exact per-group distinct counts match a hand-countable corpus;
+    the HLL estimate respects its error bound and register merge is
+    associative (sketch of whole == max-merge of per-part sketches)."""
+    from bitfunnel_ray.ops.sketch import (
+        _hll_registers,
+        distinct_terms_by_group,
+        distinct_terms_hll,
+        hll_estimate,
+    )
+    from bitfunnel_ray.stages.tokenize import hash_token_array
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["a", "a", "b", "b"]),
+                "text": pa.array(
+                    [
+                        "x y z x",          # a: {x,y,z}
+                        "x w",              # a: +w → 4
+                        "p q",              # b: {p,q}
+                        "p q r s t",        # b: +r,s,t → 5
+                    ]
+                ),
+            }
+        )
+    )
+    exact = distinct_terms_by_group(docs, "source").to_pandas()
+    assert dict(zip(exact.source, exact.n_terms)) == {"a": 4, "b": 5}
+
+    est = distinct_terms_hll(docs, "source").to_pandas()
+    got = dict(zip(est.source, est.n_terms_est))
+    # linear-counting regime: tiny cardinalities resolve exactly
+    assert round(got["a"]) == 4 and round(got["b"]) == 5
+
+    # merge associativity + error bound on a larger vocabulary
+    toks = pa.array([f"tok{i}" for i in range(50_000)])
+    h = hash_token_array(toks)
+    whole = _hll_registers(h)
+    merged = np.maximum(_hll_registers(h[:20_000]), _hll_registers(h[20_000:]))
+    assert np.array_equal(whole, merged)
+    assert abs(hll_estimate(whole) - 50_000) / 50_000 < 0.03
