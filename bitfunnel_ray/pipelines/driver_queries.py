@@ -237,6 +237,39 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_doc_keywords(sf_dir):
+    """Top-3 TF-IDF keywords per document: df table exchange once, then a
+    map-only pass with the (hash → df) arrays broadcast; output streams
+    (3 rows/doc, never driver-gathered)."""
+    from bitfunnel_ray.ops.keywords import doc_keywords
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return doc_keywords(
+        corpus_from_documents(sf_dir), n_docs, m=3, cfg=EngineConfig(max_gram=1)
+    )
+
+
+SQL_DOC_KEYWORDS = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+  FROM tf JOIN df USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+       round(tfidf, 6) AS tfidf, CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= 3 ORDER BY doc_id, rank
+"""
+
+
 def q_distinct_terms(sf_dir):
     """Exact distinct-token count per source: block-deduped fixed-width
     (group, hash) pairs through ONE hash exchange, vectorized unique +
@@ -1271,6 +1304,7 @@ REGISTRY: dict[str, tuple] = {
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
     "distinct_terms": (q_distinct_terms, SQL_DISTINCT_TERMS),
+    "doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),

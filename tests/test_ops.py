@@ -732,3 +732,30 @@ def test_distinct_terms_exact_and_hll():
     merged = np.maximum(_hll_registers(h[:20_000]), _hll_registers(h[20_000:]))
     assert np.array_equal(whole, merged)
     assert abs(hll_estimate(whole) - 50_000) / 50_000 < 0.03
+
+
+def test_doc_keywords_tfidf_ranking():
+    """TF-IDF keyword ranks on a hand-computable corpus: tf and idf both
+    matter, exact-tie terms break by term text ascending."""
+    import math
+
+    from bitfunnel_ray.ops.keywords import doc_keywords
+    from bitfunnel_ray.config import EngineConfig
+
+    c = _corpus(["a a b", "a c", "c c c d"])
+    out = (
+        doc_keywords(c, n_docs=3, m=2, cfg=EngineConfig(max_gram=1))
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = {(r.doc_id, r.rank): (r.term, r.tfidf) for r in out.itertuples()}
+    ln32, ln3 = math.log(3 / 2), math.log(3.0)
+    # doc0: b beats a (rare term outranks frequent-but-common)
+    assert got[(0, 1)][0] == "b" and got[(0, 1)][1] == round(ln3, 6)
+    assert got[(0, 2)][0] == "a" and got[(0, 2)][1] == round(2 * ln32, 6)
+    # doc1: a and c tie exactly → term asc
+    assert got[(1, 1)][0] == "a" and got[(1, 2)][0] == "c"
+    # doc2: tf lifts c above the rarer d
+    assert got[(2, 1)][0] == "c" and got[(2, 1)][1] == round(3 * ln32, 6)
+    assert got[(2, 2)][0] == "d"
