@@ -237,6 +237,31 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_fuzzy_terms(sf_dir):
+    """Did-you-mean: vocabulary terms within edit distance 1 of each
+    query term, via SymSpell deletion neighborhoods (equality tests only
+    — no per-pair Levenshtein), streaming over the df table."""
+    from bitfunnel_ray.ops.fuzzy import fuzzy_term_match
+
+    dft = document_frequency_table(
+        corpus_from_documents(sf_dir), EngineConfig(max_gram=1)
+    )
+    return fuzzy_term_match(dft, ["spark", "quer", "joinn", "sparc"])
+
+
+SQL_FUZZY_TERMS = f"""
+WITH toks AS ({_tokens_sql()}),
+vocab AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY term
+)
+SELECT q.query_term, v.term, v.df
+FROM vocab v CROSS JOIN (VALUES ('spark'), ('quer'), ('joinn'), ('sparc')) q(query_term)
+WHERE levenshtein(q.query_term, v.term) <= 1
+ORDER BY q.query_term, v.term
+"""
+
+
 def q_doc_keywords(sf_dir):
     """Top-3 TF-IDF keywords per document: df table exchange once, then a
     map-only pass with the (hash → df) arrays broadcast; output streams
@@ -1305,6 +1330,7 @@ REGISTRY: dict[str, tuple] = {
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
     "distinct_terms": (q_distinct_terms, SQL_DISTINCT_TERMS),
     "doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
+    "fuzzy_terms": (q_fuzzy_terms, SQL_FUZZY_TERMS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),

@@ -759,3 +759,31 @@ def test_doc_keywords_tfidf_ranking():
     # doc2: tf lifts c above the rarer d
     assert got[(2, 1)][0] == "c" and got[(2, 1)][1] == round(3 * ln32, 6)
     assert got[(2, 2)][0] == "d"
+
+
+def test_fuzzy_term_match_edit_distance_one():
+    """Deletion-neighborhood match equals levenshtein <= 1 exactly:
+    identity, insertion, deletion, substitution all match; the classic
+    SymSpell false positive (transposition ab/ba, distance 2) does not."""
+    from bitfunnel_ray.ops.fuzzy import fuzzy_term_match
+
+    vocab = ["spark", "sparks", "park", "spork", "ab", "ba", "sprak"]
+    dft = rd.from_arrow(
+        pa.table(
+            {
+                "term": pa.array(vocab),
+                "df": pa.array(range(1, len(vocab) + 1), pa.int64()),
+            }
+        )
+    )
+    out = fuzzy_term_match(dft, ["spark", "ab"]).to_pandas()
+    got = {(r.query_term, r.term) for r in out.itertuples()}
+    assert got == {
+        ("spark", "spark"),   # distance 0
+        ("spark", "sparks"),  # insertion
+        ("spark", "park"),    # deletion
+        ("spark", "spork"),   # substitution
+        ("ab", "ab"),
+        # NOT ("spark","sprak") and NOT ("ab","ba"): transpositions are
+        # distance 2 in Levenshtein and must be excluded
+    }
