@@ -237,6 +237,45 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_more_like_this(sf_dir):
+    """Related docs for doc 42: corpus ranked by how many of the doc's
+    top-3 TF-IDF keywords each doc contains (map-side top-k, ≤ k rows
+    per block reach the driver)."""
+    from bitfunnel_ray.ops.mlt import more_like_this
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return more_like_this(
+        corpus_from_documents(sf_dir), doc_id=42, n_docs=n_docs, m=3, k=10
+    )
+
+
+SQL_MORE_LIKE_THIS = f"""
+WITH toks AS ({_tokens_sql()}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE doc_id = 42 GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.term, tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+  FROM tf JOIN df USING (term), n
+),
+kw AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY tfidf DESC, term) AS rk FROM scored
+  ) WHERE rk <= 3
+),
+shared AS (
+  SELECT t.doc_id, count(DISTINCT t.term) AS shared
+  FROM toks t JOIN kw USING (term)
+  WHERE t.doc_id <> 42 GROUP BY t.doc_id
+)
+SELECT CAST(rk AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(shared AS BIGINT) AS shared
+FROM (SELECT *, row_number() OVER (ORDER BY shared DESC, doc_id) AS rk FROM shared)
+WHERE rk <= 10 ORDER BY rank
+"""
+
+
 def q_fuzzy_terms(sf_dir):
     """Did-you-mean: vocabulary terms within edit distance 1 of each
     query term, via SymSpell deletion neighborhoods (equality tests only
@@ -1331,6 +1370,7 @@ REGISTRY: dict[str, tuple] = {
     "distinct_terms": (q_distinct_terms, SQL_DISTINCT_TERMS),
     "doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
     "fuzzy_terms": (q_fuzzy_terms, SQL_FUZZY_TERMS),
+    "more_like_this": (q_more_like_this, SQL_MORE_LIKE_THIS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),

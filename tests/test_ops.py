@@ -787,3 +787,25 @@ def test_fuzzy_term_match_edit_distance_one():
         # NOT ("spark","sprak") and NOT ("ab","ba"): transpositions are
         # distance 2 in Levenshtein and must be excluded
     }
+
+
+def test_more_like_this_keyword_overlap():
+    """Related-doc ranking: docs sharing more of the source doc's top-m
+    keywords rank higher; the source doc is excluded; ties break by
+    doc_id ascending."""
+    from bitfunnel_ray.ops.mlt import more_like_this
+
+    common = " ".join(f"f{i}" for i in range(10))  # high-df filler
+    docs = [
+        common + " alpha beta gamma",   # 0: source (keywords α β γ)
+        common + " alpha beta gamma",   # 1: shares 3
+        common + " alpha beta",         # 2: shares 2
+        common + " alpha",              # 3: shares 1
+        common,                         # 4: shares 0 → absent
+        common + " beta gamma",         # 5: shares 2 (tie with 2 → doc_id)
+    ]
+    c = _corpus(docs)
+    out = more_like_this(c, doc_id=0, n_docs=len(docs), m=3, k=10).to_pandas()
+    assert list(out.doc_id) == [1, 2, 5, 3]
+    assert list(out.shared) == [3, 2, 2, 1]
+    assert list(out["rank"]) == [1, 2, 3, 4]
