@@ -237,6 +237,37 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_funnel(sf_dir):
+    """Two-step funnel over the event stream: users whose first 'view'
+    is followed by a 'click' within 24 hours (first such click).
+    Type-filter before the exchange; one hash exchange on user_id."""
+    from bitfunnel_ray.ops.funnel import funnel
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel(ev, "view", "click", 24 * 3600 * 1_000_000)
+
+
+SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, v.view_ts, min(e.ts) AS click_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+    AND e.ts <= v.view_ts + INTERVAL 24 HOUR
+  GROUP BY e.user_id, v.view_ts
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(view_ts) AS BIGINT) AS trigger_ts_us,
+       CAST(epoch_us(click_ts) AS BIGINT) AS target_ts_us
+FROM c ORDER BY user_id
+"""
+
+
 def q_more_like_this(sf_dir):
     """Related docs for doc 42: corpus ranked by how many of the doc's
     top-3 TF-IDF keywords each doc contains (map-side top-k, ≤ k rows
@@ -1371,6 +1402,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
     "fuzzy_terms": (q_fuzzy_terms, SQL_FUZZY_TERMS),
     "more_like_this": (q_more_like_this, SQL_MORE_LIKE_THIS),
+    "funnel": (q_funnel, SQL_FUNNEL),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),

@@ -809,3 +809,39 @@ def test_more_like_this_keyword_overlap():
     assert list(out.doc_id) == [1, 2, 5, 3]
     assert list(out.shared) == [3, 2, 2, 1]
     assert list(out["rank"]) == [1, 2, 3, 4]
+
+
+def test_funnel_two_step_semantics():
+    """Funnel edge semantics: target must be STRICTLY after the first
+    trigger and within the inclusive window; the FIRST qualifying target
+    wins; triggerless users and out-of-window targets are absent."""
+    from bitfunnel_ray.ops.funnel import funnel
+
+    us = 1_000_000
+
+    def ev(uid, t_us, typ):
+        return {"user_id": uid, "ts": np.datetime64(t_us, "us"), "event_type": typ}
+
+    rows = [
+        # user 1: view@10s, clicks at 10s (not strictly after), 20s (wins), 25s
+        ev(1, 10 * us, "view"), ev(1, 10 * us, "click"),
+        ev(1, 20 * us, "click"), ev(1, 25 * us, "click"),
+        # user 2: click BEFORE the first view only → no conversion
+        ev(2, 5 * us, "click"), ev(2, 10 * us, "view"),
+        # user 3: click exactly at window end (inclusive) → converts
+        ev(3, 0 * us, "view"), ev(3, 30 * us, "click"),
+        # user 4: click past the window → no conversion
+        ev(4, 0 * us, "view"), ev(4, 31 * us, "click"),
+        # user 5: no view at all
+        ev(5, 1 * us, "click"),
+    ]
+    ds = rd.from_items(rows)
+    out = (
+        funnel(ds, "view", "click", window_us=30 * us)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.user_id) == [1, 3]
+    assert list(out.trigger_ts_us) == [10 * us, 0]
+    assert list(out.target_ts_us) == [20 * us, 30 * us]
