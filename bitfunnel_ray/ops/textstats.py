@@ -263,3 +263,23 @@ def fingerprint(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
     return corpus.select_columns(["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow"
     )
+
+
+def normalize_text_batch(t: pa.Table) -> pa.Table:
+    """Lowercase, collapse every non-alphanumeric run to one space, trim.
+    Pure Arrow kernels (utf8_lower + RE2 replace) — the same RE2 regex
+    engine DuckDB uses, so the SQL oracle is byte-identical."""
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(
+            pc.utf8_lower(pc.fill_null(t["text"], "")), r"[^a-z0-9]+", " "
+        )
+    )
+    return pa.table({"doc_id": t["doc_id"], "norm_text": norm})
+
+
+def normalize_text(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Canonical text normalization (map-only, zero-copy Arrow in/out) —
+    the cleanup pass that precedes tokenization/dedup in a web pipeline."""
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
+        normalize_text_batch, batch_format="pyarrow"
+    )

@@ -237,6 +237,20 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_normalize_text(sf_dir):
+    """Canonical text normalization (lowercase + collapse non-alnum runs
+    + trim): map-only Arrow kernels; RE2 on both sides so the oracle is
+    byte-identical."""
+    return textstats.normalize_text(corpus_from_documents(sf_dir))
+
+
+SQL_NORMALIZE_TEXT = """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_text
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_funnel(sf_dir):
     """Two-step funnel over the event stream: users whose first 'view'
     is followed by a 'click' within 24 hours (first such click).
@@ -1403,6 +1417,7 @@ REGISTRY: dict[str, tuple] = {
     "fuzzy_terms": (q_fuzzy_terms, SQL_FUZZY_TERMS),
     "more_like_this": (q_more_like_this, SQL_MORE_LIKE_THIS),
     "funnel": (q_funnel, SQL_FUNNEL),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),

@@ -845,3 +845,20 @@ def test_funnel_two_step_semantics():
     assert list(out.user_id) == [1, 3]
     assert list(out.trigger_ts_us) == [10 * us, 0]
     assert list(out.target_ts_us) == [20 * us, 30 * us]
+
+
+def test_normalize_text_edges():
+    """Normalization edges: case folding, punctuation/whitespace run
+    collapse, leading/trailing trim, digits preserved, null text → ''."""
+    from bitfunnel_ray.ops.textstats import normalize_text
+
+    c = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["  Hello,   WORLD!! 42 ", "a--b__c", None]),
+            }
+        )
+    )
+    out = normalize_text(c).to_pandas().sort_values("doc_id")
+    assert list(out.norm_text) == ["hello world 42", "a b c", ""]
