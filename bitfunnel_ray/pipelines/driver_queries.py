@@ -237,6 +237,33 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_cohort_retention(sf_dir):
+    """Weekly retention matrix over the event stream: users bucketed by
+    first-event ISO week, counted per later active week.  One exchange
+    on user; driver merges a weeks² matrix, never users."""
+    from bitfunnel_ray.ops.cohort import cohort_retention
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort_retention(ev)
+
+
+SQL_COHORT_RETENTION = """
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id
+),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+j AS (
+  SELECT a.user_id, f.cohort, datediff('week', f.cohort, a.wk) AS off
+  FROM a JOIN f USING (user_id)
+)
+SELECT CAST(epoch_us(cohort) AS BIGINT) AS cohort_week_us,
+       CAST(off AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM j GROUP BY cohort, off ORDER BY 1, 2
+"""
+
+
 def q_normalize_text(sf_dir):
     """Canonical text normalization (lowercase + collapse non-alnum runs
     + trim): map-only Arrow kernels; RE2 on both sides so the oracle is
@@ -1418,6 +1445,7 @@ REGISTRY: dict[str, tuple] = {
     "more_like_this": (q_more_like_this, SQL_MORE_LIKE_THIS),
     "funnel": (q_funnel, SQL_FUNNEL),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),

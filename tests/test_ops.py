@@ -862,3 +862,29 @@ def test_normalize_text_edges():
     )
     out = normalize_text(c).to_pandas().sort_values("doc_id")
     assert list(out.norm_text) == ["hello world 42", "a b c", ""]
+
+
+def test_cohort_retention_week_semantics():
+    """Cohort weeks start Monday (DuckDB date_trunc parity); a user's
+    cohort is their first-event week; each active week counts once no
+    matter how many events it holds."""
+    from bitfunnel_ray.ops.cohort import cohort_retention
+
+    # 2024-01-01 is a Monday; 2024-01-08 the next Monday
+    def ts(day, hour=0):
+        return np.datetime64(f"2024-01-{day:02d}T{hour:02d}:00:00", "us")
+
+    rows = [
+        # user 1: first event Wed week0, active week0 (×2 events) + week1
+        {"user_id": 1, "ts": ts(3)}, {"user_id": 1, "ts": ts(4)},
+        {"user_id": 1, "ts": ts(9)},
+        # user 2: first event Sunday week0 (edge: still week of Jan 1)
+        {"user_id": 2, "ts": ts(7, 23)},
+        # user 3: cohort = week1
+        {"user_id": 3, "ts": ts(8)},
+    ]
+    out = cohort_retention(rd.from_items(rows)).to_pandas()
+    w0 = int(np.datetime64("2024-01-01", "us").astype("int64"))
+    w1 = int(np.datetime64("2024-01-08", "us").astype("int64"))
+    got = {(r.cohort_week_us, r.week_offset): r.n_users for r in out.itertuples()}
+    assert got == {(w0, 0): 2, (w0, 1): 1, (w1, 0): 1}
