@@ -52,19 +52,27 @@ def _sessions_block(t: pa.Table, *, gap_us: int) -> pa.Table:
     )
 
 
-def _rolling_block(t: pa.Table, *, window_us: int) -> pa.Table:
+def _rolling_block(
+    t: pa.Table, *, window_us: int, value_scale: int | None = None
+) -> pa.Table:
     """Per row: count + sum of ``value`` over the same key's rows with ts
     in [ts - window, ts] — RANGE-frame semantics (equal-ts peers all
     included).  Sort once, prefix-sum once, then one vectorized
     searchsorted per key segment (bounded by distinct keys per block,
-    never per row)."""
+    never per row).
+
+    ``value_scale`` switches the sum to exact int64 fixed-point
+    (value × scale, e.g. 100 for 2-dp money): float prefix-sum
+    subtraction is accumulation-order-dependent, so only the scaled
+    integer form can be compared bit-for-bit against a SQL window sum."""
+    sum_type = pa.float64() if value_scale is None else pa.int64()
     empty = pa.table(
         {
             "event_id": pa.array([], pa.int64()),
             "user_id": pa.array([], pa.int64()),
             "ts_us": pa.array([], pa.int64()),
             "n_window": pa.array([], pa.int64()),
-            "sum_window": pa.array([], pa.float64()),
+            "sum_window": pa.array([], sum_type),
         }
     )
     if len(t) == 0:
@@ -73,10 +81,13 @@ def _rolling_block(t: pa.Table, *, window_us: int) -> pa.Table:
     ts = t["ts_us"].to_numpy(zero_copy_only=False)
     rid = t["event_id"].to_numpy(zero_copy_only=False)
     val = t["value"].to_numpy(zero_copy_only=False)
+    if value_scale is not None:
+        val = np.round(val * value_scale).astype(np.int64)
     order = np.lexsort((ts, key))
     key, ts, rid, val = key[order], ts[order], rid[order], val[order]
     n = len(key)
-    psum = np.concatenate([[0.0], np.cumsum(val)])
+    zero = np.int64(0) if value_scale is not None else 0.0
+    psum = np.concatenate([[zero], np.cumsum(val)])
     starts = np.flatnonzero(np.diff(key, prepend=key[0] - 1))
     bounds = np.append(starts, n)
     lo = np.empty(n, dtype=np.int64)
@@ -91,7 +102,7 @@ def _rolling_block(t: pa.Table, *, window_us: int) -> pa.Table:
             "user_id": pa.array(key, pa.int64()),
             "ts_us": pa.array(ts, pa.int64()),
             "n_window": pa.array(hi - lo, pa.int64()),
-            "sum_window": pa.array(psum[hi] - psum[lo], pa.float64()),
+            "sum_window": pa.array(psum[hi] - psum[lo], sum_type),
         }
     )
 
@@ -103,12 +114,15 @@ def rolling_window(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    value_scale: int | None = None,
 ) -> "ray.data.Dataset":
     """Per-event trailing-window aggregate (count + sum of ``value`` over
     the same user's events within the last ``window_minutes``) — the
     moving-window feature op (rate limits, activity features).  Same
     shape as sessionize: one hash exchange on the key, one vectorized
-    kernel per block.  RANGE-frame semantics: all equal-ts peers count."""
+    kernel per block.  RANGE-frame semantics: all equal-ts peers count.
+    ``value_scale`` (e.g. 100 for 2-dp money) switches ``sum_window`` to
+    exact int64 fixed-point — required for bit-exact oracle comparison."""
     from functools import partial
 
     from bitfunnel_ray.build.builder import tune_hash_shuffle
@@ -130,7 +144,7 @@ def rolling_window(
     )
     n_blocks = tune_hash_shuffle(rows.context)
     return rows.repartition(num_blocks=n_blocks, keys=["user_id"]).map_batches(
-        partial(_rolling_block, window_us=window_us),
+        partial(_rolling_block, window_us=window_us, value_scale=value_scale),
         batch_size=None,
         batch_format="pyarrow",
     )

@@ -938,9 +938,14 @@ def q_region_rollup(sf_dir):
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        # sum exact integer CENTS: float sums are accumulation-order-
+        # dependent (partials here vs sequential in the oracle), so a
+        # double sum can never be hash-compared — 2-dp money is exact
+        # in int64 and order-independent
         df = t.select(["r_name", "c_acctbal"]).to_pandas()
+        df["cents"] = np.round(df.pop("c_acctbal") * 100).astype("int64")
         g = df.groupby("r_name", as_index=False).agg(
-            n_customers=("c_acctbal", "size"), sum_acctbal=("c_acctbal", "sum")
+            n_customers=("cents", "size"), sum_acctbal_cents=("cents", "sum")
         )
         g["n_customers"] = g["n_customers"].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -948,7 +953,8 @@ def q_region_rollup(sf_dir):
     def combine(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         g = df.groupby("r_name", as_index=False).agg(
-            n_customers=("n_customers", "sum"), sum_acctbal=("sum_acctbal", "sum")
+            n_customers=("n_customers", "sum"),
+            sum_acctbal_cents=("sum_acctbal_cents", "sum"),
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -961,7 +967,8 @@ def q_region_rollup(sf_dir):
 
 SQL_REGION_ROLLUP = """
 SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
-       sum(c_acctbal) AS sum_acctbal
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS sum_acctbal_cents
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -1013,9 +1020,12 @@ def q_customer_orders(sf_dir):
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        # integer-cents sum — see q_region_rollup for why double sums
+        # can't be hash-compared across accumulation orders
         df = t.select(["c_mktsegment", "o_totalprice"]).to_pandas()
+        df["cents"] = np.round(df.pop("o_totalprice") * 100).astype("int64")
         g = df.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("o_totalprice", "size"), revenue=("o_totalprice", "sum")
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum")
         )
         g["n_orders"] = g["n_orders"].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -1023,7 +1033,7 @@ def q_customer_orders(sf_dir):
     def combine(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         g = df.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("n_orders", "sum"), revenue=("revenue", "sum")
+            n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum")
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -1035,7 +1045,8 @@ def q_customer_orders(sf_dir):
 
 SQL_CUSTOMER_ORDERS = """
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
-       sum(o_totalprice) AS revenue
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -1238,7 +1249,13 @@ def q_rolling_window(sf_dir):
     RANGE-frame semantics, oracle uses the equivalent window frame)."""
     from bitfunnel_ray.ops.sessions import rolling_window
 
-    return rolling_window(rd.read_parquet(f"{sf_dir}/events.parquet"), window_minutes=60.0)
+    # value_scale=100: sum exact integer cents — float window sums are
+    # accumulation-order-dependent and can't be hash-compared
+    return rolling_window(
+        rd.read_parquet(f"{sf_dir}/events.parquet"),
+        window_minutes=60.0,
+        value_scale=100,
+    )
 
 
 SQL_ROLLING_WINDOW = """
@@ -1246,7 +1263,7 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(user_id AS BIGINT) AS user_id,
        CAST(epoch_us(ts) AS BIGINT) AS ts_us,
        CAST(count(*) OVER w AS BIGINT) AS n_window,
-       sum(value) OVER w AS sum_window
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_window
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW)
