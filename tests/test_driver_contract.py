@@ -55,8 +55,14 @@ def test_query_matches_oracle(name):
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
     for c in got.columns:
         if got[c].dtype == np.float64:
-            assert np.allclose(got[c].to_numpy(), want[c].to_numpy(), atol=1e-9), (
-                f"{name}: float column {c} differs"
+            # BIT-exact, mirroring the driver's value-hash comparison:
+            # any float column an operator emits must be computed with
+            # an accumulation-order-independent recipe (per-row kernels,
+            # exact-int sums scaled at the end, fixed-order reductions)
+            ga, wa = got[c].to_numpy(), want[c].to_numpy()
+            assert np.array_equal(ga, wa, equal_nan=True), (
+                f"{name}: float column {c} not bit-identical "
+                f"(max abs diff {np.nanmax(np.abs(ga - wa))})"
             )
         else:
             assert got[c].tolist() == want[c].tolist(), f"{name}: column {c} differs"
