@@ -1052,6 +1052,83 @@ GROUP BY c_mktsegment
 """
 
 
+def q_pricing_summary(sf_dir):
+    """TPC-H Q1-style pricing summary over lineitem (the biggest table):
+    shipdate row-filter at the read, map-side partial aggregation per
+    block, one facet-cardinality exchange.  Money aggregates are exact
+    scaled int64 — sum(ep·(1-disc)) as 1e-4 units, sum(ep·(1-disc)·
+    (1+tax)) as 1e-6 units — so every column hash-compares bit-exactly
+    (a float sum never can; see q_region_rollup)."""
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+    cutoff = np.datetime64("1998-09-02T00:00:00", "us")  # Q1's date - 90 days
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        t = t.filter(pa.array(ship <= cutoff))
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.int64()),
+                    "sum_base_cents": pa.array([], pa.int64()),
+                    "sum_disc_e4": pa.array([], pa.int64()),
+                    "sum_charge_e6": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                }
+            )
+        df = t.select(["l_returnflag", "l_linestatus"]).to_pandas()
+        ep = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype("int64")
+        disc = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype("int64")
+        tax = np.round(t["l_tax"].to_numpy(zero_copy_only=False) * 100).astype("int64")
+        df["sum_qty"] = np.round(t["l_quantity"].to_numpy(zero_copy_only=False)).astype("int64")
+        df["sum_base_cents"] = ep
+        df["sum_disc_e4"] = ep * (100 - disc)
+        df["sum_charge_e6"] = ep * (100 - disc) * (100 + tax)
+        df["n_rows"] = np.int64(1)
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p = li.map_batches(partial, batch_format="pyarrow")
+    n_blocks = tune_hash_shuffle(p.context)
+    return p.repartition(
+        num_blocks=n_blocks, keys=["l_returnflag", "l_linestatus"]
+    ).map_batches(combine, batch_size=None, batch_format="pyarrow")
+
+
+SQL_PRICING_SUMMARY = """
+WITH f AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_h,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_h
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(ep_c) AS BIGINT) AS sum_base_cents,
+       CAST(sum(ep_c * (100 - disc_h)) AS BIGINT) AS sum_disc_e4,
+       CAST(sum(ep_c * (100 - disc_h) * (100 + tax_h)) AS BIGINT) AS sum_charge_e6,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM f GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def q_connected_components(sf_dir):
     """Distributed connected components (ops/cc.py, alternating
     large-star/small-star) over a deterministic SQL-checkable edge set:
@@ -1463,6 +1540,7 @@ REGISTRY: dict[str, tuple] = {
     "funnel": (q_funnel, SQL_FUNNEL),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
