@@ -1129,6 +1129,127 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_shipping_priority(sf_dir):
+    """TPC-H Q3-style shipping priority: two native hash joins
+    (orders⋈customer on custkey, then lineitem⋈ on orderkey), per-order
+    revenue as exact 1e-4-scaled int64, grouped post-exchange, and a
+    map-side top-10 so only ≤ 10 rows per block reach the driver."""
+    import ray
+    from ray.data.context import DataContext
+
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    # tune the CURRENT context before any dataset is built: each dataset
+    # snapshots the context at creation, and the repartition at the end
+    # runs on a join output, not on the dataset tuned here
+    n_blocks = tune_hash_shuffle(DataContext.get_current())
+    cutoff = np.datetime64("1998-06-01T00:00:00", "us")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(
+            pa.array(t["c_mktsegment"].to_numpy(zero_copy_only=False) == "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        t = t.filter(pa.array(od < cutoff))
+        od_us = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_custkey": t["o_custkey"].cast(pa.int64()),
+                "o_orderdate_us": pa.array(od_us, pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        t = t.filter(pa.array(ship > cutoff))
+        ep = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype("int64")
+        disc = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype("int64")
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+                "rev_e4": pa.array(ep * (100 - disc), pa.int64()),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(prep_li, batch_format="pyarrow")
+
+    j1 = orders.join(
+        cust, "inner", num_partitions=n_blocks,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "o_orderdate_us"])
+    j2 = li.join(
+        j1, "inner", num_partitions=n_blocks,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        # groups are complete here (exchange on l_orderkey) → per-block
+        # top-10 partial by (revenue desc, orderkey asc)
+        df = t.select(["l_orderkey", "o_orderdate_us", "rev_e4"]).to_pandas()
+        g = df.groupby(["l_orderkey", "o_orderdate_us"], as_index=False).agg(
+            revenue_e4=("rev_e4", "sum")
+        )
+        g = g.sort_values(
+            ["revenue_e4", "l_orderkey"], ascending=[False, True]
+        ).head(10)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = j2.repartition(num_blocks=n_blocks, keys=["l_orderkey"]).map_batches(
+        topk_block, batch_size=None, batch_format="pyarrow"
+    )
+    tables = [x for x in ray.get(parts.to_arrow_refs()) if len(x)]
+    import pandas as _pd
+
+    merged = _pd.concat([x.to_pandas() for x in tables]) if tables else _pd.DataFrame(
+        columns=["l_orderkey", "o_orderdate_us", "revenue_e4"]
+    )
+    out = merged.sort_values(
+        ["revenue_e4", "l_orderkey"], ascending=[False, True]
+    ).head(10).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_SHIPPING_PRIORITY = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+),
+o AS (
+  SELECT o_orderkey, o_orderdate
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+),
+g AS (
+  SELECT l_orderkey, min(o_orderdate) AS o_orderdate,
+         CAST(sum(rev_e4) AS BIGINT) AS revenue_e4
+  FROM li JOIN o ON l_orderkey = o_orderkey GROUP BY l_orderkey
+)
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+       revenue_e4
+FROM g ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+"""
+
+
 def q_connected_components(sf_dir):
     """Distributed connected components (ops/cc.py, alternating
     large-star/small-star) over a deterministic SQL-checkable edge set:
@@ -1541,6 +1662,7 @@ REGISTRY: dict[str, tuple] = {
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
