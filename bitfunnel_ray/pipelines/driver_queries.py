@@ -1129,6 +1129,84 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_top_supplier_per_part(sf_dir):
+    """Top supplier per part by total shipped quantity: lineitem partials
+    exchange on partkey (co-locating every supplier of a part), one
+    vectorized group+top-1 per block, then the part and supplier DIMS
+    join map-side via broadcast (never a big-side shuffle)."""
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+    from bitfunnel_ray.ops.joins import broadcast_dim_join
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = np.round(t["l_quantity"].to_numpy(zero_copy_only=False)).astype("int64")
+        df = t.select(["l_partkey", "l_suppkey"]).to_pandas()
+        df["qty"] = qty
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False).agg(
+            qty=("qty", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey", "l_quantity"]
+    ).map_batches(prep, batch_format="pyarrow")
+    n_blocks = tune_hash_shuffle(li.context)
+
+    def top1(t: pa.Table) -> pa.Table:
+        # all (part, supp) partials for a part are in this block
+        df = t.to_pandas()
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False).agg(
+            qty=("qty", "sum")
+        )
+        g = g.sort_values(
+            ["l_partkey", "qty", "l_suppkey"], ascending=[True, False, True]
+        ).groupby("l_partkey", as_index=False).head(1)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    best = li.repartition(num_blocks=n_blocks, keys=["l_partkey"]).map_batches(
+        top1, batch_size=None, batch_format="pyarrow"
+    )
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    j = broadcast_dim_join(
+        best, part, big_key="l_partkey", dim_key="p_partkey", dim_cols=["p_name"]
+    )
+    j = broadcast_dim_join(
+        j, supp, big_key="l_suppkey", dim_key="s_suppkey", dim_cols=["s_name"]
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["l_partkey"].cast(pa.int64()),
+                "p_name": t["p_name"],
+                "s_suppkey": t["l_suppkey"].cast(pa.int64()),
+                "s_name": t["s_name"],
+                "qty": t["qty"].cast(pa.int64()),
+            }
+        )
+
+    return j.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_TOP_SUPPLIER_PER_PART = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_partkey ORDER BY qty DESC, l_suppkey
+  ) AS rk FROM ps
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+       CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, qty
+FROM r JOIN part ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+WHERE rk = 1 ORDER BY p_partkey
+"""
+
+
 def q_shipping_priority(sf_dir):
     """TPC-H Q3-style shipping priority: two native hash joins
     (orders⋈customer on custkey, then lineitem⋈ on orderkey), per-order
@@ -1663,6 +1741,7 @@ REGISTRY: dict[str, tuple] = {
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "top_supplier_per_part": (q_top_supplier_per_part, SQL_TOP_SUPPLIER_PER_PART),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
