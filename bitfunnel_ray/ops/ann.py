@@ -29,6 +29,14 @@ def _batch_topk(
 
     tune_allocator()
     queries = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref  # (nq, dim), unit rows
+    if len(t) == 0:  # a metadata pre-filter can empty a whole batch
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
     vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
     unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
     sims = unit @ queries.T  # (n, nq)
@@ -117,6 +125,45 @@ def brute_force_topk(
     partials = embeddings.select_columns([id_col, vec_col]).map_batches(
         partial(_batch_topk, q_ref=q_ref, k=k, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
+    )
+    return _final_topk_reduce(partials, k)
+
+
+def filtered_topk(
+    embeddings: "ray.data.Dataset",
+    query_vectors: np.ndarray,
+    k: int = 10,
+    *,
+    filter_col: str,
+    filter_value,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """FILTERED vector search — exact cosine top-k restricted to rows
+    where ``filter_col == filter_value`` (the "ANN with a metadata
+    predicate" serving feature).  The predicate is applied per batch
+    BEFORE any scoring (filter-then-score: the matmul never touches
+    excluded vectors), so selective filters cut compute proportionally;
+    everything downstream is the same ≤ k rows/query/block partial
+    top-k as brute_force_topk."""
+    import pyarrow.compute as pc
+
+    q = np.asarray(query_vectors, dtype=np.float64)
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put(q)
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t[filter_col], filter_value)).select(
+            [id_col, vec_col]
+        )
+
+    partials = (
+        embeddings.select_columns([id_col, vec_col, filter_col])
+        .map_batches(pre, batch_format="pyarrow")
+        .map_batches(
+            partial(_batch_topk, q_ref=q_ref, k=k, id_col=id_col, vec_col=vec_col),
+            batch_format="pyarrow",
+        )
     )
     return _final_topk_reduce(partials, k)
 

@@ -679,6 +679,35 @@ def q_ann_topk(sf_dir):
     return out[["query_id", "rank", "vec_id", "cosine"]]
 
 
+def q_ann_filtered_topk(sf_dir):
+    """Filtered vector search: exact cosine top-10 restricted to label=3
+    vectors — metadata predicate applied per batch BEFORE scoring."""
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    out = ann.filtered_topk(
+        emb, _ann_query_matrix(sf_dir), k=10, filter_col="label", filter_value=3
+    ).to_pandas()
+    out["query_id"] = out["query_id"].map(lambda i: _ANN_QUERY_IDS[int(i)]).astype(np.int64)
+    out["cosine"] = np.round(out["cosine"].to_numpy(), 5)
+    return out[["query_id", "rank", "vec_id", "cosine"]]
+
+
+SQL_ANN_FILTERED_TOPK = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+sims AS (SELECT q.qid AS query_id, e.vec_id,
+                CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE) AS cosine
+         FROM embeddings e CROSS JOIN q WHERE e.label = 3),
+ranked AS (SELECT query_id, vec_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+           FROM sims)
+SELECT query_id, rank, vec_id, round(cosine, 5) AS cosine
+FROM ranked WHERE rank <= 10
+"""
+
+
 SQL_ANN_TOPK = f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
            WHERE vec_id IN (0, 1, 2)),
@@ -1724,6 +1753,7 @@ REGISTRY: dict[str, tuple] = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ann_filtered_topk": (q_ann_filtered_topk, SQL_ANN_FILTERED_TOPK),
     "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
     "annotate_shard": (q_annotate_shard, SQL_ANNOTATE_SHARD),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),

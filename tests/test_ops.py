@@ -888,3 +888,42 @@ def test_cohort_retention_week_semantics():
     w1 = int(np.datetime64("2024-01-08", "us").astype("int64"))
     got = {(r.cohort_week_us, r.week_offset): r.n_users for r in out.itertuples()}
     assert got == {(w0, 0): 2, (w0, 1): 1, (w1, 0): 1}
+
+
+def test_filtered_topk_respects_predicate():
+    """Filtered vector search returns only rows matching the metadata
+    predicate, identical to brute force over the pre-filtered subset —
+    including batches the filter empties entirely."""
+    from bitfunnel_ray.ops import ann
+
+    rng_vecs = np.array(
+        [[np.cos(0.1 * i), np.sin(0.1 * i)] for i in range(40)], dtype=np.float32
+    )
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in rng_vecs], pa.list_(pa.float32())),
+                "label": pa.array([i % 4 for i in range(40)], pa.int64()),
+            }
+        )
+    ).repartition(8)  # several blocks; some will filter to empty
+    q = rng_vecs[:1].astype(np.float64)
+    got = ann.filtered_topk(
+        emb, q, k=5, filter_col="label", filter_value=2
+    ).to_pandas()
+    assert set(got.vec_id % 4) == {2}
+    sub = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([i for i in range(40) if i % 4 == 2], pa.int64()),
+                "embedding": pa.array(
+                    [rng_vecs[i].tolist() for i in range(40) if i % 4 == 2],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    want = ann.brute_force_topk(sub, q, k=5).to_pandas()
+    assert got[["query_id", "rank", "vec_id"]].equals(want[["query_id", "rank", "vec_id"]])
+    assert np.array_equal(got.cosine.to_numpy(), want.cosine.to_numpy())
