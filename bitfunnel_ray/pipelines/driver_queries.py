@@ -191,6 +191,67 @@ def q_bm25_topk(sf_dir):
     )
 
 
+def q_related_terms(sf_dir):
+    """Related searches for 'spark': terms ranked by PMI with the query
+    term.  Co-occurrence df comes from the SAME distributed df-table
+    stage run over the match-set-filtered corpus (the index supplies the
+    match set; the filter is a broadcast np.isin); the final PMI rank is
+    a vocab-sized driver computation."""
+    eng = get_engine(sf_dir)
+    match = np.sort(eng.eval(parse_query("spark")).astype(np.int64))
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    df_x = len(match)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = np.isin(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), match)
+        return t.filter(pa.array(m))
+
+    corpus = corpus_from_documents(sf_dir)
+    sub = corpus.map_batches(keep, batch_format="pyarrow")
+    cooc = (
+        document_frequency_table(sub, EngineConfig(max_gram=1))
+        .select_columns(["term", "df"]).to_pandas()
+        .rename(columns={"df": "cooc"})
+    )
+    glob = (
+        document_frequency_table(corpus, EngineConfig(max_gram=1))
+        .select_columns(["term", "df"]).to_pandas()
+    )
+    m = cooc.merge(glob, on="term")
+    m = m[m.term != "spark"]
+    pmi = np.log(m["cooc"].to_numpy().astype(np.float64) * n_docs / (df_x * m["df"].to_numpy()))
+    m["pmi"] = np.round(pmi, 6)
+    m = m.sort_values(["pmi", "term"], ascending=[False, True]).head(15)
+    return pa.table(
+        {
+            "term": pa.array(m.term.tolist(), pa.string()),
+            "cooc": pa.array(m.cooc.to_numpy().astype(np.int64), pa.int64()),
+            "df": pa.array(m.df.to_numpy().astype(np.int64), pa.int64()),
+            "pmi": pa.array(m.pmi.to_numpy(), pa.float64()),
+        }
+    )
+
+
+SQL_RELATED_TERMS = f"""
+WITH toks AS ({_tokens_sql()}),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+xdocs AS (SELECT doc_id FROM dt WHERE term = 'spark'),
+n AS (SELECT count(*) AS n FROM documents),
+dfx AS (SELECT count(*) AS c FROM xdocs),
+co AS (
+  SELECT term, count(*) AS cooc FROM dt
+  WHERE doc_id IN (SELECT doc_id FROM xdocs) AND term <> 'spark'
+  GROUP BY term
+),
+df AS (SELECT term, count(*) AS df FROM dt GROUP BY term)
+SELECT co.term, CAST(cooc AS BIGINT) AS cooc, CAST(df.df AS BIGINT) AS df,
+       round(ln(CAST(cooc AS DOUBLE) * n.n / (dfx.c * df.df)), 6) AS pmi
+FROM co JOIN df USING (term), n, dfx
+ORDER BY round(ln(CAST(cooc AS DOUBLE) * n.n / (dfx.c * df.df)), 6) DESC, co.term
+LIMIT 15
+"""
+
+
 def q_search_snippets(sf_dir):
     """Serving-side snippet generation: BM25 top-10 for AND(spark, join),
     then a 15-token window around the first query-term hit in each result
@@ -1754,6 +1815,7 @@ REGISTRY: dict[str, tuple] = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_filtered_topk": (q_ann_filtered_topk, SQL_ANN_FILTERED_TOPK),
+    "related_terms": (q_related_terms, SQL_RELATED_TERMS),
     "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
     "annotate_shard": (q_annotate_shard, SQL_ANNOTATE_SHARD),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
