@@ -82,6 +82,63 @@ def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
     return out
 
 
+def corpus_from_jsonl(path: str) -> "ray.data.Dataset":
+    """Read newline-delimited JSON documents (fields ``doc_id``, ``text``,
+    optional ``lang``) and lift to the canonical corpus schema.  Uses Ray
+    Data's native JSON reader, so the read streams and parallelizes by
+    file/block exactly like parquet — the adapter only normalizes the
+    schema (missing ``lang`` → "und").  Reference analog: the chunk
+    ingest formats (ChunkReader) — here any JSONL dump is a corpus."""
+    ds = ray.data.read_json(path)
+
+    def norm(t: pa.Table) -> pa.Table:
+        lang = (
+            t["lang"]
+            if "lang" in t.schema.names
+            else pa.array(["und"] * len(t), pa.string())
+        )
+        return _lift_documents_batch(
+            pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "text": t["text"].cast(pa.string()),
+                    "lang": lang,
+                }
+            )
+        )
+
+    out = ds.map_batches(norm, batch_format="pyarrow")
+    out._bfr_input_files = ds.input_files()
+    return out
+
+
+def corpus_from_csv(path: str) -> "ray.data.Dataset":
+    """Read CSV documents (columns ``doc_id``, ``text``, optional
+    ``lang``) and lift to the canonical corpus schema; same contract as
+    ``corpus_from_jsonl``."""
+    ds = ray.data.read_csv(path)
+
+    def norm(t: pa.Table) -> pa.Table:
+        lang = (
+            t["lang"]
+            if "lang" in t.schema.names
+            else pa.array(["und"] * len(t), pa.string())
+        )
+        return _lift_documents_batch(
+            pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "text": t["text"].cast(pa.string()),
+                    "lang": lang,
+                }
+            )
+        )
+
+    out = ds.map_batches(norm, batch_format="pyarrow")
+    out._bfr_input_files = ds.input_files()
+    return out
+
+
 # --- deterministic synthetic corpora (FIXTURES.md §1) --------------------
 
 

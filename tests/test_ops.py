@@ -927,3 +927,41 @@ def test_filtered_topk_respects_predicate():
     want = ann.brute_force_topk(sub, q, k=5).to_pandas()
     assert got[["query_id", "rank", "vec_id"]].equals(want[["query_id", "rank", "vec_id"]])
     assert np.array_equal(got.cosine.to_numpy(), want.cosine.to_numpy())
+
+
+def test_corpus_sources_jsonl_csv_parquet_agree(tmp_path):
+    """The JSONL and CSV corpus adapters produce the identical canonical
+    corpus (and identical df tables) as the parquet path for the same
+    documents — any dump format feeds the same engine."""
+    import json
+
+    from bitfunnel_ray.build.stats import document_frequency_table
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.sources.corpus import corpus_from_csv, corpus_from_jsonl
+
+    docs = [
+        {"doc_id": 0, "text": "alpha beta", "lang": "en"},
+        {"doc_id": 1, "text": "beta gamma gamma", "lang": "de"},
+        {"doc_id": 2, "text": "alpha", "lang": "en"},
+    ]
+    jp = tmp_path / "docs.jsonl"
+    jp.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+    cp = tmp_path / "docs.csv"
+    cp.write_text(
+        "doc_id,text,lang\n"
+        + "\n".join(f"{d['doc_id']},{d['text']},{d['lang']}" for d in docs)
+        + "\n"
+    )
+    base = _corpus([d["text"] for d in docs]).to_pandas().sort_values("doc_id")
+    for src in (corpus_from_jsonl(str(jp)), corpus_from_csv(str(cp))):
+        got = src.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(got.columns) == list(base.columns)
+        assert got["text"].tolist() == base["text"].reset_index(drop=True).tolist()
+        assert got["url"].tolist() == base["url"].reset_index(drop=True).tolist()
+        dft = (
+            document_frequency_table(src, EngineConfig(max_gram=1))
+            .select_columns(["term", "df"]).to_pandas()
+            .sort_values("term").reset_index(drop=True)
+        )
+        assert dft.term.tolist() == ["alpha", "beta", "gamma"]
+        assert dft.df.tolist() == [2, 2, 1]
