@@ -484,6 +484,16 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_binary_stats(sf_dir):
+    """Codec-free binary-column profiling (size, byte entropy, distinct
+    bytes, magic sniff) over the corpus html payloads — the multimodal
+    ingest-QA stage.  Rows-only (byte entropy isn't SQL-practical);
+    known-entropy kernels are pytest-proven."""
+    from bitfunnel_ray.ops.multimodal import binary_stats
+
+    return binary_stats(corpus_from_documents(sf_dir), "html")
+
+
 def q_distinct_terms_hll(sf_dir):
     """HyperLogLog distinct-token count per source — the no-exchange
     scale path (16 KiB mergeable registers per group per block).
@@ -1860,4 +1870,5 @@ REGISTRY: dict[str, tuple] = {
     "multimodal_features": (q_multimodal_features, None),
     "dedup_canonical": (q_dedup_canonical, None),
     "distinct_terms_hll": (q_distinct_terms_hll, None),
+    "binary_stats": (q_binary_stats, None),
 }

@@ -965,3 +965,35 @@ def test_corpus_sources_jsonl_csv_parquet_agree(tmp_path):
         )
         assert dft.term.tolist() == ["alpha", "beta", "gamma"]
         assert dft.df.tolist() == [2, 2, 1]
+
+
+def test_binary_stats_entropy_and_sniff():
+    """Binary profiling: known-entropy blobs (uniform 256 bytes → 8 bits,
+    constant → 0, two equal bytes → 1), size/distinct counts, and
+    magic-byte sniffing, including empty blobs."""
+    from bitfunnel_ray.ops.multimodal import binary_stats
+
+    blobs = [
+        bytes(range(256)),          # uniform → 8.0 bits
+        b"aaaa",                    # constant → 0.0
+        b"abab",                    # two symbols → 1.0
+        b"\x89PNG\r\n\x1a\n" + b"x" * 8,
+        b"%PDF-1.7",
+        b"",                        # empty
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(blobs)), pa.int64()),
+                "html": pa.array(blobs, pa.binary()),
+            }
+        )
+    )
+    out = binary_stats(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.n_bytes.tolist() == [256, 4, 4, 16, 8, 0]
+    assert out.entropy_bits[0] == 8.0
+    assert out.entropy_bits[1] == 0.0
+    assert out.entropy_bits[2] == 1.0
+    assert out.entropy_bits[5] == 0.0
+    assert out.n_distinct_bytes.tolist() == [256, 1, 2, 8, 8, 0]
+    assert out.sniff.tolist()[3:] == ["png", "pdf", "empty"]
