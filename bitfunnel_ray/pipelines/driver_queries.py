@@ -191,6 +191,55 @@ def q_bm25_topk(sf_dir):
     )
 
 
+def q_autocomplete(sf_dir):
+    """Query autocomplete: vocabulary terms with a given prefix, ranked
+    by document frequency (df desc, term asc, top-10).  Streams the df
+    table with a vectorized prefix test + map-side top-k — ≤ k rows per
+    block reach the driver."""
+    import pyarrow.compute as pc
+
+    prefix, k = "s", 10
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pc.starts_with(t["term"], prefix)
+        sub = t.select(["term", "df"]).filter(m)
+        if len(sub) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        df = sub["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = np.asarray(sub["term"].to_numpy(zero_copy_only=False), dtype=str)
+        sel = np.lexsort((terms, -df))[:k]
+        return pa.table(
+            {
+                "term": pa.array(terms[sel], pa.string()),
+                "df": pa.array(df[sel], pa.int64()),
+            }
+        )
+
+    dft = document_frequency_table(
+        corpus_from_documents(sf_dir), EngineConfig(max_gram=1)
+    )
+    parts = dft.map_batches(pick, batch_format="pyarrow")
+    merged = parts.to_pandas()
+    merged = merged.sort_values(["df", "term"], ascending=[False, True]).head(k)
+    return pa.table(
+        {
+            "term": pa.array(merged.term.tolist(), pa.string()),
+            "df": pa.array(merged.df.to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_AUTOCOMPLETE = f"""
+WITH toks AS ({_tokens_sql()}),
+vocab AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM toks GROUP BY term)
+SELECT term, df FROM vocab WHERE term LIKE 's%'
+ORDER BY df DESC, term LIMIT 10
+"""
+
+
 def q_related_terms(sf_dir):
     """Related searches for 'spark': terms ranked by PMI with the query
     term.  Co-occurrence df comes from the SAME distributed df-table
@@ -1826,6 +1875,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_filtered_topk": (q_ann_filtered_topk, SQL_ANN_FILTERED_TOPK),
     "related_terms": (q_related_terms, SQL_RELATED_TERMS),
+    "autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),
     "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
     "annotate_shard": (q_annotate_shard, SQL_ANNOTATE_SHARD),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
