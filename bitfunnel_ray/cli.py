@@ -96,6 +96,46 @@ def cmd_filter(args):
     print(json.dumps({"out": args.out, "status": "ok"}))
 
 
+def cmd_dedup(args):
+    """Near-dup-free corpus copy: MinHash+LSH candidate pairs →
+    distributed exact-Jaccard verify → connected components → keep each
+    cluster's minimum doc_id → anti-join → write partitioned parquet.
+    The training-data dedup workflow as one command."""
+    from bitfunnel_ray.ops.cc import dedup_canonical
+    from bitfunnel_ray.ops.dedup import minhash_dedup_pairs
+
+    ds = _load_corpus(args.corpus)
+    pairs = minhash_dedup_pairs(
+        ds, k=args.shingle, bands=args.bands, threshold=args.threshold
+    )
+    kept = dedup_canonical(ds.select_columns(["doc_id"]), pairs)
+    kept_ids = kept.to_pandas()["doc_id"].to_numpy()
+    import numpy as np
+
+    ids = np.sort(kept_ids.astype(np.int64))
+
+    def keep_rows(t):
+        import pyarrow as _pa
+
+        m = np.isin(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), ids)
+        return t.filter(_pa.array(m))
+
+    out = ds.map_batches(keep_rows, batch_format="pyarrow")
+    out.write_parquet(args.out)
+    n_in = ds.count()
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "docs_in": int(n_in),
+                "docs_kept": int(len(ids)),
+                "docs_removed": int(n_in - len(ids)),
+                "status": "ok",
+            }
+        )
+    )
+
+
 def cmd_querylog(args):
     import pyarrow.parquet as pq
 
@@ -325,6 +365,13 @@ def main(argv=None):
     s.add_argument("--max-postings", type=int); s.add_argument("--count", type=int)
     s.add_argument("--lang")
     s.set_defaults(fn=cmd_filter, needs_ray=True)
+
+    s = sub.add_parser("dedup")
+    s.add_argument("corpus"); s.add_argument("out")
+    s.add_argument("--shingle", type=int, default=5)
+    s.add_argument("--bands", type=int, default=8)
+    s.add_argument("--threshold", type=float, default=0.9)
+    s.set_defaults(fn=cmd_dedup, needs_ray=True)
 
     s = sub.add_parser("querylog")
     s.add_argument("corpus"); s.add_argument("out"); s.add_argument("--count", type=int, default=256)

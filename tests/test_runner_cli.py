@@ -115,3 +115,23 @@ def test_cli_end_to_end(tmp_path):
     assert r3.returncode == 0
     stats = json.loads(r3.stdout)
     assert stats["postings"] > 0
+
+
+def test_cli_dedup_writes_cleaned_corpus(tmp_path):
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root", "RAY_GRAFT_CPUS": "4"}
+    out_dir = str(tmp_path / "deduped")
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "dedup",
+         "/root/testdata/sf0.001", out_dir,
+         "--shingle", "3", "--bands", "16", "--threshold", "0.7"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["docs_in"] == 500
+    assert rep["docs_kept"] + rep["docs_removed"] == 500
+    assert rep["docs_removed"] > 0  # the synthetic corpus plants near-dups
+    import pyarrow.parquet as pq
+
+    kept = pq.read_table(out_dir, columns=["doc_id"])
+    assert kept.num_rows == rep["docs_kept"]
