@@ -1149,6 +1149,39 @@ SELECT CAST(0.99 AS DOUBLE), CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n
 """
 
 
+def q_grouped_percentiles(sf_dir):
+    """Exact doc-length percentile_disc PER SOURCE: (group, value) count
+    partials → one exchange on the group → percentiles read per block;
+    the driver receives groups × quantiles rows only."""
+    from bitfunnel_ray.ops.quantiles import grouped_percentiles
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return grouped_percentiles(docs, "n_chars", "source", (0.25, 0.5, 0.75, 0.95))
+
+
+SQL_GROUPED_PERCENTILES = """
+SELECT source, q, CAST(v AS BIGINT) AS value FROM (
+  SELECT source, CAST(0.25 AS DOUBLE) AS q,
+         percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS v
+  FROM documents GROUP BY source
+  UNION ALL
+  SELECT source, CAST(0.5 AS DOUBLE),
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+  FROM documents GROUP BY source
+  UNION ALL
+  SELECT source, CAST(0.75 AS DOUBLE),
+         percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)
+  FROM documents GROUP BY source
+  UNION ALL
+  SELECT source, CAST(0.95 AS DOUBLE),
+         percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)
+  FROM documents GROUP BY source
+) ORDER BY source, q
+"""
+
+
 def q_customer_orders(sf_dir):
     """Per-market-segment order revenue via Ray Data's NATIVE hash join
     (Dataset.join, both sides big — the equi-join case where broadcast
@@ -1876,6 +1909,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_filtered_topk": (q_ann_filtered_topk, SQL_ANN_FILTERED_TOPK),
     "related_terms": (q_related_terms, SQL_RELATED_TERMS),
     "autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),
+    "grouped_percentiles": (q_grouped_percentiles, SQL_GROUPED_PERCENTILES),
     "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
     "annotate_shard": (q_annotate_shard, SQL_ANNOTATE_SHARD),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),

@@ -997,3 +997,24 @@ def test_binary_stats_entropy_and_sniff():
     assert out.entropy_bits[5] == 0.0
     assert out.n_distinct_bytes.tolist() == [256, 1, 2, 8, 8, 0]
     assert out.sniff.tolist()[3:] == ["png", "pdf", "empty"]
+
+
+def test_grouped_percentiles_disc_semantics():
+    """percentile_disc per group on a hand-checkable distribution: the
+    smallest value whose cumulative count reaches ceil(q*n), per group."""
+    from bitfunnel_ray.ops.quantiles import grouped_percentiles
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(["a"] * 4 + ["b"] * 5),
+                "v": pa.array([10, 20, 30, 40, 1, 1, 2, 3, 100], pa.int64()),
+            }
+        )
+    )
+    out = grouped_percentiles(ds, "v", "g", (0.5, 0.75, 1.0)).to_pandas()
+    got = {(r.g, r.q): r.value for r in out.itertuples()}
+    # group a: n=4 → q=.5 rank 2 → 20; q=.75 rank 3 → 30; q=1 rank 4 → 40
+    assert got[("a", 0.5)] == 20 and got[("a", 0.75)] == 30 and got[("a", 1.0)] == 40
+    # group b: n=5 sorted [1,1,2,3,100] → q=.5 rank 3 → 2; q=.75 rank 4 → 3
+    assert got[("b", 0.5)] == 2 and got[("b", 0.75)] == 3 and got[("b", 1.0)] == 100
