@@ -127,3 +127,102 @@ def cohort_retention(events: "ray.data.Dataset") -> pa.Table:
     return out.set_column(2, "n_users", out["n_users"].cast(pa.int64())).sort_by(
         [("cohort_week_us", "ascending"), ("week_offset", "ascending")]
     )
+
+
+def _dedup_user_days(t: pa.Table) -> pa.Table:
+    """Map-side combine: distinct (user, epoch-day) pairs per block."""
+    if len(t) == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()), "day": pa.array([], pa.int64())}
+        )
+    user = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+    day = np.floor_divide(ts, _DAY_US)
+    order = np.lexsort((day, user))
+    u, d = user[order], day[order]
+    keep = np.empty(len(u), dtype=bool)
+    keep[0] = True
+    keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+    return pa.table(
+        {"user_id": pa.array(u[keep], pa.int64()), "day": pa.array(d[keep], pa.int64())}
+    )
+
+
+def _wau_block(t: pa.Table, *, window_days: int) -> pa.Table:
+    """One user-partitioned block of distinct (user, day) pairs → partial
+    (window_day, n_users) counts: each active day covers window days
+    d..d+W-1, coverage dedupes per user INSIDE the block (the exchange
+    guarantees a user lives in exactly one block, so summing partials
+    counts distinct users), plus the block's max observed day for the
+    trailing-edge cap."""
+    empty = pa.table(
+        {
+            "day": pa.array([], pa.int64()),
+            "n_part": pa.array([], pa.int64()),
+            "max_day": pa.array([], pa.int64()),
+        }
+    )
+    if len(t) == 0:
+        return empty
+    u = t["user_id"].to_numpy(zero_copy_only=False)
+    d = t["day"].to_numpy(zero_copy_only=False)
+    w = np.arange(window_days, dtype=np.int64)
+    cu = np.repeat(u, window_days)
+    cd = (d[:, None] + w[None, :]).ravel()
+    order = np.lexsort((cd, cu))
+    cu, cd = cu[order], cd[order]
+    keep = np.empty(len(cu), dtype=bool)
+    keep[0] = True
+    keep[1:] = (cu[1:] != cu[:-1]) | (cd[1:] != cd[:-1])
+    cd = cd[keep]
+    days, counts = np.unique(cd, return_counts=True)
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "n_part": pa.array(counts.astype(np.int64), pa.int64()),
+            "max_day": pa.array(np.full(len(days), d.max(), np.int64), pa.int64()),
+        }
+    )
+
+
+def rolling_active_users(
+    events: "ray.data.Dataset", window_days: int = 7
+) -> pa.Table:
+    """Rolling W-day active-user counts (e.g. WAU per day): for each day,
+    the number of distinct users with ≥ 1 event in [day-W+1, day],
+    reported for every day up to the last observed event day.  Exact —
+    same shape as the cohort matrix: map-side (user, day) dedup, one
+    exchange on user, per-block coverage partials; the driver merges
+    calendar-sized rows.  Returns (day_us, n_users) sorted by day."""
+    from functools import partial as _bind
+
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    slim = events.select_columns(["user_id", "ts"]).map_batches(
+        _dedup_user_days, batch_format="pyarrow"
+    )
+    n_blocks = tune_hash_shuffle(slim.context)
+    parts = slim.repartition(num_blocks=n_blocks, keys=["user_id"]).map_batches(
+        _bind(_wau_block, window_days=window_days),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    tables = [x for x in ray.get(parts.to_arrow_refs()) if len(x)]
+    if not tables:
+        return pa.table(
+            {"day_us": pa.array([], pa.int64()), "n_users": pa.array([], pa.int64())}
+        )
+    merged = pa.concat_tables(tables)
+    d = merged["day"].to_numpy(zero_copy_only=False)
+    c = merged["n_part"].to_numpy(zero_copy_only=False)
+    max_day = int(merged["max_day"].to_numpy(zero_copy_only=False).max())
+    keep = d <= max_day
+    d, c = d[keep], c[keep]
+    days, inv = np.unique(d, return_inverse=True)
+    counts = np.bincount(inv, weights=c).astype(np.int64)
+    return pa.table(
+        {
+            "day_us": pa.array(days * _DAY_US, pa.int64()),
+            "n_users": pa.array(counts, pa.int64()),
+        }
+    )

@@ -374,6 +374,32 @@ FROM j GROUP BY cohort, off ORDER BY 1, 2
 """
 
 
+def q_rolling_active_users(sf_dir):
+    """Rolling 7-day distinct active users per day (WAU curve) — exact,
+    via map-side (user, day) dedup + one user exchange + per-block
+    coverage partials; driver merges calendar-sized rows."""
+    from bitfunnel_ray.ops.cohort import rolling_active_users
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return rolling_active_users(ev, window_days=7)
+
+
+SQL_ROLLING_ACTIVE_USERS = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+),
+cov AS (
+  SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS wd
+  FROM ud CROSS JOIN unnest(range(0, 7)) t(i)
+),
+mx AS (SELECT max(d) AS m FROM ud)
+SELECT CAST(epoch_us(CAST(wd AS TIMESTAMP)) AS BIGINT) AS day_us,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM cov, mx WHERE wd <= mx.m
+GROUP BY wd ORDER BY wd
+"""
+
+
 def q_normalize_text(sf_dir):
     """Canonical text normalization (lowercase + collapse non-alnum runs
     + trim): map-only Arrow kernels; RE2 on both sides so the oracle is
@@ -1910,6 +1936,7 @@ REGISTRY: dict[str, tuple] = {
     "related_terms": (q_related_terms, SQL_RELATED_TERMS),
     "autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),
     "grouped_percentiles": (q_grouped_percentiles, SQL_GROUPED_PERCENTILES),
+    "rolling_active_users": (q_rolling_active_users, SQL_ROLLING_ACTIVE_USERS),
     "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
     "annotate_shard": (q_annotate_shard, SQL_ANNOTATE_SHARD),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),

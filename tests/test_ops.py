@@ -1018,3 +1018,27 @@ def test_grouped_percentiles_disc_semantics():
     assert got[("a", 0.5)] == 20 and got[("a", 0.75)] == 30 and got[("a", 1.0)] == 40
     # group b: n=5 sorted [1,1,2,3,100] → q=.5 rank 3 → 2; q=.75 rank 4 → 3
     assert got[("b", 0.5)] == 2 and got[("b", 0.75)] == 3 and got[("b", 1.0)] == 100
+
+
+def test_rolling_active_users_window_semantics():
+    """WAU edges: a user active on day d counts toward days d..d+W-1
+    (capped at the last observed day); multiple events in one day count
+    once; distinct users sum across the window."""
+    from bitfunnel_ray.ops.cohort import rolling_active_users
+
+    day = 86_400_000_000
+
+    def ev(uid, d):
+        return {"user_id": uid, "ts": np.datetime64(d * day, "us")}
+
+    rows = [
+        ev(1, 0), ev(1, 0),      # dup same-day events count once
+        ev(2, 1),
+        ev(1, 3),                # user 1 re-activates
+    ]
+    out = rolling_active_users(rd.from_items(rows), window_days=2).to_pandas()
+    got = dict(zip(out.day_us // day, out.n_users))
+    # day0: {1}; day1: {1 (from d0), 2}; day2: {2 (from d1)}; day3: {1}
+    # day4 would be covered by d3 but is past max observed day (3)? no —
+    # max day IS 3, so day4 > max → dropped
+    assert got == {0: 1, 1: 2, 2: 1, 3: 1}
