@@ -71,3 +71,145 @@ def chunk_documents(
     return corpus.select_columns(["doc_id", "text"]).map_batches(
         partial(_chunk_block, window=window, stride=stride), batch_format="pyarrow"
     )
+
+
+def duplicated_passages(
+    docs: "ray.data.Dataset",
+    window: int = 64,
+    stride: int = 32,
+    min_docs: int = 2,
+) -> pa.Table:
+    """Boilerplate-passage detection: chunk texts appearing in at least
+    ``min_docs`` DISTINCT documents, with doc and occurrence counts —
+    the cross-document duplicated-span signal (navigation chrome,
+    license headers, template boilerplate) used to clean training text.
+
+    Scale shape: the exchange carries (chunk_hash int64, doc_id, occ)
+    only — never chunk text.  A document's chunks are produced inside
+    one block, so (hash, doc) rows are globally unique before the hash
+    exchange; after it, each hash's doc list is complete in one block.
+    Surviving hashes (boilerplate is FEW by nature) broadcast back for a
+    second map-only pass that recovers one representative text each.
+    Returns (chunk_text, n_docs, n_occurrences) sorted by text."""
+    from functools import partial as _bind
+
+    import ray
+
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+    from bitfunnel_ray.stages.tokenize import hash_token_array
+
+    chunks = chunk_documents(docs, window=window, stride=stride)
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                }
+            )
+        h = hash_token_array(
+            t["chunk_text"].combine_chunks()
+            if isinstance(t["chunk_text"], pa.ChunkedArray)
+            else t["chunk_text"]
+        ).view(np.int64)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((h, d))
+        d, h = d[order], h[order]
+        new = np.empty(len(d), dtype=bool)
+        new[0] = True
+        new[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        starts = np.flatnonzero(new)
+        occ = np.diff(np.append(starts, len(d))).astype(np.int64)
+        return pa.table(
+            {
+                "h": pa.array(h[starts], pa.int64()),
+                "doc_id": pa.array(d[starts], pa.int64()),
+                "occ": pa.array(occ, pa.int64()),
+            }
+        )
+
+    pairs = chunks.map_batches(pair_rows, batch_format="pyarrow")
+    n_blocks = tune_hash_shuffle(pairs.context)
+
+    def per_hash(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "h": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_occurrences": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        occ = t["occ"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, occ = h[order], occ[order]
+        starts = np.flatnonzero(np.diff(h, prepend=h[0] - 1))
+        nd = np.diff(np.append(starts, len(h)))
+        keep = nd >= min_docs
+        return pa.table(
+            {
+                "h": pa.array(h[starts][keep], pa.int64()),
+                "n_docs": pa.array(nd[keep].astype(np.int64), pa.int64()),
+                "n_occurrences": pa.array(
+                    np.add.reduceat(occ, starts)[keep].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    stats = pairs.repartition(num_blocks=n_blocks, keys=["h"]).map_batches(
+        per_hash, batch_size=None, batch_format="pyarrow"
+    )
+    tables = [x for x in ray.get(stats.to_arrow_refs()) if len(x)]
+    empty_out = pa.table(
+        {
+            "chunk_text": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_occurrences": pa.array([], pa.int64()),
+        }
+    )
+    if not tables:
+        return empty_out
+    merged = pa.concat_tables(tables)
+    surv = np.sort(merged["h"].to_numpy(zero_copy_only=False))
+    surv_ref = ray.put(surv)
+
+    def texts(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "chunk_text": pa.array([], pa.string())}
+            )
+        sv = ray.get(surv_ref) if isinstance(surv_ref, ray.ObjectRef) else surv_ref
+        arr = (
+            t["chunk_text"].combine_chunks()
+            if isinstance(t["chunk_text"], pa.ChunkedArray)
+            else t["chunk_text"]
+        )
+        h = hash_token_array(arr).view(np.int64)
+        m = np.isin(h, sv)
+        return pa.table(
+            {
+                "h": pa.array(h[m], pa.int64()),
+                "chunk_text": arr.filter(pa.array(m)),
+            }
+        )
+
+    samples = pa.concat_tables(
+        [
+            x
+            for x in ray.get(
+                chunks.map_batches(texts, batch_format="pyarrow").to_arrow_refs()
+            )
+            if len(x)
+        ]
+    )
+    # one representative text per hash (they are identical by definition
+    # modulo 64-bit collisions)
+    sdf = samples.to_pandas().drop_duplicates("h").set_index("h")["chunk_text"]
+    out = merged.to_pandas()
+    out["chunk_text"] = out["h"].map(sdf)
+    out = out[["chunk_text", "n_docs", "n_occurrences"]].sort_values("chunk_text")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)

@@ -1685,6 +1685,40 @@ FROM c
 """
 
 
+def q_duplicated_passages(sf_dir):
+    """Boilerplate-passage detection: 64/32-window chunk texts shared by
+    ≥ 2 distinct docs.  Exchange carries (hash, doc, occ) rows only;
+    surviving hashes broadcast back to recover one text each."""
+    from bitfunnel_ray.ops.chunking import duplicated_passages
+
+    return duplicated_passages(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        window=64,
+        stride=32,
+        min_docs=2,
+    )
+
+
+SQL_DUPLICATED_PASSAGES = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+c AS (
+  SELECT doc_id, a, CAST(t.i AS BIGINT) AS chunk_idx
+  FROM toks CROSS JOIN unnest(range(0,
+      CAST(ceil(greatest(len(a) - 64, 0) / 32.0) AS BIGINT) + 1)) AS t(i)
+),
+ch AS (
+  SELECT doc_id,
+         array_to_string(a[chunk_idx*32 + 1 : chunk_idx*32 + 64], ' ') AS chunk_text
+  FROM c
+)
+SELECT chunk_text,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM ch GROUP BY chunk_text HAVING count(DISTINCT doc_id) >= 2
+ORDER BY chunk_text
+"""
+
+
 def q_anti_join(sf_dir):
     """Drop documents from the two largest sources — the blocklist
     anti-join (ops/joins.py::anti_join): the blocklist (bounded by the
@@ -1937,6 +1971,7 @@ REGISTRY: dict[str, tuple] = {
     "autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),
     "grouped_percentiles": (q_grouped_percentiles, SQL_GROUPED_PERCENTILES),
     "rolling_active_users": (q_rolling_active_users, SQL_ROLLING_ACTIVE_USERS),
+    "duplicated_passages": (q_duplicated_passages, SQL_DUPLICATED_PASSAGES),
     "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
     "annotate_shard": (q_annotate_shard, SQL_ANNOTATE_SHARD),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),

@@ -1042,3 +1042,31 @@ def test_rolling_active_users_window_semantics():
     # day4 would be covered by d3 but is past max observed day (3)? no —
     # max day IS 3, so day4 > max → dropped
     assert got == {0: 1, 1: 2, 2: 1, 3: 1}
+
+
+def test_duplicated_passages_planted_boilerplate():
+    """A boilerplate span shared by 3 docs is detected with the right doc
+    and occurrence counts; unique passages are absent; a doc repeating
+    the span twice raises n_occurrences but not n_docs."""
+    from bitfunnel_ray.ops.chunking import duplicated_passages
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    docs = [
+        boiler,                      # doc 0
+        boiler,                      # doc 1
+        boiler + " " + boiler,       # doc 2 (window 8 / stride 8 → 2 chunks)
+        " ".join(f"u{i}" for i in range(8)),  # unique
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(docs),
+            }
+        )
+    )
+    out = duplicated_passages(ds, window=8, stride=8, min_docs=2).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row.chunk_text == boiler
+    assert row.n_docs == 3 and row.n_occurrences == 4
