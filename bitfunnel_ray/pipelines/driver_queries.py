@@ -191,6 +191,38 @@ def q_bm25_topk(sf_dir):
     )
 
 
+_PERCOLATE_QUERIES = {
+    0: ["spark", "join"],
+    1: ["merge", "window", "sort"],
+    2: ["vector"],
+}
+
+
+def q_percolate(sf_dir):
+    """Percolation (inverse search): which stored conjunctive queries
+    match each document — map-only over the doc stream, query registry
+    broadcast once."""
+    from bitfunnel_ray.query.percolate import percolate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return percolate(docs, _PERCOLATE_QUERIES)
+
+
+def _percolate_sql() -> str:
+    parts = []
+    for qid, terms in _PERCOLATE_QUERIES.items():
+        conds = " AND ".join(
+            f"list_contains(string_split(text, ' '), '{t}')" for t in terms
+        )
+        parts.append(
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, doc_id FROM documents WHERE {conds}"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY query_id, doc_id"
+
+
+SQL_PERCOLATE = _percolate_sql()
+
+
 def q_autocomplete(sf_dir):
     """Query autocomplete: vocabulary terms with a given prefix, ranked
     by document frequency (df desc, term asc, top-10).  Streams the df
@@ -1972,6 +2004,7 @@ REGISTRY: dict[str, tuple] = {
     "grouped_percentiles": (q_grouped_percentiles, SQL_GROUPED_PERCENTILES),
     "rolling_active_users": (q_rolling_active_users, SQL_ROLLING_ACTIVE_USERS),
     "duplicated_passages": (q_duplicated_passages, SQL_DUPLICATED_PASSAGES),
+    "percolate": (q_percolate, SQL_PERCOLATE),
     "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
     "annotate_shard": (q_annotate_shard, SQL_ANNOTATE_SHARD),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),

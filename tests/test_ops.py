@@ -1070,3 +1070,26 @@ def test_duplicated_passages_planted_boilerplate():
     row = out.iloc[0]
     assert row.chunk_text == boiler
     assert row.n_docs == 3 and row.n_occurrences == 4
+
+
+def test_percolate_conjunctive_semantics():
+    """Percolation: a doc matches a stored query iff it contains ALL the
+    query's terms; single-term queries, duplicate query terms, and
+    multi-query fan-out per doc all behave."""
+    from bitfunnel_ray.query.percolate import percolate
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["spark join fast", "spark only", "spark join vector"]
+                ),
+            }
+        )
+    )
+    out = percolate(
+        docs, {7: ["spark", "join"], 8: ["vector"], 9: ["spark", "spark"]}
+    ).to_pandas()
+    got = set(zip(out.query_id, out.doc_id))
+    assert got == {(7, 0), (7, 2), (8, 2), (9, 0), (9, 1), (9, 2)}
