@@ -213,3 +213,67 @@ def duplicated_passages(
     out["chunk_text"] = out["h"].map(sdf)
     out = out[["chunk_text", "n_docs", "n_occurrences"]].sort_values("chunk_text")
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def skipgram_pairs(
+    docs: "ray.data.Dataset", window: int = 2
+) -> "ray.data.Dataset":
+    """(center, context) skip-gram pairs within ±``window`` token
+    positions — the embedding-training data-prep op (word2vec-style).
+    MAP-ONLY and fully vectorized: one tokenize per batch, then one
+    shifted-array comparison per offset (2·window slices, never a python
+    loop over tokens); output streams at tokens × 2·window rows.
+    Columns (doc_id, pos, d, center, context) fully identify each pair
+    (pos is the 1-based center position, d the signed offset), so the
+    output is a well-defined multiset the SQL oracle reproduces."""
+    from functools import partial as _bind
+
+    from bitfunnel_ray.stages.tokenize import flat_tokens
+
+    def batch(t: pa.Table, *, w: int) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "d": pa.array([], pa.int64()),
+                "center": pa.array([], pa.string()),
+                "context": pa.array([], pa.string()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        flat, doc_of, doclen = flat_tokens(t["text"])
+        n = len(flat)
+        if n == 0:
+            return empty
+        starts = np.concatenate([[0], np.cumsum(doclen)])[:-1]
+        pos = np.arange(n, dtype=np.int64) - starts[doc_of] + 1  # 1-based
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        for d in range(-w, w + 1):
+            if d == 0:
+                continue
+            if d > 0:
+                ci = np.arange(0, n - d)
+                xi = ci + d
+            else:
+                ci = np.arange(-d, n)
+                xi = ci + d
+            same = doc_of[ci] == doc_of[xi]
+            ci, xi = ci[same], xi[same]
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(doc_ids[doc_of[ci]], pa.int64()),
+                        "pos": pa.array(pos[ci], pa.int64()),
+                        "d": pa.array(np.full(len(ci), d, np.int64), pa.int64()),
+                        "center": flat.take(pa.array(ci)),
+                        "context": flat.take(pa.array(xi)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else empty
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _bind(batch, w=window), batch_format="pyarrow"
+    )

@@ -1751,6 +1751,30 @@ ORDER BY chunk_text
 """
 
 
+def q_skipgram_pairs(sf_dir):
+    """word2vec-style (center, context) skip-gram pairs within ±2 token
+    positions — map-only, one shifted-slice comparison per offset."""
+    from bitfunnel_ray.ops.chunking import skipgram_pairs
+
+    return skipgram_pairs(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        window=2,
+    )
+
+
+SQL_SKIPGRAM_PAIRS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+p AS (SELECT doc_id, a, CAST(s.i AS BIGINT) AS i
+      FROM t CROSS JOIN unnest(range(1, len(a) + 1)) s(i)),
+offs AS (SELECT CAST(x AS BIGINT) AS d FROM unnest([-2, -1, 1, 2]) u(x))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, i AS pos, d,
+       a[i] AS center, a[i + d] AS context
+FROM p CROSS JOIN offs
+WHERE i + d >= 1 AND i + d <= len(a)
+ORDER BY doc_id, pos, d
+"""
+
+
 def q_anti_join(sf_dir):
     """Drop documents from the two largest sources — the blocklist
     anti-join (ops/joins.py::anti_join): the blocklist (bounded by the
@@ -2005,6 +2029,7 @@ REGISTRY: dict[str, tuple] = {
     "rolling_active_users": (q_rolling_active_users, SQL_ROLLING_ACTIVE_USERS),
     "duplicated_passages": (q_duplicated_passages, SQL_DUPLICATED_PASSAGES),
     "percolate": (q_percolate, SQL_PERCOLATE),
+    "skipgram_pairs": (q_skipgram_pairs, SQL_SKIPGRAM_PAIRS),
     "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
     "annotate_shard": (q_annotate_shard, SQL_ANNOTATE_SHARD),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),

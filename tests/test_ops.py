@@ -1093,3 +1093,26 @@ def test_percolate_conjunctive_semantics():
     ).to_pandas()
     got = set(zip(out.query_id, out.doc_id))
     assert got == {(7, 0), (7, 2), (8, 2), (9, 0), (9, 1), (9, 2)}
+
+
+def test_skipgram_pairs_window_edges():
+    """Skip-grams: ±window offsets inside doc bounds only, never across
+    documents; pair multiset on a hand-checkable two-doc corpus."""
+    from bitfunnel_ray.ops.chunking import skipgram_pairs
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a b c", "x y"]),
+            }
+        )
+    )
+    out = skipgram_pairs(ds, window=1).to_pandas()
+    got = set(zip(out.doc_id, out.pos, out.d, out.center, out.context))
+    assert got == {
+        (0, 1, 1, "a", "b"), (0, 2, -1, "b", "a"),
+        (0, 2, 1, "b", "c"), (0, 3, -1, "c", "b"),
+        (1, 1, 1, "x", "y"), (1, 2, -1, "y", "x"),
+        # no (c → x) pair: windows never cross documents
+    }
