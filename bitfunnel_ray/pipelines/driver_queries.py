@@ -541,6 +541,43 @@ ORDER BY q.query_term, v.term
 """
 
 
+def q_search_corrected(sf_dir):
+    """Spell-corrected search, end to end: each (misspelled) query term
+    is rewritten to the highest-df vocabulary term within edit distance
+    1 (ties by term asc) via the deletion-neighborhood matcher, then the
+    corrected conjunction runs through the real index."""
+    from bitfunnel_ray.ops.fuzzy import fuzzy_term_match
+
+    raw_terms = ["sparkk", "joinn"]
+    dft = document_frequency_table(
+        corpus_from_documents(sf_dir), EngineConfig(max_gram=1)
+    )
+    matches = fuzzy_term_match(dft, raw_terms).to_pandas()
+    corrected = []
+    for q in raw_terms:
+        sub = matches[matches.query_term == q].sort_values(
+            ["df", "term"], ascending=[False, True]
+        )
+        corrected.append(sub.term.iloc[0] if len(sub) else q)
+    eng = get_engine(sf_dir)
+    docs = eng.eval(parse_query(" ".join(corrected)))
+    return pa.table({"doc_id": pa.array(np.sort(docs.astype(np.int64)), pa.int64())})
+
+
+SQL_SEARCH_CORRECTED = f"""
+WITH toks AS ({_tokens_sql()}),
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+c1 AS (SELECT term FROM vocab WHERE levenshtein('sparkk', term) <= 1
+       ORDER BY df DESC, term LIMIT 1),
+c2 AS (SELECT term FROM vocab WHERE levenshtein('joinn', term) <= 1
+       ORDER BY df DESC, term LIMIT 1)
+SELECT doc_id FROM documents, c1, c2
+WHERE list_contains(string_split(text, ' '), c1.term)
+  AND list_contains(string_split(text, ' '), c2.term)
+ORDER BY doc_id
+"""
+
+
 def q_doc_keywords(sf_dir):
     """Top-3 TF-IDF keywords per document: df table exchange once, then a
     map-only pass with the (hash → df) arrays broadcast; output streams
@@ -1931,6 +1968,41 @@ def q_multimodal_features(sf_dir):
     )
 
 
+def q_df_histogram(sf_dir):
+    """Frequency-of-frequencies (the Zipf / Good-Turing diagnostic): how
+    many vocabulary terms have each document frequency.  df-table
+    exchange, then a vocab-sized groupby."""
+    dft = document_frequency_table(
+        corpus_from_documents(sf_dir), EngineConfig(max_gram=1), emit_text=False
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            t["df"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table(
+            {"df": pa.array(v, pa.int64()), "n_terms": pa.array(c.astype(np.int64))}
+        )
+
+    merged = dft.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = merged.groupby("df", as_index=False).sum().sort_values("df")
+    return pa.table(
+        {
+            "df": pa.array(g.df.to_numpy().astype(np.int64), pa.int64()),
+            "n_terms": pa.array(g.n_terms.to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_DF_HISTOGRAM = f"""
+WITH toks AS ({_tokens_sql()}),
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT CAST(df AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS n_terms
+FROM vocab GROUP BY df ORDER BY df
+"""
+
+
 def q_vocab_growth(sf_dir):
     """Cumulative distinct-term counts by first-appearance doc (the
     DocumentFrequencyTableBuilder cumulative-counts analog)."""
@@ -2030,6 +2102,8 @@ REGISTRY: dict[str, tuple] = {
     "duplicated_passages": (q_duplicated_passages, SQL_DUPLICATED_PASSAGES),
     "percolate": (q_percolate, SQL_PERCOLATE),
     "skipgram_pairs": (q_skipgram_pairs, SQL_SKIPGRAM_PAIRS),
+    "df_histogram": (q_df_histogram, SQL_DF_HISTOGRAM),
+    "search_corrected": (q_search_corrected, SQL_SEARCH_CORRECTED),
     "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
     "annotate_shard": (q_annotate_shard, SQL_ANNOTATE_SHARD),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
