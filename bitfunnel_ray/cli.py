@@ -136,6 +136,23 @@ def cmd_dedup(args):
     )
 
 
+def cmd_percolate(args):
+    """Match a corpus/stream against stored conjunctive queries (one
+    query per line in a text file: whitespace-separated required terms);
+    writes (query_id, doc_id) matches as parquet."""
+    from bitfunnel_ray.query.percolate import percolate
+
+    with open(args.queries) as fh:
+        registry = {
+            i: line.split() for i, line in enumerate(fh) if line.strip()
+        }
+    ds = _load_corpus(args.corpus)
+    out = percolate(ds, registry)
+    out.write_parquet(args.out)
+    n = out.count()
+    print(json.dumps({"out": args.out, "n_queries": len(registry), "matches": int(n), "status": "ok"}))
+
+
 def cmd_querylog(args):
     import pyarrow.parquet as pq
 
@@ -372,6 +389,10 @@ def main(argv=None):
     s.add_argument("--bands", type=int, default=8)
     s.add_argument("--threshold", type=float, default=0.9)
     s.set_defaults(fn=cmd_dedup, needs_ray=True)
+
+    s = sub.add_parser("percolate")
+    s.add_argument("corpus"); s.add_argument("queries"); s.add_argument("out")
+    s.set_defaults(fn=cmd_percolate, needs_ray=True)
 
     s = sub.add_parser("querylog")
     s.add_argument("corpus"); s.add_argument("out"); s.add_argument("--count", type=int, default=256)

@@ -135,3 +135,23 @@ def test_cli_dedup_writes_cleaned_corpus(tmp_path):
 
     kept = pq.read_table(out_dir, columns=["doc_id"])
     assert kept.num_rows == rep["docs_kept"]
+
+
+def test_cli_percolate_matches(tmp_path):
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root", "RAY_GRAFT_CPUS": "4"}
+    qf = tmp_path / "alerts.txt"
+    qf.write_text("spark join\nvector\n")
+    out_dir = str(tmp_path / "matches")
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "percolate",
+         "/root/testdata/sf0.001", str(qf), out_dir],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["n_queries"] == 2 and rep["matches"] > 0
+    import pyarrow.parquet as pq
+
+    m = pq.read_table(out_dir)
+    assert m.num_rows == rep["matches"]
+    assert set(m.column_names) == {"query_id", "doc_id"}
