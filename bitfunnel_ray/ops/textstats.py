@@ -265,6 +265,79 @@ def fingerprint(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+# --- repetition / boilerplate stats (Gopher-style quality rules) ---------
+
+
+def repetition_stats_batch(t: pa.Table) -> pa.Table:
+    """Per-document repetition fractions (the public Gopher-rule family,
+    Rae et al. 2021 §A1.1): duplicate-token fraction, most-frequent-token
+    fraction, most-frequent-bigram fraction.  Web-text pipelines drop
+    documents above thresholds on these before training.
+
+    Fully vectorized: one dictionary-encode of the batch's tokens, then
+    run-length counting over a (doc, token[, token2]) lexsort — no per-row
+    python.  All fractions are single IEEE divisions of exact int64 counts
+    so the DuckDB oracle is bit-identical.
+    """
+    flat, doc_of, doclen = flat_tokens(t["text"])
+    n = len(t)
+    n_unique = np.zeros(n, dtype=np.int64)
+    max_tf = np.zeros(n, dtype=np.int64)
+    max_bf = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        da = flat.dictionary_encode()
+        ids = da.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # unigram runs: sort by (doc, token id), count run lengths
+        order = np.lexsort((ids, doc_of))
+        d_s, i_s = doc_of[order], ids[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], (d_s[1:] != d_s[:-1]) | (i_s[1:] != i_s[:-1])])
+        )
+        runlen = np.diff(np.append(starts, len(order)))
+        run_doc = d_s[starts]
+        n_unique = np.bincount(run_doc, minlength=n).astype(np.int64)
+        np.maximum.at(max_tf, run_doc, runlen)
+        # bigram runs: adjacent same-doc pairs, sort by (doc, id_l, id_r)
+        pair = np.flatnonzero(doc_of[1:] == doc_of[:-1])
+        if len(pair):
+            dl, il, ir = doc_of[pair], ids[pair], ids[pair + 1]
+            order = np.lexsort((ir, il, dl))
+            d_s, l_s, r_s = dl[order], il[order], ir[order]
+            starts = np.flatnonzero(
+                np.concatenate(
+                    [
+                        [True],
+                        (d_s[1:] != d_s[:-1])
+                        | (l_s[1:] != l_s[:-1])
+                        | (r_s[1:] != r_s[:-1]),
+                    ]
+                )
+            )
+            runlen = np.diff(np.append(starts, len(order)))
+            np.maximum.at(max_bf, d_s[starts], runlen)
+    nt = doclen.astype(np.float64)
+    safe = np.maximum(nt, 1.0)
+    dup = np.where(doclen > 0, 1.0 - n_unique.astype(np.float64) / safe, 0.0)
+    top = np.where(doclen > 0, max_tf.astype(np.float64) / safe, 0.0)
+    nb = np.maximum(nt - 1.0, 1.0)
+    topb = np.where(doclen > 1, max_bf.astype(np.float64) / nb, 0.0)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(doclen, pa.int64()),
+            "dup_token_frac": pa.array(dup),
+            "top_token_frac": pa.array(top),
+            "top_bigram_frac": pa.array(topb),
+        }
+    )
+
+
+def repetition_stats(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow"
+    )
+
+
 def normalize_text_batch(t: pa.Table) -> pa.Table:
     """Lowercase, collapse every non-alphanumeric run to one space, trim.
     Pure Arrow kernels (utf8_lower + RE2 replace) — the same RE2 regex

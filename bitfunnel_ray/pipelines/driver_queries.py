@@ -842,6 +842,36 @@ FROM agg
 """
 
 
+def q_repetition_stats(sf_dir):
+    """Gopher-rule repetition fractions per document (dup-token /
+    top-token / top-bigram) — the boilerplate-detection quality pass."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return textstats.repetition_stats(docs)
+
+
+SQL_REPETITION_STATS = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS c FROM ({_tokens_sql()}) GROUP BY doc_id, term
+),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS u, max(c) AS m
+  FROM tf GROUP BY doc_id
+),
+d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+bg AS (
+  SELECT doc_id, s[i] || ' ' || s[i+1] AS b
+  FROM d, unnest(range(1, len(s))) AS t(i)
+),
+btf AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+bagg AS (SELECT doc_id, max(c) AS mb FROM btf GROUP BY doc_id)
+SELECT a.doc_id, n AS n_tokens,
+       1 - u / n AS dup_token_frac,
+       m / n AS top_token_frac,
+       coalesce(mb / nullif(n - 1, 0), 0.0) AS top_bigram_frac
+FROM agg a LEFT JOIN bagg USING (doc_id)
+"""
+
+
 def q_exact_dedup(sf_dir):
     ds = dedup.exact_dedup_keep(corpus_from_documents(sf_dir))
     return ds.select_columns(["doc_id"]).map_batches(
@@ -2092,6 +2122,7 @@ REGISTRY: dict[str, tuple] = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_filtered_topk": (q_ann_filtered_topk, SQL_ANN_FILTERED_TOPK),

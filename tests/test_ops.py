@@ -1116,3 +1116,34 @@ def test_skipgram_pairs_window_edges():
         (1, 1, 1, "x", "y"), (1, 2, -1, "y", "x"),
         # no (c → x) pair: windows never cross documents
     }
+
+
+def test_repetition_stats_brute_force():
+    """Gopher-rule repetition fractions vs a per-doc python brute force,
+    including n=1 (no bigrams) and all-duplicate docs."""
+    from collections import Counter
+
+    texts = [
+        "a a a a",                # all-dup: dup 3/4, top 1.0, bigram 'a a' 3/3
+        "a b c d",                # all unique
+        "x",                      # single token: bigram frac 0
+        "p q p q p",              # alternating
+        "m m n n m m",            # runs
+    ]
+    c = _corpus(texts)
+    out = (
+        textstats.repetition_stats(c)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, txt in enumerate(texts):
+        toks = txt.split()
+        n = len(toks)
+        tf = Counter(toks)
+        bf = Counter(zip(toks, toks[1:]))
+        assert out.n_tokens[i] == n
+        assert out.dup_token_frac[i] == 1.0 - len(tf) / n
+        assert out.top_token_frac[i] == max(tf.values()) / n
+        want_b = max(bf.values()) / (n - 1) if n > 1 else 0.0
+        assert out.top_bigram_frac[i] == want_b
