@@ -28,7 +28,7 @@ from bitfunnel_ray.query.engine import SearchEngine
 from bitfunnel_ray.query.parser import parse_query
 from bitfunnel_ray.sources.corpus import corpus_from_documents
 from bitfunnel_ray.stages import filters
-from bitfunnel_ray.ops import ann, dedup, textstats
+from bitfunnel_ray.ops import ann, dedup, redact, textstats
 from bitfunnel_ray.ops.textstats import STOPWORDS
 
 _CFG = EngineConfig(max_gram=2, num_buckets=8)
@@ -870,6 +870,23 @@ SELECT a.doc_id, n AS n_tokens,
        coalesce(mb / nullif(n - 1, 0), 0.0) AS top_bigram_frac
 FROM agg a LEFT JOIN bagg USING (doc_id)
 """
+
+
+def q_pii_redact(sf_dir):
+    """PII + deny-list redaction over the corpus.  The deny-list entry
+    matches real corpus tokens so the oracle check is non-vacuous; the
+    PII patterns exercise the same RE2 path (planted-PII pytest covers
+    their matching behavior)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return redact.redact_text(docs, _REDACT_PATTERNS)
+
+
+_REDACT_PATTERNS = (
+    *redact.DEFAULT_PATTERNS,
+    ("denylist", r"\b(customer|spark)\b", "<TERM>"),
+)
+
+SQL_PII_REDACT = redact.redact_sql(_REDACT_PATTERNS)
 
 
 def q_exact_dedup(sf_dir):
@@ -2123,6 +2140,7 @@ REGISTRY: dict[str, tuple] = {
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_filtered_topk": (q_ann_filtered_topk, SQL_ANN_FILTERED_TOPK),

@@ -1147,3 +1147,32 @@ def test_repetition_stats_brute_force():
         assert out.top_token_frac[i] == max(tf.values()) / n
         want_b = max(bf.values()) / (n - 1) if n > 1 else 0.0
         assert out.top_bigram_frac[i] == want_b
+
+
+def test_redact_planted_pii_and_denylist():
+    """Planted emails/IPs/phones are scrubbed; counts follow the
+    apply-in-order contract; clean text untouched."""
+    from bitfunnel_ray.ops.redact import DEFAULT_PATTERNS, redact_text
+
+    pats = (*DEFAULT_PATTERNS, ("denylist", r"\b(badword)\b", "<TERM>"))
+    texts = [
+        "contact me at jane.doe+spam@example.co.uk today",
+        "server 10.0.255.3 and 192.168.1.1 up",
+        "call +1 (555) 123-4567 now",
+        "totally clean text here",
+        "badword in the middle and a@b.io too",
+        None,
+    ]
+    c = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+        )
+    )
+    out = redact_text(c, pats).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.clean_text[0] == "contact me at <EMAIL> today"
+    assert out.clean_text[1] == "server <IP> and <IP> up"
+    assert out.clean_text[2] == "call <PHONE> now"
+    assert out.clean_text[3] == "totally clean text here"
+    assert out.clean_text[4] == "<TERM> in the middle and <EMAIL> too"
+    assert out.clean_text[5] == ""
+    assert out.n_redacted.tolist() == [1, 2, 1, 0, 2, 0]
