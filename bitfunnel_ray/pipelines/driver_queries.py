@@ -889,6 +889,34 @@ _REDACT_PATTERNS = (
 SQL_PII_REDACT = redact.redact_sql(_REDACT_PATTERNS)
 
 
+def q_token_budget(sf_dir):
+    """Per-language token-budget prefix sample (mixture control): docs in
+    doc_id order per lang until 20k tokens — an exact distributed prefix
+    scan (ops/budget.py), no all-to-all sort."""
+    from bitfunnel_ray.ops.budget import token_budget_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    out = token_budget_sample(docs, budget=20_000, group_col="lang")
+    return out.select_columns(["doc_id", "grp", "n_tokens", "cum_tokens"])
+
+
+SQL_TOKEN_BUDGET = """
+WITH t AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang AS grp, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, grp, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 20000
+"""
+
+
 def q_exact_dedup(sf_dir):
     ds = dedup.exact_dedup_keep(corpus_from_documents(sf_dir))
     return ds.select_columns(["doc_id"]).map_batches(
@@ -2141,6 +2169,7 @@ REGISTRY: dict[str, tuple] = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_filtered_topk": (q_ann_filtered_topk, SQL_ANN_FILTERED_TOPK),

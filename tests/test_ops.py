@@ -1176,3 +1176,41 @@ def test_redact_planted_pii_and_denylist():
     assert out.clean_text[4] == "<TERM> in the middle and <EMAIL> too"
     assert out.clean_text[5] == ""
     assert out.n_redacted.tolist() == [1, 2, 1, 0, 2, 0]
+
+
+def test_token_budget_prefix_scan_brute_force():
+    """Distributed prefix scan == python brute force, with sparse doc_ids,
+    several groups, and the budget boundary landing mid-bucket."""
+    from bitfunnel_ray.ops.budget import token_budget_sample
+
+    rng = np.random.RandomState(7)
+    ids = sorted(rng.choice(100_000, size=120, replace=False).tolist())
+    langs = [("en", "de", "fr")[i % 3] for i in range(120)]
+    texts = [" ".join(f"w{j}" for j in range(rng.randint(1, 30))) for _ in range(120)]
+    c = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    budget = 150
+    out = (
+        token_budget_sample(c, budget=budget, group_col="lang", target_buckets=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute force
+    want = []
+    run: dict = {}
+    for i, (d, l, tx) in enumerate(zip(ids, langs, texts)):
+        n = len(tx.split())
+        cum = run.get(l, 0) + n
+        run[l] = cum
+        if cum <= budget:
+            want.append((d, l, n, cum))
+    got = list(zip(out.doc_id, out.grp, out.n_tokens, out.cum_tokens))
+    assert got == want and len(want) > 3
