@@ -265,6 +265,67 @@ def fingerprint(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+# --- head-coverage quality score (CCNet-style LM-proxy) ------------------
+
+
+def _head_coverage_batch(t: pa.Table, *, head_ref) -> pa.Table:
+    """Per-doc fraction of tokens that belong to the high-df vocabulary
+    head.  Real prose is dominated by common words; gibberish / boilerplate
+    / wrong-tokenization docs score low.  The CCNet pipeline uses a KenLM
+    perplexity here (no models in this container); head coverage is the
+    closed-form, oracle-checkable proxy built from the corpus's own df
+    table.
+
+    The head set (df ≥ threshold) is Zipf-small — broadcast once via
+    ``ray.put``, plasma-local zero-copy ``ray.get`` per batch (repo
+    broadcast convention, ops/ann.py).  If a caller sets the threshold so
+    low the head stops being small, the join-based fallback is: hash-
+    exchange (token, doc_id) rows by term against the dict table instead
+    of broadcasting (same shape as the build shuffle)."""
+    import ray as _ray
+
+    head = np.asarray(_ray.get(head_ref), dtype=object)
+    flat, doc_of, doclen = flat_tokens(t["text"])
+    n = len(t)
+    n_common = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        da = flat.dictionary_encode()
+        uniq = np.asarray(da.dictionary.to_pylist(), dtype=object)
+        hit = np.isin(uniq, head)[da.indices.to_numpy(zero_copy_only=False)]
+        n_common = np.bincount(
+            doc_of, weights=hit.astype(np.float64), minlength=n
+        ).astype(np.int64)
+    frac = n_common.astype(np.float64) / np.maximum(doclen.astype(np.float64), 1.0)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(doclen, pa.int64()),
+            "n_common": pa.array(n_common, pa.int64()),
+            "common_frac": pa.array(frac),
+        }
+    )
+
+
+def head_coverage(corpus: "ray.data.Dataset", min_df: int) -> "ray.data.Dataset":
+    """→ (doc_id, n_tokens, n_common, common_frac) against the corpus's
+    own df-≥-min_df vocabulary head."""
+    import ray as _ray
+    from functools import partial as _bind
+
+    from bitfunnel_ray.build.stats import document_frequency_table
+    from bitfunnel_ray.config import EngineConfig
+
+    dft = document_frequency_table(corpus, EngineConfig(max_gram=1))
+    head = [
+        r["term"]
+        for r in dft.filter(expr=f"df >= {int(min_df)}").select_columns(["term"]).take_all()
+    ]
+    head_ref = _ray.put(sorted(head))
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
+        _bind(_head_coverage_batch, head_ref=head_ref), batch_format="pyarrow"
+    )
+
+
 # --- repetition / boilerplate stats (Gopher-style quality rules) ---------
 
 

@@ -917,6 +917,26 @@ FROM c WHERE cum_tokens <= 20000
 """
 
 
+def q_head_coverage(sf_dir):
+    """Head-coverage quality proxy (CCNet LM-score analog): fraction of
+    each doc's tokens in the corpus's df-≥-390 vocabulary head."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return textstats.head_coverage(docs, min_df=390)
+
+
+SQL_HEAD_COVERAGE = f"""
+WITH df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM ({_tokens_sql()}) GROUP BY term
+),
+head AS (SELECT term FROM df WHERE df >= 390)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN h.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       sum(CASE WHEN h.term IS NOT NULL THEN 1 ELSE 0 END) / count(*) AS common_frac
+FROM ({_tokens_sql()}) t LEFT JOIN head h USING (term)
+GROUP BY doc_id
+"""
+
+
 def q_exact_dedup(sf_dir):
     ds = dedup.exact_dedup_keep(corpus_from_documents(sf_dir))
     return ds.select_columns(["doc_id"]).map_batches(
@@ -2170,6 +2190,7 @@ REGISTRY: dict[str, tuple] = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
+    "head_coverage": (q_head_coverage, SQL_HEAD_COVERAGE),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_filtered_topk": (q_ann_filtered_topk, SQL_ANN_FILTERED_TOPK),

@@ -1214,3 +1214,20 @@ def test_token_budget_prefix_scan_brute_force():
             want.append((d, l, n, cum))
     got = list(zip(out.doc_id, out.grp, out.n_tokens, out.cum_tokens))
     assert got == want and len(want) > 3
+
+
+def test_head_coverage_planted_gibberish():
+    """Docs made of common words score 1.0; gibberish scores 0; the head
+    set is derived from the corpus's own df table."""
+    common = "alpha beta gamma delta"
+    texts = [common] * 10 + ["zzq1 zzq2 zzq3", common + " zzq9"]
+    c = _corpus(texts)
+    out = (
+        textstats.head_coverage(c, min_df=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out.common_frac[:10] == 1.0).all()
+    assert out.common_frac[10] == 0.0
+    assert out.common_frac[11] == 4.0 / 5.0
