@@ -379,6 +379,72 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_bm25f_topk(sf_dir):
+    """Field-weighted BM25F top-10 over (body, synthesized title=first 3
+    tokens), title boosted 2.5x — the offline multi-field rerank scorer
+    (ops/bm25f.py)."""
+    import pyarrow.compute as pc
+
+    from bitfunnel_ray.ops.bm25f import bm25f_topk
+
+    def add_title(t: pa.Table) -> pa.Table:
+        toks = pc.list_slice(pc.utf8_split_whitespace(t["text"]), 0, 3)
+        return t.append_column("title", pc.binary_join(toks, " "))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = docs.map_batches(add_title, batch_format="pyarrow")
+    return bm25f_topk(
+        docs, terms=["merge", "window"], fields=[("text", 1.0), ("title", 2.5)], k=10
+    )
+
+
+SQL_BM25F_TOPK = """
+WITH base AS (
+  SELECT doc_id, text AS body,
+         array_to_string((string_split(text, ' '))[1:3], ' ') AS title
+  FROM documents
+),
+ftoks AS (
+  SELECT doc_id, 'body' AS field, unnest(string_split(body, ' ')) AS term FROM base
+  UNION ALL
+  SELECT doc_id, 'title', unnest(string_split(title, ' ')) FROM base
+),
+dl AS (SELECT doc_id, field, count(*) AS dl FROM ftoks GROUP BY doc_id, field),
+nd AS (SELECT count(*) AS n FROM documents),
+ad AS (
+  SELECT field, CAST(sum(dl) AS DOUBLE) / CAST((SELECT n FROM nd) AS DOUBLE) AS avgdl
+  FROM dl GROUP BY field
+),
+tf AS (
+  SELECT doc_id, field, term, count(*) AS tf FROM ftoks
+  WHERE term IN ('merge', 'window') GROUP BY doc_id, field, term
+),
+dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM ftoks
+  WHERE term IN ('merge', 'window') GROUP BY term
+),
+tfh AS (
+  SELECT t.doc_id, t.term,
+         sum((CASE t.field WHEN 'body' THEN 1.0 ELSE 2.5 END)
+             * (t.tf / (1 - 0.75 + 0.75 * (d.dl / a.avgdl)))) AS tfh
+  FROM tf t
+  JOIN dl d ON t.doc_id = d.doc_id AND t.field = d.field
+  JOIN ad a ON t.field = a.field
+  GROUP BY t.doc_id, t.term
+),
+contrib AS (
+  SELECT f.doc_id,
+         ln(((SELECT n FROM nd) - g.df + 0.5) / (g.df + 0.5) + 1.0)
+           * (f.tfh / (1.2 + f.tfh)) AS c
+  FROM tfh f JOIN dft g USING (term)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+"""
+
+
 def q_cohort_retention(sf_dir):
     """Weekly retention matrix over the event stream: users bucketed by
     first-event ISO week, counted per later active week.  One exchange
@@ -2191,6 +2257,7 @@ REGISTRY: dict[str, tuple] = {
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     "head_coverage": (q_head_coverage, SQL_HEAD_COVERAGE),
+    "bm25f_topk": (q_bm25f_topk, SQL_BM25F_TOPK),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_filtered_topk": (q_ann_filtered_topk, SQL_ANN_FILTERED_TOPK),

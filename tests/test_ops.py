@@ -1231,3 +1231,62 @@ def test_head_coverage_planted_gibberish():
     assert (out.common_frac[:10] == 1.0).all()
     assert out.common_frac[10] == 0.0
     assert out.common_frac[11] == 4.0 / 5.0
+
+
+def test_bm25f_reduces_to_bm25_and_boost_reorders():
+    """Property: one field at weight 1.0 == classic BM25 (same formula
+    shape: tf/(norm) then tf̃/(k1+tf̃) equals the k1+1-free Robertson
+    variant up to monotone transform — assert rank order equality against
+    a python brute force).  A boosted title must outrank body-only hits."""
+    import math
+    from bitfunnel_ray.ops.bm25f import bm25f_topk
+
+    texts = [
+        "merge window merge sort",        # body hits, 2x merge
+        "window filter scan",             # 1 hit
+        "merge alpha beta gamma",         # 1 hit
+        "nothing relevant here",          # 0
+        "sort scan filter table",         # 0
+    ]
+    c = _corpus(texts)
+    c = c.map_batches(
+        lambda t: t.append_column("title", t["text"]), batch_format="pyarrow"
+    )
+    got = bm25f_topk(c, ["merge", "window"], fields=[("text", 1.0)], k=5).to_pandas()
+    # brute force simple-BM25F, single field w=1
+    n = len(texts)
+    toks = [t.split() for t in texts]
+    avgdl = sum(len(x) for x in toks) / n
+    out = []
+    for i, tk in enumerate(toks):
+        s = 0.0
+        for term in ("merge", "window"):
+            tf = tk.count(term)
+            if not tf:
+                continue
+            df = sum(term in x for x in toks)
+            norm = 1 - 0.75 + 0.75 * (len(tk) / avgdl)
+            tfh = tf / norm
+            s += math.log((n - df + 0.5) / (df + 0.5) + 1.0) * (tfh / (1.2 + tfh))
+        if s > 0:
+            out.append((i, round(s, 6)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    assert list(got.doc_id) == [d for d, _ in out]
+    assert list(got.score) == [s for _, s in out]
+    # title boost: doc 2's title hit at weight 10 outranks doc 0's body tf=2
+    c2 = _corpus(["merge merge window body", "x y z merge"])
+    c2 = c2.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "title": pa.array(["", "merge"]),
+            }
+        ),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    boosted = bm25f_topk(
+        c2, ["merge"], fields=[("text", 1.0), ("title", 50.0)], k=2
+    ).to_pandas()
+    assert list(boosted.doc_id) == [1, 0]
