@@ -239,3 +239,119 @@ def broadcast_dim_join(
         concurrency=(1, 8),
         batch_format="pyarrow",
     )
+
+
+# --- range (point-in-interval) join ---------------------------------------
+
+_RANGE_SCHEMA = pa.schema(
+    [
+        ("key", pa.int64()),
+        ("left_id", pa.int64()),
+        ("ts_us", pa.int64()),
+        ("iv_id", pa.int64()),
+    ]
+)
+
+
+def _range_block(t: pa.Table) -> pa.Table:
+    if len(t) == 0:
+        return _RANGE_SCHEMA.empty_table()
+    k = t["key"].to_numpy(zero_copy_only=False)
+    ts = t["ts_us"].to_numpy(zero_copy_only=False)
+    rid = t["rid"].to_numpy(zero_copy_only=False)
+    end = t["end_us"].to_numpy(zero_copy_only=False)
+    side = t["side"].to_numpy(zero_copy_only=False)  # 0=interval, 1=point
+    order = np.lexsort((side, ts, k))  # interval before point at equal ts
+    k, ts, rid, end, side = k[order], ts[order], rid[order], end[order], side[order]
+    n = len(k)
+    iv_pos = np.flatnonzero(side == 0)
+    # non-overlap contract: within a key, each interval must end before
+    # the next begins — violated input would silently lose matches, so
+    # fail loudly (same honesty rule as the spill-ack row check)
+    if len(iv_pos) > 1:
+        a, bpos = iv_pos[:-1], iv_pos[1:]
+        bad = (k[a] == k[bpos]) & (end[a] > ts[bpos])
+        if bad.any():
+            raise ValueError(
+                "range_join: overlapping intervals within a key "
+                f"(first at key={int(k[a[bad.argmax()]])}); the vectorized "
+                "forward-fill sweep requires non-overlapping intervals "
+                "(sessions/windows)"
+            )
+    last_iv = np.where(side == 0, np.arange(n), -1)
+    np.maximum.accumulate(last_iv, out=last_iv)
+    idx = np.flatnonzero(side == 1)
+    m = last_iv[idx]
+    ok = m >= 0
+    ok[ok] &= (k[m[ok]] == k[idx[ok]]) & (ts[idx[ok]] < end[m[ok]])
+    li, ri = idx[ok], m[ok]
+    return pa.table(
+        {
+            "key": pa.array(k[li], pa.int64()),
+            "left_id": pa.array(rid[li], pa.int64()),
+            "ts_us": pa.array(ts[li], pa.int64()),
+            "iv_id": pa.array(rid[ri], pa.int64()),
+        },
+        schema=_RANGE_SCHEMA,
+    )
+
+
+def range_join(
+    points: "ray.data.Dataset",
+    intervals: "ray.data.Dataset",
+    *,
+    key: str,
+    ts: str,
+    id_col: str,
+    start: str = "start_us",
+    end: str = "end_us",
+    iv_id: str = "iv_id",
+) -> "ray.data.Dataset":
+    """Inner point-in-interval join: each ``points`` row pairs with the
+    ``intervals`` row of the same ``key`` whose [start, end) contains its
+    ``ts`` (start inclusive, end exclusive).  Intervals must be
+    NON-OVERLAPPING per key (sessions, promo windows, maintenance slots —
+    checked per block, loud error otherwise); overlapping-interval
+    workloads need marker replication per time bucket instead.
+
+    Same scale shape as asof_join: one tagged union + one hash exchange
+    on ``key``, then a vectorized forward-fill sweep per block — no
+    per-row python, no driver gather.  → (key, left_id, ts_us, iv_id).
+    """
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    def prep_points(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t[key].cast(pa.int64()),
+                "ts_us": t[ts].cast(pa.int64()),
+                "rid": t[id_col].cast(pa.int64()),
+                "end_us": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "side": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        )
+
+    def prep_iv(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t[key].cast(pa.int64()),
+                "ts_us": t[start].cast(pa.int64()),
+                "rid": t[iv_id].cast(pa.int64()),
+                "end_us": t[end].cast(pa.int64()),
+                "side": pa.array(np.zeros(len(t), dtype=np.int8)),
+            }
+        )
+
+    both = (
+        intervals.select_columns([key, start, end, iv_id])
+        .map_batches(prep_iv, batch_format="pyarrow")
+        .union(
+            points.select_columns([key, ts, id_col]).map_batches(
+                prep_points, batch_format="pyarrow"
+            )
+        )
+    )
+    n_blocks = tune_hash_shuffle(both.context)
+    return both.repartition(num_blocks=n_blocks, keys=["key"]).map_batches(
+        _range_block, batch_size=None, batch_format="pyarrow"
+    )

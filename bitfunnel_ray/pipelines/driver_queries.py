@@ -1322,6 +1322,53 @@ FROM j WHERE rn = 1
 """
 
 
+def q_range_join(sf_dir):
+    """Point-in-interval join: events against two derived per-user promo
+    windows ([first, first+30m) and [first+60m, first+90m)) — one tagged
+    union + one hash exchange, vectorized sweep (ops/joins.py)."""
+    from bitfunnel_ray.ops.joins import range_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    first = ev.groupby("user_id").min("ts")
+
+    MIN30 = 30 * 60 * 1_000_000
+
+    def to_windows(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        t0 = t["min(ts)"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(u, 2), pa.int64()),
+                "start_us": pa.array(
+                    np.column_stack([t0, t0 + 2 * MIN30]).ravel(), pa.int64()
+                ),
+                "end_us": pa.array(
+                    np.column_stack([t0 + MIN30, t0 + 3 * MIN30]).ravel(), pa.int64()
+                ),
+                "iv_id": pa.array(
+                    np.column_stack([np.zeros_like(u), np.ones_like(u)]).ravel(),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    iv = first.map_batches(to_windows, batch_format="pyarrow")
+    out = range_join(ev, iv, key="user_id", ts="ts", id_col="event_id")
+    return out.select_columns(["key", "left_id", "iv_id"])
+
+
+SQL_RANGE_JOIN = """
+WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id),
+iv AS (
+  SELECT user_id, t0 AS s, t0 + INTERVAL 30 MINUTE AS e, 0 AS iv_id FROM f
+  UNION ALL
+  SELECT user_id, t0 + INTERVAL 60 MINUTE, t0 + INTERVAL 90 MINUTE, 1 FROM f
+)
+SELECT e.user_id AS key, e.event_id AS left_id, CAST(iv.iv_id AS BIGINT) AS iv_id
+FROM events e JOIN iv ON e.user_id = iv.user_id AND e.ts >= iv.s AND e.ts < iv.e
+"""
+
+
 def q_region_rollup(sf_dir):
     """Customer account balances rolled up to region name — the
     broadcast-join pattern: the nation x region dims (30 rows) ship via
@@ -2290,6 +2337,7 @@ REGISTRY: dict[str, tuple] = {
     "top_supplier_per_part": (q_top_supplier_per_part, SQL_TOP_SUPPLIER_PER_PART),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
     "doclen_percentiles": (q_doclen_percentiles, SQL_DOCLEN_PERCENTILES),
     "rolling_window": (q_rolling_window, SQL_ROLLING_WINDOW),

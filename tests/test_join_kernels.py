@@ -76,3 +76,68 @@ def test_topk_block_matches_bruteforce(rows, kk, desc):
         members.sort(key=lambda m: (-m[0] if desc else m[0], m[1]))
         want_ids.extend(i for _, i in members[:kk])
     assert got_ids == sorted(want_ids)
+
+
+# --- range (point-in-interval) join kernel --------------------------------
+
+iv_rows_st = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 30), st.integers(1, 5)),  # key, start, len
+    min_size=0,
+    max_size=10,
+)
+pt_rows_st = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 40)),  # key, ts
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(iv_rows_st, pt_rows_st)
+def test_range_block_matches_bruteforce(ivs, pts):
+    from bitfunnel_ray.ops.joins import _range_block
+
+    # make intervals non-overlapping per key (the kernel's contract):
+    # lay them end-to-end in arrival order
+    clock: dict = {}
+    laid = []
+    for key, start, ln in ivs:
+        s = max(start, clock.get(key, 0))
+        laid.append((key, s, s + ln))
+        clock[key] = s + ln
+    n_iv, n_pt = len(laid), len(pts)
+    t = pa.table(
+        {
+            "key": pa.array([r[0] for r in laid] + [p[0] for p in pts], pa.int64()),
+            "ts_us": pa.array([r[1] for r in laid] + [p[1] for p in pts], pa.int64()),
+            "rid": pa.array(list(range(n_iv)) + list(range(100, 100 + n_pt)), pa.int64()),
+            "end_us": pa.array([r[2] for r in laid] + [0] * n_pt, pa.int64()),
+            "side": pa.array([0] * n_iv + [1] * n_pt, pa.int8()),
+        }
+    )
+    got = _range_block(t).to_pandas()
+    got_set = set(zip(got.left_id, got.iv_id))
+    want = set()
+    for pid, (pk, pts_) in enumerate(pts):
+        for iid, (ik, s, e) in enumerate(laid):
+            if ik == pk and s <= pts_ < e:
+                want.add((100 + pid, iid))
+    assert got_set == want
+
+
+def test_range_block_rejects_overlap():
+    import pytest as _pytest
+
+    from bitfunnel_ray.ops.joins import _range_block
+
+    t = pa.table(
+        {
+            "key": pa.array([1, 1], pa.int64()),
+            "ts_us": pa.array([0, 5], pa.int64()),
+            "rid": pa.array([0, 1], pa.int64()),
+            "end_us": pa.array([10, 15], pa.int64()),
+            "side": pa.array([0, 0], pa.int8()),
+        }
+    )
+    with _pytest.raises(ValueError, match="overlapping"):
+        _range_block(t)
