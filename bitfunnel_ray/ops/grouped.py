@@ -97,3 +97,65 @@ def stratified_sample(
         descending=False, tiebreak_col=id_col,
     )
     return out.map_batches(lambda t: t.drop_columns(["_h"]), batch_format="pyarrow")
+
+
+# --- per-group z-score normalization ---------------------------------------
+
+
+def group_zscore(
+    ds: "ray.data.Dataset", group_col: str, value_col: str
+) -> "ray.data.Dataset":
+    """Standardize an integer metric within each group:
+    z = (x - mean_g) / std_g with the population std computed from exact
+    integer (n, Σx, Σx²) — so the float recipe is a fixed expression over
+    exact sums and a SQL oracle lands on identical bits.
+
+    Shape: map-side (group, n, sum, sumsq) partials → small groupby →
+    per-group stats broadcast (groups are low-cardinality; for
+    million-group workloads use broadcast_dim_join with the stats table
+    instead) → one stateless normalize map.  Constant-valued groups
+    (std = 0) emit z = 0.
+    """
+    import ray as _ray
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        x = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": t[group_col].to_pandas(), "x": x, "x2": x * x})
+        a = df.groupby("g", sort=False).agg(n=("x", "size"), s=("x", "sum"), s2=("x2", "sum"))
+        a = a.reset_index()
+        return pa.table(
+            {
+                "g": pa.array(a["g"]),
+                "n": pa.array(a["n"].to_numpy(), pa.int64()),
+                "s": pa.array(a["s"].to_numpy(), pa.int64()),
+                "s2": pa.array(a["s2"].to_numpy(), pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("g")
+        .sum(["n", "s", "s2"])
+        .take_all()
+    )
+    mean, std = {}, {}
+    for r in stats:
+        n, s, s2 = float(r["sum(n)"]), float(r["sum(s)"]), float(r["sum(s2)"])
+        mean[r["g"]] = s / n
+        std[r["g"]] = np.sqrt((s2 - s * s / n) / n)
+    ref = _ray.put((mean, std))
+
+    def normalize(t: pa.Table) -> pa.Table:
+        m, sd = _ray.get(ref)
+        g = t[group_col].to_pandas().to_numpy(dtype=object)
+        x = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        mu = np.array([m[v] for v in g])
+        si = np.array([sd[v] for v in g])
+        z = np.where(si > 0.0, (x - mu) / np.where(si > 0.0, si, 1.0), 0.0)
+        out = t.select([c for c in t.column_names])
+        return out.append_column("zscore", pa.array(z, pa.float64()))
+
+    return ds.map_batches(normalize, batch_format="pyarrow")

@@ -1369,6 +1369,61 @@ FROM events e JOIN iv ON e.user_id = iv.user_id AND e.ts >= iv.s AND e.ts < iv.e
 """
 
 
+def q_group_zscore(sf_dir):
+    """Per-source z-score of n_chars (within-group standardization) from
+    exact integer (n, Σx, Σx²) sums — the metric-normalization pass used
+    before cross-source quality thresholds."""
+    from bitfunnel_ray.ops.grouped import group_zscore
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    out = group_zscore(docs, group_col="source", value_col="n_chars")
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "n_chars": t["n_chars"].cast(pa.int64()),
+                "zscore": t["zscore"],
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_GROUP_ZSCORE = """
+WITH st AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+       CASE WHEN sqrt((s2 - s * s / n) / n) > 0
+            THEN (d.n_chars - s / n) / sqrt((s2 - s * s / n) / n)
+            ELSE 0.0 END AS zscore
+FROM documents d JOIN st USING (source)
+"""
+
+
+def q_split_assign(sf_dir):
+    """Deterministic 90/5/5 train/val/test routing by Knuth hash of
+    doc_id (stages/filters.py::split_assign)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return filters.split_assign(docs)
+
+
+SQL_SPLIT_ASSIGN = f"""
+SELECT doc_id,
+       CASE WHEN h < {int(0.9 * 4294967296)} THEN 'train'
+            WHEN h < {int(0.95 * 4294967296)} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+"""
+
+
 def q_region_rollup(sf_dir):
     """Customer account balances rolled up to region name — the
     broadcast-join pattern: the nation x region dims (30 rows) ship via
@@ -2338,6 +2393,8 @@ REGISTRY: dict[str, tuple] = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "group_zscore": (q_group_zscore, SQL_GROUP_ZSCORE),
+    "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
     "doclen_percentiles": (q_doclen_percentiles, SQL_DOCLEN_PERCENTILES),
     "rolling_window": (q_rolling_window, SQL_ROLLING_WINDOW),

@@ -112,3 +112,34 @@ def annotate_shard(
         return t.set_column(t.column_names.index("text"), "text", new_text)
 
     return corpus.map_batches(f, batch_format="pyarrow")
+
+
+def split_assign(
+    corpus: "ray.data.Dataset",
+    fractions: tuple[float, float] = (0.9, 0.05),
+    names: tuple[str, str, str] = ("train", "val", "test"),
+) -> "ray.data.Dataset":
+    """Deterministic train/val/test routing: split = bucket of the Knuth
+    multiplicative hash of doc_id (same hash family as sample_filter /
+    stratified_sample, so splits are stable across runs, machines and
+    corpus growth — a doc never migrates between splits).  fractions are
+    (train, val); test gets the rest.  Map-only, SQL-expressible."""
+    import numpy as np
+    import pyarrow as pa
+
+    t_cut = int(fractions[0] * 4294967296)
+    v_cut = int((fractions[0] + fractions[1]) * 4294967296)
+
+    def f(t: pa.Table) -> pa.Table:
+        h = (
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            * np.uint64(2654435761)
+        ) % np.uint64(4294967296)
+        split = np.full(len(t), names[2], dtype=object)
+        split[h < v_cut] = names[1]
+        split[h < t_cut] = names[0]
+        return pa.table(
+            {"doc_id": t["doc_id"], "split": pa.array(split.tolist(), pa.string())}
+        )
+
+    return corpus.select_columns(["doc_id"]).map_batches(f, batch_format="pyarrow")

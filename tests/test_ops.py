@@ -1290,3 +1290,34 @@ def test_bm25f_reduces_to_bm25_and_boost_reorders():
         c2, ["merge"], fields=[("text", 1.0), ("title", 50.0)], k=2
     ).to_pandas()
     assert list(boosted.doc_id) == [1, 0]
+
+
+def test_group_zscore_and_split_assign_semantics():
+    """z-scores standardize within group (mean 0, popvar 1); constant
+    groups get 0; split assignment is deterministic and ~90/5/5."""
+    from bitfunnel_ray.ops.grouped import group_zscore
+    from bitfunnel_ray.stages import filters
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "source": pa.array(["a", "a", "a", "a", "b", "b", "c", "c"]),
+            "n_chars": pa.array([10, 20, 30, 40, 5, 15, 7, 7], pa.int64()),
+        }
+    )
+    out = (
+        group_zscore(rd.from_arrow(t), "source", "n_chars")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    za = out.zscore[:4].to_numpy()
+    assert abs(za.mean()) < 1e-12 and abs((za**2).mean() - 1.0) < 1e-12
+    assert (out.zscore[6:] == 0.0).all()  # constant group
+    # splits: deterministic re-run, all named, roughly 90/5/5 at n=2000
+    big = rd.from_arrow(pa.table({"doc_id": pa.array(range(2000), pa.int64())}))
+    s1 = filters.split_assign(big).to_pandas().sort_values("doc_id")
+    s2 = filters.split_assign(big).to_pandas().sort_values("doc_id")
+    assert s1.split.tolist() == s2.split.tolist()
+    frac = s1.split.value_counts(normalize=True)
+    assert 0.85 < frac["train"] < 0.95 and frac.get("val", 0) > 0.02 and frac.get("test", 0) > 0.02
