@@ -265,6 +265,37 @@ def fingerprint(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+# --- BPE-ish token counting ------------------------------------------------
+
+# GPT-2-style pre-tokenizer split, restricted to RE2 syntax (no lookahead —
+# both pyarrow.compute and DuckDB run RE2, so op and oracle count the same
+# matches): contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs, residual whitespace.
+BPE_SPLIT_RX = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def regex_token_count_batch(t: pa.Table) -> pa.Table:
+    """Whitespace token count + BPE-ish pre-tokenizer match count — the
+    estimate a training-budget plan needs (LLM tokenizers emit ~1 token
+    per regex match before merges, so this upper-bounds the BPE count)."""
+    txt = pc.fill_null(t["text"], "")
+    _, _, doclen = flat_tokens(t["text"])
+    n_bpe = pc.count_substring_regex(txt, BPE_SPLIT_RX)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(doclen, pa.int64()),
+            "n_bpe_tokens": n_bpe.cast(pa.int64()),
+        }
+    )
+
+
+def regex_token_count(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
+        regex_token_count_batch, batch_format="pyarrow"
+    )
+
+
 # --- head-coverage quality score (CCNet-style LM-proxy) ------------------
 
 

@@ -872,6 +872,28 @@ def q_token_count(sf_dir):
 SQL_TOKEN_COUNT = "SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM documents"
 
 
+def q_bpe_token_count(sf_dir):
+    """Whitespace + BPE-ish-regex token counts (the GPT-2 pre-tokenizer
+    split restricted to RE2) — training-budget estimation."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return textstats.regex_token_count(docs)
+
+
+def _bpe_sql() -> str:
+    from bitfunnel_ray.ops.textstats import BPE_SPLIT_RX
+
+    rx = BPE_SPLIT_RX.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{rx}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+SQL_BPE_TOKEN_COUNT = _bpe_sql()
+
+
 def q_quality_score(sf_dir):
     ds = textstats.quality_score(corpus_from_documents(sf_dir))
 
@@ -2395,6 +2417,7 @@ REGISTRY: dict[str, tuple] = {
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "group_zscore": (q_group_zscore, SQL_GROUP_ZSCORE),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
+    "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
     "doclen_percentiles": (q_doclen_percentiles, SQL_DOCLEN_PERCENTILES),
     "rolling_window": (q_rolling_window, SQL_ROLLING_WINDOW),

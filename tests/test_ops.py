@@ -1321,3 +1321,19 @@ def test_group_zscore_and_split_assign_semantics():
     assert s1.split.tolist() == s2.split.tolist()
     frac = s1.split.value_counts(normalize=True)
     assert 0.85 < frac["train"] < 0.95 and frac.get("val", 0) > 0.02 and frac.get("test", 0) > 0.02
+
+
+def test_bpe_regex_token_count_known_values():
+    """Hand-counted BPE-ish pre-tokenizer matches: contractions split,
+    punctuation runs group, digits separate from letters."""
+    from bitfunnel_ray.ops.textstats import regex_token_count
+
+    texts = [
+        "it's done",        # "it" + "'s" + " done" = 3
+        "hello, world!!",   # "hello" + "," + " world" + "!!" = 4
+        "abc123",           # "abc" + "123" = 2
+        "",                 # 0
+    ]
+    c = _corpus(texts)
+    out = regex_token_count(c).to_pandas().sort_values("doc_id")
+    assert out.n_bpe_tokens.tolist() == [3, 4, 2, 0]
