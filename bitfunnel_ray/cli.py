@@ -258,6 +258,67 @@ def cmd_verify_log(args):
         sys.exit(1)
 
 
+def cmd_report(args):
+    """One-shot corpus QA report: totals, language/source mix, length
+    percentiles, exact-dup rate, repetition/quality means — the hygiene
+    dashboard a pipeline operator reads before committing a 100 TB run.
+    Each section is a streaming pass with a driver-small result (counts,
+    20-bin histograms, means); nothing materializes the corpus."""
+    import numpy as np
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from bitfunnel_ray.build.stats import doc_meta
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.ops.dedup import exact_dedup_keep
+    from bitfunnel_ray.ops.quantiles import exact_percentiles
+    from bitfunnel_ray.ops.textstats import repetition_stats
+
+    cfg = EngineConfig(max_gram=1)
+    report: dict = {}
+
+    meta = doc_meta(_load_corpus(args.corpus), cfg, light=True)
+    tot = meta.aggregate(
+        Count(alias_name="n_docs"),
+        Sum("doclen", alias_name="total_tokens"),
+        Sum("n_bytes", alias_name="total_bytes"),
+    )
+    report["totals"] = {k: int(v) for k, v in tot.items()}
+
+    corpus = _load_corpus(args.corpus)
+    for col in ("lang", "source"):
+        if col in corpus.schema().names:
+            rows = corpus.groupby(col).count().take_all()
+            report[f"{col}_mix"] = {r[col]: int(r["count()"]) for r in rows}
+
+    pct = exact_percentiles(
+        doc_meta(_load_corpus(args.corpus), cfg, light=True), "doclen",
+        (0.25, 0.5, 0.9, 0.99),
+    ).to_pandas()
+    report["doclen_percentiles"] = {
+        f"p{int(q * 100)}": int(v) for q, v in zip(pct["q"], pct["value"])
+    }
+
+    n_docs = report["totals"]["n_docs"]
+    n_kept = exact_dedup_keep(_load_corpus(args.corpus)).count()
+    report["exact_dup"] = {
+        "n_distinct_texts": int(n_kept),
+        "dup_fraction": round(1.0 - n_kept / max(n_docs, 1), 6),
+    }
+
+    rep = repetition_stats(_load_corpus(args.corpus)).aggregate(
+        Mean("dup_token_frac", alias_name="dup_token_frac"),
+        Mean("top_token_frac", alias_name="top_token_frac"),
+        Mean("top_bigram_frac", alias_name="top_bigram_frac"),
+    )
+    report["repetition_means"] = {k: round(float(v), 6) for k, v in rep.items()}
+
+    out = json.dumps(report, sort_keys=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+    print(out)
+
+
 def cmd_merge(args):
     """Merge bucket-aligned segments into one (optionally compacting
     tombstoned docs away).  No shuffle: bucket b of every input holds the
@@ -428,6 +489,11 @@ def main(argv=None):
     s.add_argument("index")
     s.add_argument("--out", default=None)
     s.set_defaults(fn=cmd_analyze, needs_ray=True)
+
+    s = sub.add_parser("report")
+    s.add_argument("corpus")
+    s.add_argument("--out", default=None)
+    s.set_defaults(fn=cmd_report, needs_ray=True)
 
     args = p.parse_args(argv)
     if args.needs_ray:

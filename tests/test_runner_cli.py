@@ -155,3 +155,20 @@ def test_cli_percolate_matches(tmp_path):
     m = pq.read_table(out_dir)
     assert m.num_rows == rep["matches"]
     assert set(m.column_names) == {"query_id", "doc_id"}
+
+
+def test_cli_report_corpus_qa(tmp_path):
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root", "RAY_GRAFT_CPUS": "4"}
+    out_file = str(tmp_path / "report.json")
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "report",
+         "/root/testdata/sf0.001", "--out", out_file],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(open(out_file).read())
+    assert rep["totals"]["n_docs"] == 500
+    assert sum(rep["lang_mix"].values()) == 500
+    assert rep["exact_dup"]["n_distinct_texts"] <= 500
+    assert rep["doclen_percentiles"]["p25"] <= rep["doclen_percentiles"]["p99"]
+    assert 0.0 <= rep["repetition_means"]["dup_token_frac"] <= 1.0
