@@ -358,3 +358,91 @@ def ivf_topk(
         probed_topk, batch_format="pyarrow"
     )
     return _final_topk_reduce(parts, k)
+
+
+# --- hard-negative mining ---------------------------------------------------
+
+
+def _batch_hardneg(
+    t: pa.Table, *, q_ref, k: int, id_col: str, vec_col: str, label_col: str
+) -> pa.Table:
+    from bitfunnel_ray.functions.mem import tune_allocator
+
+    tune_allocator()
+    queries, q_labels = ray.get(q_ref)
+    if len(t) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+    unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    sims = unit @ queries.T  # (n, nq)
+    labels = t[label_col].to_numpy(zero_copy_only=False)
+    sims[labels[:, None] == q_labels[None, :]] = -2.0  # mask same-label rows
+    ids = t[id_col].to_numpy()
+    out_q_l, out_id_l, out_sim_l = [], [], []
+    for qi in range(sims.shape[1]):
+        s = sims[:, qi]
+        cand0 = np.flatnonzero(s > -1.5)
+        if not len(cand0):
+            continue
+        kk = min(k, len(cand0))
+        part = cand0[np.argpartition(-s[cand0], kk - 1)[:kk]]
+        thresh = s[part].min()
+        cand = cand0[s[cand0] >= thresh]  # keep exact ties (global tie-break)
+        sel = cand[np.lexsort((ids[cand], -s[cand]))[:kk]]
+        out_q_l.append(np.full(len(sel), qi, dtype=np.int64))
+        out_id_l.append(ids[sel].astype(np.int64))
+        out_sim_l.append(s[sel])
+    if not out_q_l:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q_l), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id_l), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_sim_l), pa.float64()),
+        }
+    )
+
+
+def hard_negatives(
+    embeddings: "ray.data.Dataset",
+    anchor_vectors: np.ndarray,
+    anchor_labels: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> "ray.data.Dataset":
+    """Contrastive hard-negative mining: for each anchor, the top-k most
+    cosine-similar vectors whose ``label`` DIFFERS from the anchor's — the
+    negatives an embedding-training pipeline pairs with each anchor.
+    Same broadcast + map-side-top-k shape as brute_force_topk (one matmul
+    per batch, ≤ k rows/anchor/block shuffled); the label mask is one
+    vectorized comparison against the broadcast anchor labels.
+    → (query_id, rank, vec_id, cosine)."""
+    q = np.asarray(anchor_vectors, dtype=np.float64)
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put((q, np.asarray(anchor_labels, dtype=np.int64)))
+    partials = embeddings.select_columns([id_col, vec_col, label_col]).map_batches(
+        partial(
+            _batch_hardneg,
+            q_ref=q_ref,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            label_col=label_col,
+        ),
+        batch_format="pyarrow",
+    )
+    return _final_topk_reduce(partials, k)

@@ -1190,6 +1190,42 @@ FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
 """
 
 
+def q_hard_negatives(sf_dir):
+    """Contrastive hard negatives: per anchor (vec_ids 0,1,2), top-5 most
+    similar vectors with a DIFFERENT label (ops/ann.py::hard_negatives)."""
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    df = tbl.to_pandas().set_index("vec_id")
+    qv = np.stack(
+        [np.asarray(df.loc[i, "embedding"], dtype=np.float64) for i in _ANN_QUERY_IDS]
+    )
+    ql = np.array([int(df.loc[i, "label"]) for i in _ANN_QUERY_IDS], dtype=np.int64)
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    out = ann.hard_negatives(emb, qv, ql, k=5).to_pandas()
+    out["query_id"] = out["query_id"].map(lambda i: _ANN_QUERY_IDS[int(i)]).astype(np.int64)
+    out["cosine"] = np.round(out["cosine"].to_numpy(), 5)
+    return out[["query_id", "rank", "vec_id", "cosine"]]
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+sims AS (SELECT q.qid AS query_id, e.vec_id,
+                CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE) AS cosine
+         FROM embeddings e CROSS JOIN q
+         WHERE e.label <> q.ql),
+ranked AS (SELECT query_id, vec_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+           FROM sims)
+SELECT query_id, rank, vec_id, round(cosine, 5) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_bm25_or_topk(sf_dir):
     """Disjunctive BM25 top-k through the block-max WAND path."""
     eng = get_engine(sf_dir)
@@ -2452,6 +2488,7 @@ REGISTRY: dict[str, tuple] = {
     "head_coverage": (q_head_coverage, SQL_HEAD_COVERAGE),
     "bm25f_topk": (q_bm25f_topk, SQL_BM25F_TOPK),
     "hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_filtered_topk": (q_ann_filtered_topk, SQL_ANN_FILTERED_TOPK),

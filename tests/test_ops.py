@@ -1353,3 +1353,28 @@ def test_rrf_fusion_semantics():
     best = max(rrf, key=lambda d: (rrf[d], -d))
     assert best == 5 and rrf[5] == 1.0 / 61.0 + 1.0 / 61.0
     assert rrf[1] == 1.0 / 62.0 and rrf[7] == 1.0 / 62.0
+
+
+def test_hard_negatives_excludes_anchor_label():
+    """Every mined negative has a different label than its anchor; and the
+    nearest different-label vector wins rank 1 (planted geometry)."""
+    rng = np.random.RandomState(3)
+    base = rng.randn(8)
+    vecs = [base + rng.randn(8) * eps for eps in (0.0, 0.01, 0.02, 0.5, 0.6, 0.7)]
+    labels = [0, 0, 1, 1, 0, 1]  # vec 1 same label as anchor 0 → excluded
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    out = (
+        ann.hard_negatives(
+            rd.from_arrow(t), np.asarray(vecs[0])[None, :], np.array([0]), k=3
+        )
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert set(out.vec_id) <= {2, 3, 5}  # only label-1 vectors
+    assert out.iloc[0].vec_id == 2  # the closest different-label vector
