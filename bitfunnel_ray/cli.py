@@ -108,28 +108,19 @@ def cmd_dedup(args):
     pairs = minhash_dedup_pairs(
         ds, k=args.shingle, bands=args.bands, threshold=args.threshold
     )
-    kept = dedup_canonical(ds.select_columns(["doc_id"]), pairs)
-    kept_ids = kept.to_pandas()["doc_id"].to_numpy()
-    import numpy as np
-
-    ids = np.sort(kept_ids.astype(np.int64))
-
-    def keep_rows(t):
-        import pyarrow as _pa
-
-        m = np.isin(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), ids)
-        return t.filter(_pa.array(m))
-
-    out = ds.map_batches(keep_rows, batch_format="pyarrow")
+    # dedup_canonical drops non-canonical cluster members via the
+    # distributed anti-join — the removed set never lands on the driver
+    # (the earlier version gathered the KEPT set, which is corpus-sized)
+    out = dedup_canonical(ds, pairs)
     out.write_parquet(args.out)
-    n_in = ds.count()
+    n_in, n_kept = ds.count(), out.count()
     print(
         json.dumps(
             {
                 "out": args.out,
                 "docs_in": int(n_in),
-                "docs_kept": int(len(ids)),
-                "docs_removed": int(n_in - len(ids)),
+                "docs_kept": int(n_kept),
+                "docs_removed": int(n_in - n_kept),
                 "status": "ok",
             }
         )
