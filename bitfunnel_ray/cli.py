@@ -310,6 +310,25 @@ def cmd_report(args):
     print(out)
 
 
+def cmd_pretrain(args):
+    """End-to-end pretraining-data pipeline: clean (lang filter + PII
+    redaction + Gopher-rule quality) → exact dedup → MinHash near dedup →
+    optional per-language token budget → deterministic split → parquet
+    partitioned by split.  Prints the per-stage report."""
+    from bitfunnel_ray.pipelines.pretrain import pretrain_pipeline
+
+    report = pretrain_pipeline(
+        _load_corpus(args.corpus),
+        args.out,
+        langs=tuple(args.langs.split(",")) if args.langs else None,
+        min_tokens=args.min_tokens,
+        budget_per_lang=args.budget,
+        jaccard_threshold=args.threshold,
+    )
+    report["out"] = args.out
+    print(json.dumps(report, sort_keys=True))
+
+
 def cmd_merge(args):
     """Merge bucket-aligned segments into one (optionally compacting
     tombstoned docs away).  No shuffle: bucket b of every input holds the
@@ -485,6 +504,15 @@ def main(argv=None):
     s.add_argument("corpus")
     s.add_argument("--out", default=None)
     s.set_defaults(fn=cmd_report, needs_ray=True)
+
+    s = sub.add_parser("pretrain")
+    s.add_argument("corpus")
+    s.add_argument("out")
+    s.add_argument("--langs", default=None, help="comma-separated allow-list")
+    s.add_argument("--min-tokens", type=int, default=8, dest="min_tokens")
+    s.add_argument("--budget", type=int, default=None, help="tokens per language")
+    s.add_argument("--threshold", type=float, default=0.8, help="jaccard near-dup bar")
+    s.set_defaults(fn=cmd_pretrain, needs_ray=True)
 
     args = p.parse_args(argv)
     if args.needs_ray:

@@ -239,7 +239,13 @@ def dedup_canonical(
     from bitfunnel_ray.ops.joins import anti_join
 
     if isinstance(pairs, pa.Table):
+        if len(pairs) == 0:
+            return corpus  # no near-dups found: nothing to drop
         pairs = rd.from_arrow(pairs)
+    elif pairs.count() == 0:
+        # empty-Dataset select_columns keeps the stale schema (Ray quirk),
+        # so short-circuit rather than run the component rounds on nothing
+        return corpus
     assign = connected_components(pairs)
     key_type = corpus.schema().base_schema.field(key).type
 

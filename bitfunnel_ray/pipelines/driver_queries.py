@@ -2451,6 +2451,24 @@ def q_verify_log(sf_dir):
     )
 
 
+def q_pretrain_clean(sf_dir):
+    """The end-to-end pretraining pipeline (clean → exact dedup → near
+    dedup → budget → split) over the documents table; returns the written
+    cleaned corpus.  Rows-only (minhash stage is not SQL-expressible);
+    the stage semantics are each oracle-checked individually and the
+    composition is pytest-verified with planted artifacts."""
+    import tempfile
+
+    from bitfunnel_ray.pipelines.pretrain import pretrain_pipeline
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    out_dir = tempfile.mkdtemp(prefix="bfr_pretrain_")
+    pretrain_pipeline(docs, out_dir, budget_per_lang=10_000)
+    return rd.read_parquet(out_dir).select_columns(["doc_id", "split"])
+
+
 def q_analyze_bands(sf_dir):
     """IdfX10-banded storage stats of the built segment (RowTableAnalyzer
     analog) — runs over the same cached segment the search queries use."""
@@ -2550,4 +2568,5 @@ REGISTRY: dict[str, tuple] = {
     "dedup_canonical": (q_dedup_canonical, None),
     "distinct_terms_hll": (q_distinct_terms_hll, None),
     "binary_stats": (q_binary_stats, None),
+    "pretrain_clean": (q_pretrain_clean, None),
 }

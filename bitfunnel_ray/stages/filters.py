@@ -127,19 +127,28 @@ def split_assign(
     import numpy as np
     import pyarrow as pa
 
-    t_cut = int(fractions[0] * 4294967296)
-    v_cut = int((fractions[0] + fractions[1]) * 4294967296)
-
     def f(t: pa.Table) -> pa.Table:
-        h = (
-            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            * np.uint64(2654435761)
-        ) % np.uint64(4294967296)
-        split = np.full(len(t), names[2], dtype=object)
-        split[h < v_cut] = names[1]
-        split[h < t_cut] = names[0]
+        split = split_of(
+            t["doc_id"].to_numpy(zero_copy_only=False), fractions, names
+        )
         return pa.table(
             {"doc_id": t["doc_id"], "split": pa.array(split.tolist(), pa.string())}
         )
 
     return corpus.select_columns(["doc_id"]).map_batches(f, batch_format="pyarrow")
+
+
+def split_of(doc_ids, fractions=(0.9, 0.05), names=("train", "val", "test")):
+    """Vectorized split label per doc_id (the split_assign kernel —
+    shared so pipeline compositions stamp splits inline, map-only)."""
+    import numpy as np
+
+    t_cut = int(fractions[0] * 4294967296)
+    v_cut = int((fractions[0] + fractions[1]) * 4294967296)
+    h = (np.asarray(doc_ids).astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+        4294967296
+    )
+    split = np.full(len(h), names[2], dtype=object)
+    split[h < v_cut] = names[1]
+    split[h < t_cut] = names[0]
+    return split

@@ -1378,3 +1378,69 @@ def test_hard_negatives_excludes_anchor_label():
     )
     assert set(out.vec_id) <= {2, 3, 5}  # only label-1 vectors
     assert out.iloc[0].vec_id == 2  # the closest different-label vector
+
+
+def test_pretrain_pipeline_planted_artifacts(tmp_path):
+    """End-to-end cleaning: wrong-lang docs, high-repetition gibberish,
+    too-short docs, exact dups, near dups, and PII are all handled; the
+    per-stage report accounts for every drop and the written corpus is
+    redacted."""
+    import pyarrow.parquet as pq_
+    from bitfunnel_ray.pipelines.pretrain import pretrain_pipeline
+    from bitfunnel_ray.sources.corpus import _lift_documents_batch
+
+    good = [" ".join(f"w{i}{j}" for j in range(30)) for i in range(8)]
+    texts = (
+        good
+        + [good[0]]                                  # exact dup of doc 0
+        + [good[1].replace("w129", "zz")]            # near dup of doc 1
+        + ["a a a a a a a a a a a a"]                # repetition gibberish
+        + ["too short"]                              # < min_tokens
+        + [" ".join(f"v{j}" for j in range(20)) + " mail me at a@b.io ok"]  # PII
+    )
+    langs = ["en"] * len(texts)
+    wrong = " ".join(f"x{j}" for j in range(25))
+    texts.append(wrong)
+    langs.append("zh")                               # lang-filtered
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+        }
+    )
+    corpus = rd.from_arrow(_lift_documents_batch(t))
+    out = str(tmp_path / "clean")
+    rep = pretrain_pipeline(
+        corpus,
+        out,
+        langs=("en",),
+        min_tokens=12,
+        max_dup_token_frac=0.5,
+        jaccard_threshold=0.5,
+        minhash_bands=32,
+    )
+    assert rep["docs_in"] == len(texts)
+    # zh doc + gibberish + too-short dropped at clean
+    assert rep["after_clean"] == rep["docs_in"] - 3
+    # exact dup of doc 0 dropped
+    assert rep["after_exact_dedup"] == rep["after_clean"] - 1
+    # near dup of doc 1 dropped
+    assert rep["after_near_dedup"] == rep["after_exact_dedup"] - 1
+    got = pq_.read_table(out).to_pandas()
+    assert len(got) == rep["written"] == rep["after_near_dedup"]
+    joined = " ".join(got.text)
+    assert "a@b.io" not in joined and "<EMAIL>" in joined
+    assert set(got.split) <= {"train", "val", "test"}
+
+
+def test_dedup_canonical_empty_pairs_passthrough():
+    """No near-dup pairs → corpus passes through unchanged (regression:
+    empty-Dataset select_columns keeps the stale schema and crashed the
+    component rounds)."""
+    from bitfunnel_ray.ops.cc import dedup_canonical
+    from bitfunnel_ray.ops.dedup import _EMPTY_PAIRS
+
+    c = _corpus(["alpha beta", "gamma delta"])
+    out = dedup_canonical(c, _EMPTY_PAIRS)
+    assert out.count() == 2
