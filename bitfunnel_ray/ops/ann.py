@@ -446,3 +446,121 @@ def hard_negatives(
         batch_format="pyarrow",
     )
     return _final_topk_reduce(partials, k)
+
+
+# --- exact cosine-threshold self-join (near-duplicate pairs) --------------
+
+
+class _BlockPairScorer:
+    """Actor for the distributed block-nested-loop similarity self-join.
+
+    Each input row names a (block_i, block_j) pair of parquet row-group
+    ranges; the actor loads both blocks (LRU-cached, so a block read from
+    shared storage is decoded/normalized once per actor, not once per
+    pair), does ONE float64 matmul, and emits the (id_a < id_b) pairs
+    whose 5-dp-rounded cosine clears the threshold.
+
+    Scale shape: n vectors in B blocks → B(B+1)/2 tasks, each O((n/B)²)
+    flops and O(n/B) I/O; total data movement is O(n·B) block reads from
+    shared storage (no broadcast of the full matrix, no driver gather).
+    This is the EXACT path — quadratic in n by definition of the exact
+    similarity self-join; use ``lsh_dup_pairs`` / ``minhash`` for the
+    candidate-generation scale path and this as the verifier or for
+    moderate-n gold sets.
+    """
+
+    def __init__(self, path: str, id_col: str, vec_col: str, threshold: float):
+        import pyarrow.parquet as pq
+
+        from bitfunnel_ray.functions.mem import tune_allocator
+
+        tune_allocator()
+        self.pf = pq.ParquetFile(path)
+        self.id_col, self.vec_col = id_col, vec_col
+        self.threshold = threshold
+        self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _block(self, g: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self.cache.get(g)
+        if hit is not None:
+            return hit
+        t = self.pf.read_row_group(g, columns=[self.id_col, self.vec_col])
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = np.stack(t[self.vec_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        if len(self.cache) >= 8:  # bounded working set per actor
+            self.cache.pop(next(iter(self.cache)))
+        self.cache[g] = (ids, unit)
+        return ids, unit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_c = [], [], []
+        for gi, gj in zip(
+            batch["i"].to_numpy(zero_copy_only=False),
+            batch["j"].to_numpy(zero_copy_only=False),
+        ):
+            ids_i, u_i = self._block(int(gi))
+            ids_j, u_j = self._block(int(gj))
+            sims = np.round(u_i @ u_j.T, 5)
+            mask = sims >= self.threshold
+            if gi == gj:
+                # upper triangle only: each unordered pair once (a boolean
+                # mask, not np.triu-zeroing — safe for threshold <= 0)
+                mask &= np.triu(np.ones_like(mask), 1).astype(bool)
+            ri, rj = np.nonzero(mask)
+            if len(ri) == 0:
+                continue
+            a, b = ids_i[ri], ids_j[rj]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_c.append(sims[ri, rj])
+        if not out_a:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+
+def exact_dup_pairs(
+    path: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int | None = None,
+) -> "ray.data.Dataset":
+    """All (id_a < id_b, cosine) pairs with round(cosine, 5) >= threshold —
+    the exact cosine near-duplicate self-join, distributed as a block
+    nested loop over the file's row groups (see ``_BlockPairScorer``).
+
+    ``path`` is a parquet file/dir on shared storage; row-group size is the
+    block knob (write embeddings with ~4-16k-row groups for this op).
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    n_groups = pq.ParquetFile(path).metadata.num_row_groups
+    items = [
+        {"i": i, "j": j} for i in range(n_groups) for j in range(i, n_groups)
+    ]
+    if concurrency is None:
+        concurrency = max(1, min(8, len(items)))
+    return rd.from_items(items).map_batches(
+        _BlockPairScorer,
+        fn_constructor_args=(path, id_col, vec_col, threshold),
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=concurrency,
+    )

@@ -2479,7 +2479,93 @@ def q_analyze_bands(sf_dir):
     return segment_band_stats(f"/tmp/bfr_idx_cache/{tag}")
 
 
+def q_top_bigrams(sf_dir):
+    """Corpus-wide top-100 bigram frequency table (Google-n-grams-style
+    LM statistic; the collection-frequency analog of the reference's df
+    pass, src/Index/src/DocumentFrequencyTableBuilder.cpp:33-58): block
+    partial counts → one hash exchange → tie-aware map-side top-k."""
+    from bitfunnel_ray.ops.ngrams import top_ngrams
+
+    return top_ngrams(corpus_from_documents(sf_dir), n=2, k=100)
+
+
+SQL_TOP_BIGRAMS = """
+WITH pairs AS (
+  SELECT p[1] || ' ' || p[2] AS gram
+  FROM (SELECT unnest(list_zip(string_split(text,' ')[1:-2],
+                               string_split(text,' ')[2:])) AS p
+        FROM documents)
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS "count" FROM pairs
+GROUP BY gram ORDER BY "count" DESC, gram LIMIT 100
+"""
+
+
+def q_substring_scan(sf_dir):
+    """Distributed grep: documents containing the literal 'spark' with
+    per-doc occurrence counts (map-only, no shuffle)."""
+    from bitfunnel_ray.ops.scan import substring_scan
+
+    return substring_scan(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "spark",
+    )
+
+
+SQL_SUBSTRING_SCAN = """
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, 'spark', ''))) // 5 AS BIGINT)
+         AS n_hits
+FROM documents WHERE text LIKE '%spark%'
+"""
+
+
+def q_regex_scan(sf_dir):
+    """Distributed regex grep: per-doc non-overlapping RE2 match counts of
+    's[a-z]+' (pyarrow and DuckDB both bind RE2, so counts are identical
+    by construction)."""
+    from bitfunnel_ray.ops.scan import regex_scan
+
+    return regex_scan(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "s[a-z]+",
+    )
+
+
+SQL_REGEX_SCAN = """
+SELECT doc_id, CAST(len(regexp_extract_all(text, 's[a-z]+')) AS BIGINT) AS n_hits
+FROM documents WHERE len(regexp_extract_all(text, 's[a-z]+')) > 0
+"""
+
+
+def q_embedding_exact_dups(sf_dir):
+    """EXACT cosine-threshold near-duplicate self-join over the embeddings
+    table — the distributed block-nested-loop (one task per row-group
+    pair, LRU block cache per actor; ops/ann.py).  Threshold 0.42 sits in
+    a measured gap of the fixture's cosine distribution (nearest pair at
+    0.4227), so 5-dp rounding differences vs the oracle cannot flip
+    membership."""
+    from bitfunnel_ray.ops.ann import exact_dup_pairs
+
+    return exact_dup_pairs(f"{sf_dir}/embeddings.parquet", threshold=0.42)
+
+
+SQL_EMBEDDING_EXACT_DUPS = """
+WITH s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 5)
+           AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.42
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
+    "substring_scan": (q_substring_scan, SQL_SUBSTRING_SCAN),
+    "regex_scan": (q_regex_scan, SQL_REGEX_SCAN),
+    "embedding_exact_dups": (q_embedding_exact_dups, SQL_EMBEDDING_EXACT_DUPS),
     "df_table": (q_df_table, SQL_DF_TABLE),
     "doclen_histogram": (q_doclen_histogram, SQL_DOCLEN_HISTOGRAM),
     "doc_meta": (q_doc_meta, SQL_DOC_META),

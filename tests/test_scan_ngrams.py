@@ -1,0 +1,112 @@
+"""Unit tests for the corpus-grep ops (substring/regex scan), the n-gram
+frequency table, and the exact cosine-threshold self-join — each against
+a brute-force in-process oracle."""
+
+import collections
+import itertools
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from bitfunnel_ray.ops.ann import exact_dup_pairs
+from bitfunnel_ray.ops.ngrams import ngram_counts, top_ngrams
+from bitfunnel_ray.ops.scan import regex_scan, substring_scan
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick quick fox",
+    "",
+    "dog",
+    "a b a b a b",
+    "zz zz zz zz",
+]
+
+
+def _docs():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(TEXTS))), pa.int64()),
+                "text": pa.array(TEXTS),
+            }
+        )
+    )
+
+
+def test_substring_scan_counts():
+    got = dict(
+        zip(*[substring_scan(_docs(), "quick").to_pandas()[c] for c in ("doc_id", "n_hits")])
+    )
+    want = {i: t.count("quick") for i, t in enumerate(TEXTS) if "quick" in t}
+    assert got == want
+
+
+def test_regex_scan_counts():
+    got = dict(
+        zip(*[regex_scan(_docs(), "[a-z]+o[a-z]+").to_pandas()[c] for c in ("doc_id", "n_hits")])
+    )
+    want = {
+        i: len(re.findall("[a-z]+o[a-z]+", t))
+        for i, t in enumerate(TEXTS)
+        if re.findall("[a-z]+o[a-z]+", t)
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_ngram_counts_vs_brute(n):
+    got = ngram_counts(_docs(), n).to_pandas()
+    want = collections.Counter()
+    for t in TEXTS:
+        toks = t.split()
+        for i in range(len(toks) - n + 1):
+            want[" ".join(toks[i : i + n])] += 1
+    assert dict(zip(got["gram"], got["count"])) == dict(want)
+
+
+def test_top_ngrams_order_and_ties():
+    top = top_ngrams(_docs(), n=2, k=3)
+    grams = top["gram"].to_pylist()
+    counts = top["count"].to_pylist()
+    # 'a b' x3, 'zz zz' x3, then 'b a' x2 — count desc, gram asc on ties
+    assert list(zip(grams, counts)) == [("a b", 3), ("zz zz", 3), ("b a", 2)]
+
+
+def test_exact_dup_pairs_multi_rowgroup(tmp_path):
+    rng = np.random.default_rng(7)
+    n, dim = 300, 16
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    # plant near-duplicates across row-group boundaries
+    vecs[250] = vecs[10] + rng.normal(scale=1e-3, size=dim).astype(np.float32)
+    vecs[299] = vecs[0]
+    path = os.path.join(tmp_path, "emb.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            }
+        ),
+        path,
+        row_group_size=64,  # 5 row groups -> 15 block-pair tasks
+    )
+    thr = 0.8
+    got = exact_dup_pairs(path, threshold=thr, concurrency=2).to_pandas()
+    got_set = {
+        (a, b, c) for a, b, c in zip(got["id_a"], got["id_b"], got["cosine"])
+    }
+    unit = vecs.astype(np.float64)
+    unit /= np.maximum(np.linalg.norm(unit, axis=1, keepdims=True), 1e-12)
+    sims = np.round(unit @ unit.T, 5)
+    want_set = {
+        (i, j, sims[i, j])
+        for i, j in itertools.combinations(range(n), 2)
+        if sims[i, j] >= thr
+    }
+    assert (0, 299, 1.0) in want_set and (10, 250) in {(a, b) for a, b, _ in want_set}
+    assert got_set == want_set
