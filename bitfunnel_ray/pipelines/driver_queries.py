@@ -17,6 +17,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
@@ -2479,6 +2480,158 @@ def q_analyze_bands(sf_dir):
     return segment_band_stats(f"/tmp/bfr_idx_cache/{tag}")
 
 
+def q_local_supplier_volume(sf_dir):
+    """TPC-H Q5-style local supplier volume: revenue per nation for 1996
+    orders where customer and supplier share an ASIA nation.
+
+    Shape: nation/region resolve driver-side (tiny dims); supplier →
+    nationkey is a broadcast searchsorted lookup inside the lineitem scan
+    (supplier is the classic small side — 10k rows/SF vs 6M lineitem);
+    orders⋈customer and lineitem⋈(that) are native hash joins; the final
+    per-nation rollup needs no exchange at all — every block bincounts
+    into ≤ 25 nation slots and the driver sums the tiny partials."""
+    import ray
+    from ray.data.context import DataContext
+
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    n_blocks = tune_hash_shuffle(DataContext.get_current())
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    asia_keys = reg.filter(pc.equal(reg["r_name"], "ASIA"))["r_regionkey"]
+    nat = nat.filter(pc.is_in(nat["n_regionkey"], value_set=asia_keys.combine_chunks()))
+    nation_keys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nation_names = {int(k): v for k, v in zip(nation_keys, nat["n_name"].to_pylist())}
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    s_key = sup["s_suppkey"].to_numpy().astype(np.int64)
+    s_nat = sup["s_nationkey"].to_numpy().astype(np.int64)
+    in_asia = np.isin(s_nat, nation_keys)
+    order_s = np.argsort(s_key[in_asia])
+    sup_ref = ray.put((s_key[in_asia][order_s], s_nat[in_asia][order_s]))
+    nat_ref = ray.put(np.sort(nation_keys))
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us")
+    hi = np.datetime64("1997-01-01T00:00:00", "us")
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        t = t.filter(pa.array((od >= lo) & (od < hi)))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_custkey": t["o_custkey"].cast(pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+
+    def prep_cust(t: pa.Table) -> pa.Table:
+        allowed = ray.get(nat_ref)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(nk, allowed)
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck[keep], pa.int64()),
+                "c_nationkey": pa.array(nk[keep], pa.int64()),
+            }
+        )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(prep_cust, batch_format="pyarrow")
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        sk_sorted, snat_sorted = ray.get(sup_ref)
+        lk = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(sk_sorted, sk)
+        pos_c = np.minimum(pos, max(len(sk_sorted) - 1, 0))
+        match = (
+            (sk_sorted[pos_c] == sk) if len(sk_sorted) else np.zeros(len(sk), bool)
+        )
+        ep = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(
+            "int64"
+        )
+        disc = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(
+            "int64"
+        )
+        rev = ep * (100 - disc)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(lk[match], pa.int64()),
+                "s_nationkey": pa.array(snat_sorted[pos_c[match]], pa.int64()),
+                "rev_e4": pa.array(rev[match], pa.int64()),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(prep_li, batch_format="pyarrow")
+
+    j1 = orders.join(
+        cust, "inner", num_partitions=n_blocks,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+    j2 = li.join(
+        j1, "inner", num_partitions=n_blocks,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        rev = t["rev_e4"].to_numpy(zero_copy_only=False)
+        keep = sn == cn
+        if not keep.any():
+            return pa.table(
+                {"nationkey": pa.array([], pa.int64()), "rev": pa.array([], pa.int64())}
+            )
+        sn, rev = sn[keep], rev[keep]
+        keys = np.unique(sn)
+        sums = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(sums, np.searchsorted(keys, sn), rev)
+        return pa.table({"nationkey": pa.array(keys), "rev": pa.array(sums)})
+
+    parts = j2.map_batches(nation_partial, batch_format="pyarrow", batch_size=None)
+    tables = [x for x in ray.get(parts.to_arrow_refs()) if len(x)]
+    agg: dict[int, int] = {}
+    for x in tables:
+        for k, v in zip(x["nationkey"].to_pylist(), x["rev"].to_pylist()):
+            agg[k] = agg.get(k, 0) + v
+    rows = sorted(agg.items(), key=lambda kv: (-kv[1], nation_names[kv[0]]))
+    return pa.table(
+        {
+            "n_name": pa.array([nation_names[k] for k, _ in rows], pa.string()),
+            "revenue_e4": pa.array([v for _, v in rows], pa.int64()),
+        }
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+  FROM lineitem
+)
+SELECT n_name, CAST(sum(rev_e4) AS BIGINT) AS revenue_e4
+FROM customer, orders, li, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name ORDER BY revenue_e4 DESC, n_name
+"""
+
+
 def q_top_bigrams(sf_dir):
     """Corpus-wide top-100 bigram frequency table (Google-n-grams-style
     LM statistic; the collection-frequency analog of the reference's df
@@ -2562,6 +2715,7 @@ SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.42
 
 
 REGISTRY: dict[str, tuple] = {
+    "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
     "substring_scan": (q_substring_scan, SQL_SUBSTRING_SCAN),
     "regex_scan": (q_regex_scan, SQL_REGEX_SCAN),
