@@ -1,0 +1,86 @@
+"""Proximity search: documents where two terms occur within N tokens.
+
+The reference's matching is presence-only (unique postings, no
+positions — src/Chunks/src/Document.cpp:105-181 keeps an unordered set),
+so "a NEAR/3 b" is inexpressible there.  This operator adds it as a
+map-only corpus scan: positions come for free from the flattened token
+stream (a token's global index within the block is its in-document
+offset plus the doc start, and same-doc differences of global indices
+ARE token distances), and the nearest-neighbor gap per occurrence is one
+``searchsorted`` — no python loop, no shuffle, prune-at-read columns.
+
+Typical use at scale: run the cheap indexed AND query first (both terms
+present), then this scan over only the matching shard files — the scan
+shape below is exactly the verify stage's.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from bitfunnel_ray.stages.tokenize import flat_tokens
+
+
+def _prox_batch(t: pa.Table, *, term_a: str, term_b: str, window: int) -> pa.Table:
+    flat, doc_of, _ = flat_tokens(t["text"])
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "min_gap": pa.array([], pa.int64())}
+    )
+    if len(flat) == 0:
+        return empty
+    a_idx = np.flatnonzero(pc.equal(flat, term_a).to_numpy(zero_copy_only=False))
+    b_idx = np.flatnonzero(pc.equal(flat, term_b).to_numpy(zero_copy_only=False))
+    if len(a_idx) == 0 or len(b_idx) == 0:
+        return empty
+    # nearest b occurrence for every a occurrence (both ascending):
+    # check the insertion neighbors on each side, gated to the same doc
+    p = np.searchsorted(b_idx, a_idx)
+    right = np.minimum(p, len(b_idx) - 1)
+    left = np.maximum(p - 1, 0)
+    INF = np.iinfo(np.int64).max
+    d_right = np.where(
+        doc_of[b_idx[right]] == doc_of[a_idx],
+        np.abs(b_idx[right] - a_idx),
+        INF,
+    )
+    d_left = np.where(
+        doc_of[b_idx[left]] == doc_of[a_idx],
+        np.abs(a_idx - b_idx[left]),
+        INF,
+    )
+    gap = np.minimum(d_right, d_left)
+    # per-doc min over all a occurrences
+    docs = doc_of[a_idx]
+    uniq, inv = np.unique(docs, return_inverse=True)
+    min_gap = np.full(len(uniq), INF, dtype=np.int64)
+    np.minimum.at(min_gap, inv, gap)
+    keep = min_gap <= window
+    if not keep.any():
+        return empty
+    ids = t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+    return pa.table(
+        {
+            "doc_id": ids.take(pa.array(uniq[keep])).cast(pa.int64()),
+            "min_gap": pa.array(min_gap[keep], pa.int64()),
+        }
+    )
+
+
+def proximity_search(
+    corpus: "ray.data.Dataset", term_a: str, term_b: str, window: int
+) -> "ray.data.Dataset":
+    """(doc_id, min_gap) for every document where some occurrence of
+    ``term_a`` lies within ``window`` tokens of some ``term_b``
+    occurrence (min_gap = the smallest such distance; 0 only if the two
+    terms are equal)."""
+    if window < 0:
+        raise ValueError("window must be >= 0")
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
+        partial(_prox_batch, term_a=term_a, term_b=term_b, window=window),
+        batch_format="pyarrow",
+    )

@@ -2714,7 +2714,37 @@ SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.42
 """
 
 
+def q_proximity_search(sf_dir):
+    """NEAR/5 proximity query (spark within 5 tokens of join) — the
+    position-aware scan the presence-only reference index cannot express
+    (Document.cpp:105-181 keeps unordered postings); map-only, gap via
+    one searchsorted per block."""
+    from bitfunnel_ray.ops.proximity import proximity_search
+
+    return proximity_search(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "spark",
+        "join",
+        window=5,
+    )
+
+
+SQL_PROXIMITY_SEARCH = """
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+occ_a AS (SELECT doc_id,
+                 unnest([i for i in range(1, len(l)+1) if l[i] = 'spark']) AS i
+          FROM toks),
+occ_b AS (SELECT doc_id,
+                 unnest([i for i in range(1, len(l)+1) if l[i] = 'join']) AS i
+          FROM toks)
+SELECT occ_a.doc_id, CAST(min(abs(occ_a.i - occ_b.i)) AS BIGINT) AS min_gap
+FROM occ_a JOIN occ_b ON occ_a.doc_id = occ_b.doc_id
+GROUP BY occ_a.doc_id HAVING min(abs(occ_a.i - occ_b.i)) <= 5
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "proximity_search": (q_proximity_search, SQL_PROXIMITY_SEARCH),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
     "substring_scan": (q_substring_scan, SQL_SUBSTRING_SCAN),

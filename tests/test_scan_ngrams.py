@@ -110,3 +110,51 @@ def test_exact_dup_pairs_multi_rowgroup(tmp_path):
     }
     assert (0, 299, 1.0) in want_set and (10, 250) in {(a, b) for a, b, _ in want_set}
     assert got_set == want_set
+
+
+def test_proximity_search_vs_brute():
+    from bitfunnel_ray.ops.proximity import proximity_search
+
+    texts = [
+        "a x x x b",          # gap 4
+        "b a",                # gap 1
+        "a x b x a",          # gaps 2 and 2 -> 2
+        "a a a",              # no b
+        "b only here",        # no a
+        "x a b x a x x x b",  # min gap 1
+        "",
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    for w in (0, 1, 2, 4):
+        got = proximity_search(docs, "a", "b", w).to_pandas()
+        got_map = (
+            dict(zip(got["doc_id"], got["min_gap"])) if len(got) else {}
+        )
+        want = {}
+        for i, t in enumerate(texts):
+            toks = t.split()
+            pa_pos = [j for j, x in enumerate(toks) if x == "a"]
+            pb_pos = [j for j, x in enumerate(toks) if x == "b"]
+            if pa_pos and pb_pos:
+                g = min(abs(p - q) for p in pa_pos for q in pb_pos)
+                if g <= w:
+                    want[i] = g
+        assert got_map == want, f"window={w}"
+
+
+def test_proximity_same_term():
+    from bitfunnel_ray.ops.proximity import proximity_search
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["a x a"])})
+    )
+    got = proximity_search(docs, "a", "a", 10).to_pandas()
+    # nearest 'a' to an 'a' occurrence is itself -> min_gap 0 by convention
+    assert got["min_gap"].tolist() == [0]
