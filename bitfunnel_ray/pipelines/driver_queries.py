@@ -2743,7 +2743,32 @@ GROUP BY occ_a.doc_id HAVING min(abs(occ_a.i - occ_b.i)) <= 5
 """
 
 
+def q_wildcard_search(sf_dir):
+    """Wildcard query '*n' (every term ending in n): expand the pattern
+    against the vocabulary (streamed df-table scan, vectorized suffix
+    test), then evaluate the expansion as one indexed OR — the classic
+    two-step wildcard plan (pattern → dictionary → posting union)."""
+    dft = document_frequency_table(
+        corpus_from_documents(sf_dir), EngineConfig(max_gram=1)
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.select(["term"]).filter(pc.ends_with(t["term"], "n"))
+
+    terms = sorted(set(dft.map_batches(pick, batch_format="pyarrow").to_pandas()["term"]))
+    if not terms:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return _search_docs(sf_dir, " | ".join(terms))
+
+
+SQL_WILDCARD_SEARCH = f"""
+WITH toks AS ({_tokens_sql()})
+SELECT DISTINCT doc_id FROM toks WHERE term LIKE '%n'
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "wildcard_search": (q_wildcard_search, SQL_WILDCARD_SEARCH),
     "proximity_search": (q_proximity_search, SQL_PROXIMITY_SEARCH),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
