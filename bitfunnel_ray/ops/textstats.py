@@ -448,3 +448,34 @@ def normalize_text(corpus: "ray.data.Dataset") -> "ray.data.Dataset":
     return corpus.select_columns(["doc_id", "text"]).map_batches(
         normalize_text_batch, batch_format="pyarrow"
     )
+
+
+def lang_id_sql() -> str:
+    """Generated DuckDB oracle for the STOPWORD-VOTE stage of ``LangId``,
+    built from the same ``_PROFILES`` the operator uses (single source of
+    truth, like ``redact.redact_sql``).  Valid for ASCII corpora (the
+    driver fixture is pure ASCII, so the UTF-8 script stage provably
+    never fires there; non-ASCII script routing is pytest-covered with
+    planted Cyrillic/CJK/kana docs).  Tie-break mirrors np.argmax
+    first-max over the alphabetically sorted language list, and the
+    confidence is the same single IEEE division."""
+    langs = sorted(_PROFILES)
+    cols = ", ".join(
+        "len(list_filter(l, x -> x IN ({}))) AS c_{}".format(
+            ",".join(f"'{w}'" for w in sorted(_PROFILES[lang])), lang
+        )
+        for lang in langs
+    )
+    m = "greatest(" + ",".join(f"c_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(f"WHEN c_{l} = m THEN '{l}'" for l in langs) + " END"
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+c AS (SELECT doc_id, len(l) AS ndl, {cols} FROM toks),
+s AS (SELECT doc_id, {m} AS m,
+      CAST({m} AS DOUBLE)/CAST(greatest(ndl,1) AS DOUBLE) AS lang_conf,
+      {", ".join("c_" + l for l in langs)} FROM c)
+SELECT doc_id,
+  CASE WHEN lang_conf >= 0.15 THEN {case} ELSE 'und' END AS lang_pred,
+  lang_conf
+FROM s
+"""

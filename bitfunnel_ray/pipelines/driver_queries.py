@@ -2325,6 +2325,11 @@ def q_embedding_dup_pairs(sf_dir):
 
 
 def q_lang_id(sf_dir):
+    """Two-stage language ID; on the (pure-ASCII) driver fixture the
+    stopword-vote stage fully determines the output, so the oracle is the
+    generated vote SQL (``textstats.lang_id_sql``) — argmax tie-break and
+    the confidence division mirrored bit-exactly.  Script routing for
+    non-ASCII text is pytest-covered."""
     return textstats.lang_id(corpus_from_documents(sf_dir))
 
 
@@ -2768,6 +2773,7 @@ SELECT DISTINCT doc_id FROM toks WHERE term LIKE '%n'
 
 
 REGISTRY: dict[str, tuple] = {
+    "lang_id": (q_lang_id, textstats.lang_id_sql()),
     "wildcard_search": (q_wildcard_search, SQL_WILDCARD_SEARCH),
     "proximity_search": (q_proximity_search, SQL_PROXIMITY_SEARCH),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
@@ -2855,7 +2861,6 @@ REGISTRY: dict[str, tuple] = {
     "minhash_dedup": (q_minhash_dedup, None),
     "simhash": (q_simhash, None),
     "embedding_dup_pairs": (q_embedding_dup_pairs, None),
-    "lang_id": (q_lang_id, None),
     "fingerprint": (q_fingerprint, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
