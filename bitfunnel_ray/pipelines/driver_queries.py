@@ -2772,7 +2772,89 @@ SELECT DISTINCT doc_id FROM toks WHERE term LIKE '%n'
 """
 
 
+def _variant_urls_batch(t: pa.Table) -> pa.Table:
+    """Deterministic messy-URL fixture: five per-row variants (www+utm
+    query, uppercase scheme+host, trailing slash, :443+fragment, clean)
+    that all canonicalize to the same base; bases pair up via doc_id//2
+    so canonical dedup halves the table."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    urls = []
+    for i in ids.tolist():
+        base = f"example.org/page/{i // 2:06d}"
+        v = i % 5
+        if v == 0:
+            urls.append(f"https://www.{base}?utm_source=feed")
+        elif v == 1:
+            urls.append(f"HTTPS://{base.upper().split('/')[0]}/page/{i // 2:06d}")
+        elif v == 2:
+            urls.append(f"https://{base}/")
+        elif v == 3:
+            urls.append(f"https://example.org:443/page/{i // 2:06d}#frag")
+        else:
+            urls.append(f"https://{base}")
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "url": pa.array(urls)})
+
+
+_SQL_VARIANT_URLS = """
+SELECT doc_id,
+  CASE doc_id % 5
+    WHEN 0 THEN 'https://www.example.org/page/' || printf('%06d', doc_id // 2) || '?utm_source=feed'
+    WHEN 1 THEN 'HTTPS://EXAMPLE.ORG/page/' || printf('%06d', doc_id // 2)
+    WHEN 2 THEN 'https://example.org/page/' || printf('%06d', doc_id // 2) || '/'
+    WHEN 3 THEN 'https://example.org:443/page/' || printf('%06d', doc_id // 2) || '#frag'
+    ELSE 'https://example.org/page/' || printf('%06d', doc_id // 2)
+  END AS url
+FROM documents
+"""
+
+
+def q_url_canonicalize(sf_dir):
+    """URL canonicalization (fragment/query strip, scheme+host lowercase,
+    default-port and www. drop, trailing-slash strip) over a planted
+    messy-URL fixture — RE2 kernels; the oracle expression is generated
+    from the same recipe constants (ops/urls.py)."""
+    from bitfunnel_ray.ops.urls import canonicalize_urls
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(_variant_urls_batch, batch_format="pyarrow")
+    return canonicalize_urls(ds).select_columns(["doc_id", "canon_url"])
+
+
+def _sql_url_canonicalize() -> str:
+    from bitfunnel_ray.ops.urls import canonical_sql
+
+    return (
+        f"WITH u AS ({_SQL_VARIANT_URLS}) "
+        f"SELECT doc_id, {canonical_sql('u.url')} AS canon_url FROM u"
+    )
+
+
+def q_url_dedup(sf_dir):
+    """URL-level dedup: keep the min doc_id per canonical URL — one hash
+    exchange on the canonical string, vectorized min-by-group per
+    co-located block."""
+    from bitfunnel_ray.ops.urls import url_dedup
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(_variant_urls_batch, batch_format="pyarrow")
+    return url_dedup(ds)
+
+
+def _sql_url_dedup() -> str:
+    from bitfunnel_ray.ops.urls import canonical_sql
+
+    return (
+        f"WITH u AS ({_SQL_VARIANT_URLS}) "
+        f"SELECT {canonical_sql('u.url')} AS canon_url, "
+        f"CAST(min(doc_id) AS BIGINT) AS doc_id FROM u GROUP BY 1"
+    )
+
+
 REGISTRY: dict[str, tuple] = {
+    "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
+    "url_dedup": (q_url_dedup, _sql_url_dedup()),
     "lang_id": (q_lang_id, textstats.lang_id_sql()),
     "wildcard_search": (q_wildcard_search, SQL_WILDCARD_SEARCH),
     "proximity_search": (q_proximity_search, SQL_PROXIMITY_SEARCH),

@@ -158,3 +158,42 @@ def test_proximity_same_term():
     got = proximity_search(docs, "a", "a", 10).to_pandas()
     # nearest 'a' to an 'a' occurrence is itself -> min_gap 0 by convention
     assert got["min_gap"].tolist() == [0]
+
+
+def test_url_canonicalize_cases():
+    from bitfunnel_ray.ops.urls import canonicalize_url_array
+
+    cases = {
+        "https://www.Example.org:443/A/B/?q=1#f": "https://example.org/A/B",
+        "HTTP://HOST.COM:80/Path": "http://host.com/Path",
+        "https://example.org/": "https://example.org",
+        "https://example.org": "https://example.org",
+        "ftp://Files.example.org/pub/": "ftp://files.example.org/pub",
+        "relative/path#frag": "relative/path#frag"[:13],  # no head -> stripped only
+        "": "",
+    }
+    got = canonicalize_url_array(pa.array(list(cases))).to_pylist()
+    assert got == list(cases.values())
+
+
+def test_url_dedup_min_id():
+    from bitfunnel_ray.ops.urls import url_dedup
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([5, 3, 9, 7], pa.int64()),
+                "url": pa.array(
+                    [
+                        "https://www.a.com/x?utm=1",
+                        "https://a.com/x/",
+                        "https://b.com/y",
+                        "HTTPS://A.COM/x",
+                    ]
+                ),
+            }
+        )
+    )
+    got = url_dedup(ds).to_pandas().sort_values("canon_url").reset_index(drop=True)
+    assert got["canon_url"].tolist() == ["https://a.com/x", "https://b.com/y"]
+    assert got["doc_id"].tolist() == [3, 9]
