@@ -71,6 +71,27 @@ def run_bench() -> dict:
     corpus = rd.read_parquet(parquet_files)
     n_corpus = corpus.count()  # warms the page cache
 
+    # --- untimed steady-state warmup (BFR_WARMUP=0 to disable) -----------
+    # The FIRST build in a fresh Ray session runs 2-3x slower than steady
+    # state on this box (object-store /dev/shm pages fault in on first
+    # touch, worker processes fork, import caches fill) — a fixed cost
+    # that does NOT scale with num_cpus and so poisons the 8-vs-32
+    # efficiency ratio with sandbox artifacts.  A real 100 TB build runs
+    # hours per node; its first seconds are noise.  One small untimed
+    # build (1/8 of the corpus) brings every timed stage to steady state.
+    if os.environ.get("BFR_WARMUP", "1") != "0":
+        from bitfunnel_ray.build.builder import build_index as _bi
+        from bitfunnel_ray.config import EngineConfig as _EC
+
+        wdir = "/tmp/bfr_bench_warmup_idx"
+        shutil.rmtree(wdir, ignore_errors=True)
+        _bi(
+            rd.read_parquet(parquet_files[: max(1, len(parquet_files) // 8)]),
+            wdir,
+            _EC(max_gram=2, num_buckets=16),
+        )
+        shutil.rmtree(wdir, ignore_errors=True)
+
     # --- statistics scan (df table; the 'BitFunnel statistics' analog) ---
     # runs FIRST, like the reference's own workflow (statistics run →
     # termtable build → ingest): the build's head-term set falls out of

@@ -2852,7 +2852,36 @@ def _sql_url_dedup() -> str:
     )
 
 
+def q_chunk_roundtrip(sf_dir):
+    """Reference chunk-file interchange (grammar per
+    src/Chunks/src/ChunkReader.cpp:42-100): write the documents table out
+    as NUL-delimited chunk files, read it back through the chunk parser,
+    and return (doc_id, text) — the oracle is the original table, so the
+    round trip must be byte-identical."""
+    import tempfile
+
+    from bitfunnel_ray.sources.chunks import corpus_from_chunks, write_chunks
+
+    out_dir = tempfile.mkdtemp(prefix="bfr_chunks_")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    write_chunks(docs, out_dir)
+    import glob
+
+    back = corpus_from_chunks(sorted(glob.glob(os.path.join(out_dir, "*.chunk"))))
+
+    def to_out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()), "text": t["text"]}
+        )
+
+    return back.map_batches(to_out, batch_format="pyarrow")
+
+
+SQL_CHUNK_ROUNDTRIP = "SELECT doc_id, text FROM documents"
+
+
 REGISTRY: dict[str, tuple] = {
+    "chunk_roundtrip": (q_chunk_roundtrip, SQL_CHUNK_ROUNDTRIP),
     "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
     "url_dedup": (q_url_dedup, _sql_url_dedup()),
     "lang_id": (q_lang_id, textstats.lang_id_sql()),

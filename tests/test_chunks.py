@@ -1,0 +1,91 @@
+"""Chunk-file format adapter: grammar fidelity + round-trip tests
+(format per /root/reference/src/Chunks/src/ChunkReader.cpp:42-100)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from bitfunnel_ray.sources.chunks import (
+    chunk_bytes,
+    corpus_from_chunks,
+    parse_chunk_buffer,
+    write_chunks,
+)
+
+
+def test_parse_hand_built_buffer():
+    # one doc, body stream with two terms + title stream, then one
+    # empty-stream doc — built by hand from the grammar
+    buf = (
+        b"00000000000000ff\x00"        # doc 255
+        b"00\x00one\x00two\x00\x00"    # stream 0: one two
+        b"02\x00t\x00\x00"             # stream 2: t
+        b"\x00"                        # end doc
+        b"0000000000000100\x00"        # doc 256
+        b"\x00"                        # end doc (no streams)
+        b"\x00"                        # end file
+    )
+    docs = parse_chunk_buffer(buf)
+    assert docs == [(255, {0: ["one", "two"], 2: ["t"]}), (256, {})]
+
+
+def test_parse_rejects_malformed():
+    with pytest.raises(ValueError):
+        parse_chunk_buffer(b"0f\x00\x00")  # short doc id
+    with pytest.raises(ValueError):
+        parse_chunk_buffer(b"00000000000000ff\x00" b"00\x00one")  # no terminator
+
+
+def test_chunk_bytes_parse_inverse():
+    ids = np.array([1, 2, 3], dtype=np.int64)
+    cols = {0: ["a b", "", "c"], 2: ["T", "U", ""]}
+    docs = parse_chunk_buffer(chunk_bytes(ids, cols))
+    assert docs == [
+        (1, {0: ["a", "b"], 2: ["T"]}),
+        (2, {2: ["U"]}),  # empty body stream omitted
+        (3, {0: ["c"]}),
+    ]
+
+
+def test_roundtrip_through_files(tmp_path):
+    texts = ["alpha beta", "", "gamma", "x " * 50]
+    src = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+                "text": pa.array([t.strip() for t in texts]),
+            }
+        )
+    )
+    n_files = write_chunks(src, str(tmp_path))
+    assert n_files >= 1
+    import glob
+
+    back = corpus_from_chunks(sorted(glob.glob(str(tmp_path / "*.chunk"))))
+    df = back.select_columns(["doc_id", "text"]).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    got = dict(zip(df.doc_id, df.text))
+    assert got == {10: "alpha beta", 11: "", 12: "gamma", 13: ("x " * 50).strip()}
+
+
+def test_roundtrip_multi_stream(tmp_path):
+    src = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["body one", "body two"]),
+                "title": pa.array(["Title A", ""]),
+            }
+        )
+    )
+    write_chunks(src, str(tmp_path), streams=(("text", 0), ("title", 2)))
+    import glob
+
+    back = corpus_from_chunks(
+        sorted(glob.glob(str(tmp_path / "*.chunk"))), extra_streams=(2,)
+    )
+    df = back.select_columns(["doc_id", "text", "stream_02"]).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    rows = {r.doc_id: (r.text, r.stream_02) for r in df.itertuples()}
+    assert rows == {1: ("body one", "Title A"), 2: ("body two", "")}
