@@ -27,6 +27,13 @@ def run_bench() -> dict:
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     bench_docs = int(os.environ.get("BFR_BENCH_DOCS", "600000"))
     n_queries = int(os.environ.get("BFR_BENCH_QUERIES", "2048"))
+    # BFR_BENCH_ONLY="stats_df,index_build" restricts to a stage subset
+    # (used by scaling probes that target the north-rule build criterion)
+    only = os.environ.get("BFR_BENCH_ONLY", "")
+    stages = set(s.strip() for s in only.split(",") if s.strip()) or None
+
+    def want(stage: str) -> bool:
+        return stages is None or stage in stages
 
     import ray
 
@@ -114,7 +121,8 @@ def run_bench() -> dict:
         col="df",
         tiebreak="term_hash",
     ).to_pandas()
-    timings["stats_df"] = time.perf_counter() - t0
+    if want("stats_df"):
+        timings["stats_df"] = time.perf_counter() - t0
 
     # --- index build (docs/sec headline) --------------------------------
     # num_buckets floor is pinned (NOT a function of ncpu) so the 8- and
@@ -135,75 +143,83 @@ def run_bench() -> dict:
         dtype=np.uint64,
     )
     extras["n_head_terms"] = int(len(head_hashes))
+    extra = {"head_hashes": head_hashes}
+    if os.environ.get("BFR_ENCODE_NCPU"):
+        extra["encode_num_cpus"] = float(os.environ["BFR_ENCODE_NCPU"])
     cfg = EngineConfig(
         max_gram=2,
         num_buckets=64,
         head_df_threshold=head_df_threshold,
         salt_shift=14,
-        extra={"head_hashes": head_hashes},
+        extra=extra,
     )
     idx_dir = "/tmp/bfr_bench_idx"
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    manifest = build_index(
-        rd.read_parquet(parquet_files, override_num_blocks=128), idx_dir, cfg
-    )
-    timings["index_build"] = time.perf_counter() - t0
-    extras["build_docs_per_sec"] = round(n_corpus / timings["index_build"], 1)
-    extras["build_stages"] = manifest.get("stage_seconds", {})
+    if want("index_build") or want("query_serve"):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        manifest = build_index(
+            rd.read_parquet(parquet_files, override_num_blocks=128), idx_dir, cfg
+        )
+        if want("index_build"):
+            timings["index_build"] = time.perf_counter() - t0
+            extras["build_docs_per_sec"] = round(n_corpus / timings["index_build"], 1)
+            extras["build_stages"] = manifest.get("stage_seconds", {})
 
     # --- query serving (term-sharded actors + scatter-gather fronts) -----
     # each shard actor opens only its bucket subset (~1/4 of the dict);
     # front-ends batch-prefetch postings with one RPC per shard per batch
     from bitfunnel_ray.query.sharded import ShardedServer
 
-    qlog = generate_query_log(df_tbl["term"].tolist(), n_queries)
-    t0 = time.perf_counter()
-    # shard count + concurrency pinned (not a function of ncpu): actor init
-    # (dict load) is part of the measured stage; identical pool = same work
-    server = ShardedServer(idx_dir, n_shards=4)
-    # batch 128: fewer per-batch shard RPCs (measured ~10% QPS; larger
-    # pools gain little — the mean query cost, not the pool, dominates)
-    results = server.run(qlog, k=10, concurrency=4, batch_size=128)
-    stats = summarize(results)
-    timings["query_serve"] = time.perf_counter() - t0
-    extras["qps"] = round(n_queries / timings["query_serve"], 1)
-    extras["query_p50_ms"] = round(stats["p50_ms"], 3)
-    extras["query_p99_ms"] = round(stats["p99_ms"], 3)
-    extras["query_errors"] = stats["n_errors"]
-    # steady-state: same log again over the live server — shard-side
-    # decoded-ref caches are hot, so this is the long-running-service QPS
-    # (the timed stage above deliberately includes every cold-start cost).
-    # extras-only: not part of the headline total.
-    t0 = time.perf_counter()
-    summarize(server.run(qlog, k=10, concurrency=4, batch_size=128))
-    extras["qps_warm"] = round(n_queries / (time.perf_counter() - t0), 1)
-    server.shutdown()
+    if want("query_serve"):
+        qlog = generate_query_log(df_tbl["term"].tolist(), n_queries)
+        t0 = time.perf_counter()
+        # shard count + concurrency pinned (not a function of ncpu): actor
+        # init (dict load) is part of the measured stage; identical pool =
+        # same work
+        server = ShardedServer(idx_dir, n_shards=4)
+        # batch 128: fewer per-batch shard RPCs (measured ~10% QPS; larger
+        # pools gain little — the mean query cost, not the pool, dominates)
+        results = server.run(qlog, k=10, concurrency=4, batch_size=128)
+        stats = summarize(results)
+        timings["query_serve"] = time.perf_counter() - t0
+        extras["qps"] = round(n_queries / timings["query_serve"], 1)
+        extras["query_p50_ms"] = round(stats["p50_ms"], 3)
+        extras["query_p99_ms"] = round(stats["p99_ms"], 3)
+        extras["query_errors"] = stats["n_errors"]
+        # steady-state: same log again over the live server — shard-side
+        # decoded-ref caches are hot, so this is the long-running-service
+        # QPS (the timed stage above deliberately includes every
+        # cold-start cost).  extras-only: not part of the headline total.
+        t0 = time.perf_counter()
+        summarize(server.run(qlog, k=10, concurrency=4, batch_size=128))
+        extras["qps_warm"] = round(n_queries / (time.perf_counter() - t0), 1)
+        server.shutdown()
 
     # --- training-data ops (dedup over the big synthetic corpus so the
     # band shuffle has real work; ann over the sf dir embeddings) --------
-    t0 = time.perf_counter()
-    # k=5 shingles + 8 bands x 8 rows: the right operating point for a 0.9
-    # jaccard threshold.  FULL corpus — the verify stage is a distributed
-    # pair-keyed join (no driver gather, no coverage cap)
-    n_dup_pairs = len(
-        dedup.minhash_dedup_pairs(
-            rd.read_parquet(parquet_files), k=5, bands=8, threshold=0.9
+    if want("dedup_minhash"):
+        t0 = time.perf_counter()
+        # k=5 shingles + 8 bands x 8 rows: the right operating point for a
+        # 0.9 jaccard threshold.  FULL corpus — the verify stage is a
+        # distributed pair-keyed join (no driver gather, no coverage cap)
+        n_dup_pairs = len(
+            dedup.minhash_dedup_pairs(
+                rd.read_parquet(parquet_files), k=5, bands=8, threshold=0.9
+            )
         )
-    )
-    timings["dedup_minhash"] = time.perf_counter() - t0
-    extras["dedup_pairs"] = n_dup_pairs
+        timings["dedup_minhash"] = time.perf_counter() - t0
+        extras["dedup_pairs"] = n_dup_pairs
 
-    t0 = time.perf_counter()
-    import numpy as np
-    import pyarrow.parquet as pq
+    if want("ann_topk"):
+        t0 = time.perf_counter()
+        import pyarrow.parquet as pq
 
-    emb_path = f"{sf_dir}/embeddings.parquet"
-    qmat = np.stack(
-        pq.read_table(emb_path, columns=["embedding"]).slice(0, 8)["embedding"].to_pylist()
-    )
-    ann.brute_force_topk(rd.read_parquet(emb_path), qmat, k=10).to_pandas()
-    timings["ann_topk"] = time.perf_counter() - t0
+        emb_path = f"{sf_dir}/embeddings.parquet"
+        qmat = np.stack(
+            pq.read_table(emb_path, columns=["embedding"]).slice(0, 8)["embedding"].to_pylist()
+        )
+        ann.brute_force_topk(rd.read_parquet(emb_path), qmat, k=10).to_pandas()
+        timings["ann_topk"] = time.perf_counter() - t0
 
     ray.shutdown()
 
@@ -231,7 +247,20 @@ def run_scaling() -> dict:
     reported so the variance stays visible."""
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # the north-rule criterion is INDEX-BUILD throughput scaling; the
+        # scaling children run the build-side stages (statistics scan +
+        # index build, the reference's own workflow) over the 2M-doc
+        # corpus: a 4N-node 100 TB job has minutes-to-hours of work per
+        # node, so the measurement must amortize fixed per-stage startup
+        # the same way (at 600k docs the 32-cpu run is ~40% fixed cost
+        # and the ratio measures Ray's constant overheads, not the
+        # pipeline).  BFR_SCALING_DOCS overrides.
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BFR_BENCH_ONLY="stats_df,index_build",
+            BFR_BENCH_DOCS=os.environ.get("BFR_SCALING_DOCS", "2000000"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -269,7 +298,11 @@ def run_scaling() -> dict:
     tot_hi = min(r["value"] for r in runs[32])
     eff_all = (tot_lo / tot_hi) / (32 / 8)
     return {
-        "metric": "scaling efficiency 8->32 cpus (min of 2 interleaved runs/level)",
+        "metric": (
+            "scaling efficiency 8->32 cpus, build-side stages over the 2M-doc "
+            "corpus (min of 2 interleaved runs/level)"
+        ),
+        "bench_docs": int(os.environ.get("BFR_SCALING_DOCS", "2000000")),
         "sec_8": tot_lo,
         "sec_32": tot_hi,
         "queries_8": {k: best(8, k) for k in runs[8][0]["queries"]},

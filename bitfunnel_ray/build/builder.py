@@ -638,7 +638,15 @@ def build_index(
                     ),
                     batch_size=1,
                     batch_format="pyarrow",
-                    num_cpus=float(cfg.extra.get("encode_num_cpus", 1)),
+                    # encode is memory-bandwidth-bound, not compute-bound:
+                    # at full task-per-core concurrency 32 concurrent
+                    # varint/PFor packers thrash the shared bus and run
+                    # ABSOLUTELY slower than 16 (measured 2M-doc A/B on
+                    # this box: encode 16.2-23.6 s at 32-way vs 8.4-18.3 s
+                    # at 16-way, min-of-2 each).  num_cpus=2 halves the
+                    # concurrent encode tasks per node; on a real cluster
+                    # this is per-node bandwidth management, the same knob.
+                    num_cpus=float(cfg.extra.get("encode_num_cpus", 2)),
                 )
                 bucket_stats = enc.to_pandas().to_dict("records")
                 t1 = _mark("encode", t1)

@@ -68,6 +68,29 @@ def cmd_statistics(args):
     print(json.dumps({"out": args.out, "status": "ok"}))
 
 
+def cmd_chunks_export(args):
+    """Export a corpus as reference chunk files (the NUL-delimited format
+    of src/Chunks/src/ChunkReader.cpp) — interchange back to the
+    reference toolchain."""
+    from bitfunnel_ray.sources.chunks import write_chunks
+
+    n = write_chunks(_load_corpus(args.corpus), args.out)
+    print(json.dumps({"out": args.out, "files": n, "status": "ok"}))
+
+
+def cmd_chunks_import(args):
+    """Ingest reference chunk files into a parquet corpus in the
+    canonical schema (stream 0 -> text)."""
+    import glob as _glob
+
+    from bitfunnel_ray.sources.chunks import corpus_from_chunks
+
+    paths = sorted(_glob.glob(os.path.join(args.chunks, "*.chunk"))) or args.chunks
+    ds = corpus_from_chunks(paths)
+    ds.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "status": "ok"}))
+
+
 def cmd_build(args):
     from bitfunnel_ray.build.builder import build_index
     from bitfunnel_ray.config import EngineConfig
@@ -504,6 +527,16 @@ def main(argv=None):
     s.add_argument("corpus")
     s.add_argument("--out", default=None)
     s.set_defaults(fn=cmd_report, needs_ray=True)
+
+    s = sub.add_parser("chunks-export")
+    s.add_argument("corpus")
+    s.add_argument("out")
+    s.set_defaults(fn=cmd_chunks_export, needs_ray=True)
+
+    s = sub.add_parser("chunks-import")
+    s.add_argument("chunks")
+    s.add_argument("out")
+    s.set_defaults(fn=cmd_chunks_import, needs_ray=True)
 
     s = sub.add_parser("pretrain")
     s.add_argument("corpus")

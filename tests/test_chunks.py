@@ -89,3 +89,33 @@ def test_roundtrip_multi_stream(tmp_path):
     df["doc_id"] = df["doc_id"].astype("int64")
     rows = {r.doc_id: (r.text, r.stream_02) for r in df.itertuples()}
     assert rows == {1: ("body one", "Title A"), 2: ("body two", "")}
+
+
+def test_cli_chunks_roundtrip(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root", "RAY_GRAFT_CPUS": "4"}
+    chunk_dir = str(tmp_path / "chunks")
+    pq_dir = str(tmp_path / "pq")
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "chunks-export",
+         "/root/testdata/sf0.001", chunk_dir],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["files"] >= 1
+    r2 = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "chunks-import", chunk_dir, pq_dir],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    import duckdb
+
+    n, = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{pq_dir}/*.parquet') a "
+        f"JOIN read_parquet('/root/testdata/sf0.001/documents.parquet') b "
+        f"ON a.doc_id = b.doc_id AND a.text = b.text"
+    ).fetchone()
+    assert n == 500
