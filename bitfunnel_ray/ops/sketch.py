@@ -215,3 +215,99 @@ def distinct_terms_hll(
             ),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# heavy hitters: mergeable Misra-Gries / SpaceSaving summaries
+# --------------------------------------------------------------------------
+
+
+def _mg_summary(terms: np.ndarray, counts: np.ndarray, k: int):
+    """Prune an exact (term, count) table to a Misra-Gries summary of at
+    most k counters: subtract the (k+1)-th largest count from everything
+    and drop non-positive counters (the classic one-shot MG reduction —
+    each surviving counter underestimates the true count by at most the
+    subtracted offset).  Returns (terms, counts, offset_bound)."""
+    if len(terms) <= k:
+        return terms, counts, 0
+    # threshold = (k+1)-th largest count
+    thr = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    kept = counts - thr
+    keep = kept > 0
+    return terms[keep], kept[keep], int(thr)
+
+
+def _mg_block(t: pa.Table, *, k: int) -> pa.Table:
+    """One corpus block → its MG summary rows plus one error-bound row
+    (term='', count=accumulated offset).  The exchange moves at most
+    k + 1 rows per block regardless of vocabulary size."""
+    flat, _doc_of, _dl = flat_tokens(t["text"])
+    empty = pa.table(
+        {"term": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
+    )
+    if len(flat) == 0:
+        return empty
+    import pyarrow.compute as pc
+
+    d = pc.dictionary_encode(flat)
+    counts = np.bincount(d.indices.to_numpy(), minlength=len(d.dictionary)).astype(
+        np.int64
+    )
+    terms = np.asarray(d.dictionary.to_pylist(), dtype=object)
+    terms, counts, off = _mg_summary(terms, counts, k)
+    return pa.table(
+        {
+            "term": pa.array(list(terms) + [""], pa.string()),
+            "count": pa.array(np.append(counts, off), pa.int64()),
+        }
+    )
+
+
+def heavy_hitters(
+    corpus: "ray.data.Dataset", k: int = 64
+) -> tuple[pa.Table, int]:
+    """Approximate top-k most frequent tokens WITHOUT any shuffle: each
+    block reduces to a ≤(k+1)-row Misra-Gries summary (sentinel row ''
+    carries the block's subtracted offset), summaries merge by
+    concatenation + grouped sum + one more MG prune.  Returns
+    (table(term, count_lower), max_undercount): every reported count is a
+    LOWER bound, short of the true count by at most ``max_undercount``,
+    and any token with true frequency > max_undercount is guaranteed
+    present (standard MG mergeability, Agarwal et al. PODS 2012).
+
+    The exact sibling is ``build.stats.document_frequency_table`` +
+    ``top_k_by`` (one hash exchange); this is the no-exchange scale path
+    — ``blocks × (k+1)`` fixed-width rows move to the driver, nothing
+    else moves at all.
+    """
+    parts = corpus.select_columns(["text"]).map_batches(
+        partial(_mg_block, k=k), batch_format="pyarrow", batch_size=None
+    )
+    merged = pa.concat_tables(
+        parts.iter_batches(batch_format="pyarrow", batch_size=None),
+        promote_options="default",
+    )
+    if len(merged) == 0:
+        return merged, 0
+    import pyarrow.compute as pc
+
+    d = pc.dictionary_encode(merged["term"].combine_chunks())
+    idx = d.indices.to_numpy()
+    sums = np.zeros(len(d.dictionary), dtype=np.int64)
+    np.add.at(sums, idx, merged["count"].to_numpy(zero_copy_only=False))
+    terms = np.asarray(d.dictionary.to_pylist(), dtype=object)
+    sentinel = terms == ""
+    err = int(sums[sentinel].sum()) if sentinel.any() else 0
+    terms, sums = terms[~sentinel], sums[~sentinel]
+    terms, sums, off = _mg_summary(terms, sums, k)
+    err += off
+    order = np.lexsort((terms, -sums))
+    return (
+        pa.table(
+            {
+                "term": pa.array(terms[order].tolist(), pa.string()),
+                "count_lower": pa.array(sums[order], pa.int64()),
+            }
+        ),
+        err,
+    )

@@ -2852,6 +2852,19 @@ def _sql_url_dedup() -> str:
     )
 
 
+def q_heavy_hitters(sf_dir):
+    """No-exchange approximate top-k tokens (mergeable Misra-Gries block
+    summaries — ≤ k+1 fixed-width rows per block move, nothing shuffles).
+    Approximate by design (counts are lower bounds within a reported
+    error) → rows-only; the MG guarantee (presence of every token with
+    true count > err, bounded undercount) is pytest-verified against
+    exact counts."""
+    from bitfunnel_ray.ops.sketch import heavy_hitters
+
+    tbl, _err = heavy_hitters(corpus_from_documents(sf_dir), k=32)
+    return tbl
+
+
 def q_chunk_roundtrip(sf_dir):
     """Reference chunk-file interchange (grammar per
     src/Chunks/src/ChunkReader.cpp:42-100): write the documents table out
@@ -2980,4 +2993,5 @@ REGISTRY: dict[str, tuple] = {
     "distinct_terms_hll": (q_distinct_terms_hll, None),
     "binary_stats": (q_binary_stats, None),
     "pretrain_clean": (q_pretrain_clean, None),
+    "heavy_hitters": (q_heavy_hitters, None),
 }

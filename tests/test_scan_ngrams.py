@@ -197,3 +197,35 @@ def test_url_dedup_min_id():
     got = url_dedup(ds).to_pandas().sort_values("canon_url").reset_index(drop=True)
     assert got["canon_url"].tolist() == ["https://a.com/x", "https://b.com/y"]
     assert got["doc_id"].tolist() == [3, 9]
+
+
+def test_heavy_hitters_mg_guarantees():
+    from bitfunnel_ray.ops.sketch import heavy_hitters
+
+    # skewed corpus: token t{i} appears ~1000/(i+1) times, shuffled
+    # deterministically across many small docs
+    rng = np.random.default_rng(11)
+    stream = []
+    for i in range(200):
+        stream += [f"t{i}"] * (1000 // (i + 1))
+    stream = list(rng.permutation(stream))
+    texts = [" ".join(stream[i : i + 23]) for i in range(0, len(stream), 23)]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(8)
+    true = collections.Counter(stream)
+    k = 32
+    tbl, err = heavy_hitters(docs, k=k)
+    got = dict(zip(tbl["term"].to_pylist(), tbl["count_lower"].to_pylist()))
+    assert len(got) <= k and err >= 0
+    for term, c in got.items():
+        assert c <= true[term] <= c + err, (term, c, true[term], err)
+    # any token with true count > err must be present
+    for term, c in true.items():
+        if c > err:
+            assert term in got, (term, c, err)
