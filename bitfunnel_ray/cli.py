@@ -91,6 +91,41 @@ def cmd_chunks_import(args):
     print(json.dumps({"out": args.out, "status": "ok"}))
 
 
+def cmd_grep(args):
+    """Distributed corpus grep: per-doc occurrence counts of a literal
+    substring (or RE2 regex with --regex); prints a JSON summary and
+    optionally writes the per-doc hits."""
+    from bitfunnel_ray.ops.scan import regex_scan, substring_scan
+
+    ds = _load_corpus(args.corpus).select_columns(["doc_id", "text"])
+    hits = (regex_scan if args.regex else substring_scan)(ds, args.pattern)
+    if args.out:
+        hits.write_parquet(args.out)
+        n_docs = None
+    import pandas as _pd
+
+    agg = hits.to_pandas() if args.out is None else _pd.read_parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "pattern": args.pattern,
+                "regex": bool(args.regex),
+                "matching_docs": int(len(agg)),
+                "total_hits": int(agg["n_hits"].sum()) if len(agg) else 0,
+            }
+        )
+    )
+
+
+def cmd_ngrams(args):
+    """Top-k corpus n-grams by frequency (LM-statistics head)."""
+    from bitfunnel_ray.ops.ngrams import top_ngrams
+
+    t = top_ngrams(_load_corpus(args.corpus), n=args.n, k=args.k)
+    for gram, cnt in zip(t["gram"].to_pylist(), t["count"].to_pylist()):
+        print(f"{cnt}\t{gram}")
+
+
 def cmd_build(args):
     from bitfunnel_ray.build.builder import build_index
     from bitfunnel_ray.config import EngineConfig
@@ -527,6 +562,19 @@ def main(argv=None):
     s.add_argument("corpus")
     s.add_argument("--out", default=None)
     s.set_defaults(fn=cmd_report, needs_ray=True)
+
+    s = sub.add_parser("grep")
+    s.add_argument("corpus")
+    s.add_argument("pattern")
+    s.add_argument("--regex", action="store_true")
+    s.add_argument("--out", default=None)
+    s.set_defaults(fn=cmd_grep, needs_ray=True)
+
+    s = sub.add_parser("ngrams")
+    s.add_argument("corpus")
+    s.add_argument("-n", type=int, default=2)
+    s.add_argument("-k", type=int, default=50)
+    s.set_defaults(fn=cmd_ngrams, needs_ray=True)
 
     s = sub.add_parser("chunks-export")
     s.add_argument("corpus")
