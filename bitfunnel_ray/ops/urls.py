@@ -14,7 +14,7 @@ from the SAME recipe table (single source of truth, the
    would whitelist instead, same shape),
 3. lowercase the ``scheme://host`` head (paths stay case-sensitive),
 4. drop a default port (``:80``/``:443``) and a ``www.`` host prefix,
-5. strip one trailing slash (but keep a bare-host ``/`` root).
+5. strip trailing slashes (idempotent — ``//`` tails collapse too).
 
 URL dedup is then exact dedup on the canonical string: hash-partition by
 canonical URL, keep the minimum doc_id per group — the shuffle carries
@@ -50,7 +50,7 @@ def canonicalize_url_array(url: pa.Array | pa.ChunkedArray) -> pa.Array:
     head_s = pc.replace_substring_regex(head_s, r":(80|443)$", "")
     head_s = pc.replace_substring_regex(head_s, r"://www\.", "://")
     tail = pc.replace_substring_regex(u, _HEAD_RE, "")
-    tail = pc.replace_substring_regex(tail, r"/$", "")
+    tail = pc.replace_substring_regex(tail, r"/+$", "")
     joined = pc.binary_join_element_wise(head_s, tail, "")
     # rows with no scheme://host head pass through the stripped url
     return pc.if_else(has_head, joined, u)
@@ -65,7 +65,7 @@ def canonical_sql(url_expr: str) -> str:
     head = f"lower(coalesce(regexp_extract({u}, '{_HEAD_RE}'), ''))"
     head = f"regexp_replace({head}, ':(80|443)$', '')"
     head = f"regexp_replace({head}, '://www\\.', '://')"
-    tail = f"regexp_replace(regexp_replace({u}, '{_HEAD_RE}', ''), '/$', '')"
+    tail = f"regexp_replace(regexp_replace({u}, '{_HEAD_RE}', ''), '/+$', '')"
     return (
         f"CASE WHEN regexp_matches({u}, '{_HEAD_RE}') "
         f"THEN {head} || {tail} ELSE {u} END"
