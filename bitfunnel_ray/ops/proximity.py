@@ -84,3 +84,45 @@ def proximity_search(
         partial(_prox_batch, term_a=term_a, term_b=term_b, window=window),
         batch_format="pyarrow",
     )
+
+
+def indexed_proximity_search(
+    engine,
+    corpus: "ray.data.Dataset",
+    term_a: str,
+    term_b: str,
+    window: int,
+) -> "ray.data.Dataset":
+    """The scale path: answer the cheap presence question with the INDEX
+    (boolean AND over posting lists — microseconds against the
+    dictionary) and run the position scan only over the matching docs.
+    On a web corpus two-term conjunctions select a tiny fraction of
+    documents, so the expensive text scan touches ~df(a AND b)/N of the
+    data instead of all of it.
+
+    The candidate doc-id set is broadcast once (``ray.put``) and each
+    block pre-filters with a vectorized ``np.isin`` before tokenizing —
+    blocks with no candidates do no text work at all.
+    """
+    import ray
+
+    from bitfunnel_ray.query.parser import parse_query
+
+    cand = engine.eval(parse_query(f"{term_a} {term_b}", engine.stream_map))
+    cand_ref = ray.put(np.sort(np.asarray(cand, dtype=np.int64)))
+
+    def batch(t: pa.Table) -> pa.Table:
+        allowed = ray.get(cand_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(ids, allowed)
+        if not keep.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "min_gap": pa.array([], pa.int64())}
+            )
+        return _prox_batch(
+            t.filter(pa.array(keep)), term_a=term_a, term_b=term_b, window=window
+        )
+
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
+        batch, batch_format="pyarrow"
+    )

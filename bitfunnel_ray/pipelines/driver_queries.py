@@ -2893,7 +2893,24 @@ def q_chunk_roundtrip(sf_dir):
 SQL_CHUNK_ROUNDTRIP = "SELECT doc_id, text FROM documents"
 
 
+def q_proximity_indexed(sf_dir):
+    """Index-accelerated NEAR/5: the boolean AND over posting lists
+    selects candidates (broadcast once), the position scan touches only
+    those — same answer as the full scan (same oracle), ~df(a AND b)/N
+    of the text work."""
+    from bitfunnel_ray.ops.proximity import indexed_proximity_search
+
+    return indexed_proximity_search(
+        get_engine(sf_dir),
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "spark",
+        "join",
+        window=5,
+    )
+
+
 REGISTRY: dict[str, tuple] = {
+    "proximity_indexed": (q_proximity_indexed, SQL_PROXIMITY_SEARCH),
     "chunk_roundtrip": (q_chunk_roundtrip, SQL_CHUNK_ROUNDTRIP),
     "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
     "url_dedup": (q_url_dedup, _sql_url_dedup()),
