@@ -197,3 +197,136 @@ def binary_stats(ds: "ray.data.Dataset", col: str = "html") -> "ray.data.Dataset
     return ds.select_columns(["doc_id", col]).map_batches(
         partial(binary_stats_batch, col=col), batch_format="pyarrow"
     )
+
+
+class ResizeImages:
+    """Actor stage: image payload → resized payload (+ updated metadata).
+
+    ``backend="stub"`` raises (no codec in this container);
+    ``backend="fake"`` emits a deterministic payload whose length scales
+    with target_w × target_h so memory-profile plumbing (batch sizing,
+    spill behavior) is exercised realistically.  A real deployment loads
+    PIL/turbojpeg once here in ``__init__`` and swaps ``_resize_fake``.
+
+    Batch sizing matters more than anywhere else in the pipeline: output
+    rows are ~target_w*target_h*bytes_per_px/compression wide; pick
+    ``batch_size`` so in-flight batches × concurrency fit the heap.
+    """
+
+    def __init__(self, target_w: int = 224, target_h: int = 224, backend: str = "stub"):
+        if backend not in ("stub", "fake"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.target_w, self.target_h = int(target_w), int(target_h)
+        self.backend = backend
+
+    def _resize_fake(self, payload: bytes) -> bytes:
+        # deterministic pseudo-resample: tile/truncate the source bytes to
+        # the target pixel count (1 byte/px stand-in)
+        n = self.target_w * self.target_h
+        src = bytes(payload or b"\x00")
+        reps = -(-n // len(src))
+        return (src * reps)[:n]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.backend == "stub":
+            raise NotImplementedError(
+                "no image codec in this environment; use backend='fake'"
+            )
+        out = [self._resize_fake(p) for p in t["payload"].to_pylist()]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "media_type": t["media_type"],
+                "payload": pa.array(out, pa.large_binary()),
+                "width": pa.array([self.target_w] * len(t), pa.int32()),
+                "height": pa.array([self.target_h] * len(t), pa.int32()),
+                "duration_ms": t["duration_ms"],
+            }
+        )
+
+
+def resize_images(
+    media: "ray.data.Dataset",
+    target_w: int = 224,
+    target_h: int = 224,
+    backend: str = "stub",
+    concurrency: int = 2,
+    batch_size: int = 32,
+) -> "ray.data.Dataset":
+    return media.map_batches(
+        ResizeImages,
+        fn_constructor_kwargs={
+            "target_w": target_w,
+            "target_h": target_h,
+            "backend": backend,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+class SampleFrames:
+    """Actor stage: one video row → ``n_frames`` frame rows (the flat-map
+    expansion every video pipeline needs; output schema carries
+    frame_idx + timestamp so downstream stages are order-independent).
+
+    ``backend="fake"`` slices the payload into n deterministic chunks (a
+    stand-in for keyframe extraction); ``"stub"`` raises.  A real
+    deployment opens libav once per actor in ``__init__``.
+    """
+
+    def __init__(self, n_frames: int = 4, backend: str = "stub"):
+        if backend not in ("stub", "fake"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.n_frames = int(n_frames)
+        self.backend = backend
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.backend == "stub":
+            raise NotImplementedError(
+                "no video codec in this environment; use backend='fake'"
+            )
+        ids, types, fidx, ts, payloads = [], [], [], [], []
+        for mid, mtype, payload, dur in zip(
+            t["media_id"].to_pylist(),
+            t["media_type"].to_pylist(),
+            t["payload"].to_pylist(),
+            t["duration_ms"].to_pylist(),
+        ):
+            src = bytes(payload or b"\x00")
+            step = max(1, len(src) // self.n_frames)
+            for k in range(self.n_frames):
+                ids.append(mid)
+                types.append(mtype)
+                fidx.append(k)
+                ts.append(int((dur or 0) * k / max(self.n_frames, 1)))
+                payloads.append(src[k * step : (k + 1) * step] or b"\x00")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.uint64()),
+                "media_type": pa.array(types, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "ts_ms": pa.array(ts, pa.int32()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+
+def sample_frames(
+    media: "ray.data.Dataset",
+    n_frames: int = 4,
+    backend: str = "stub",
+    concurrency: int = 2,
+    batch_size: int = 16,
+) -> "ray.data.Dataset":
+    """Frame sampling as an actor-pool flat expansion: each input batch
+    of B video rows yields B × n_frames frame rows — batch_size is the
+    backpressure knob (frames are wide; keep B small)."""
+    return media.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"n_frames": n_frames, "backend": backend},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

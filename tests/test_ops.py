@@ -1444,3 +1444,41 @@ def test_dedup_canonical_empty_pairs_passthrough():
     c = _corpus(["alpha beta", "gamma delta"])
     out = dedup_canonical(c, _EMPTY_PAIRS)
     assert out.count() == 2
+
+
+def test_multimodal_resize_and_frames():
+    from bitfunnel_ray.ops.multimodal import (
+        ResizeImages,
+        SampleFrames,
+        html_to_media,
+        resize_images,
+        sample_frames,
+    )
+
+    c = _corpus(["hello world", "foo bar baz"])
+    media = html_to_media(c)
+    resized = resize_images(media, target_w=8, target_h=4, backend="fake").to_pandas()
+    assert len(resized) == 2
+    assert all(len(p) == 8 * 4 for p in resized["payload"])
+    assert set(resized["width"]) == {8} and set(resized["height"]) == {4}
+
+    frames = sample_frames(media, n_frames=3, backend="fake").to_pandas()
+    assert len(frames) == 2 * 3
+    per = frames.groupby("media_id")["frame_idx"].apply(sorted).tolist()
+    assert per == [[0, 1, 2], [0, 1, 2]]
+    assert (frames["payload"].str.len() > 0).all()
+
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1], pa.uint64()),
+            "media_type": pa.array(["image"]),
+            "payload": pa.array([b"x"], pa.large_binary()),
+            "width": pa.array([0], pa.int32()),
+            "height": pa.array([0], pa.int32()),
+            "duration_ms": pa.array([0], pa.int32()),
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        ResizeImages(backend="stub")(tbl)
+    with pytest.raises(NotImplementedError):
+        SampleFrames(backend="stub")(tbl)
