@@ -651,7 +651,17 @@ def build_index(
                     # at 16-way, min-of-2 each).  num_cpus=2 halves the
                     # concurrent encode tasks per node; on a real cluster
                     # this is per-node bandwidth management, the same knob.
-                    num_cpus=float(cfg.extra.get("encode_num_cpus", 2)),
+                    # Small sessions (< 16 CPUs — unit tests, laptops)
+                    # keep 1: the bus isn't contended there, and a 2-CPU
+                    # reservation can deadlock against live actor pools.
+                    num_cpus=float(
+                        cfg.extra.get(
+                            "encode_num_cpus",
+                            2
+                            if ray.cluster_resources().get("CPU", 0) >= 16
+                            else 1,
+                        )
+                    ),
                 )
                 bucket_stats = enc.to_pandas().to_dict("records")
                 t1 = _mark("encode", t1)
