@@ -173,15 +173,17 @@ def run_bench() -> dict:
     from bitfunnel_ray.query.sharded import ShardedServer
 
     if want("query_serve"):
+        serve_conc = int(os.environ.get("BFR_SERVE_CONC", "4"))
+        serve_reps = int(os.environ.get("BFR_SERVE_REPLICAS", "1"))
         qlog = generate_query_log(df_tbl["term"].tolist(), n_queries)
         t0 = time.perf_counter()
         # shard count + concurrency pinned (not a function of ncpu): actor
         # init (dict load) is part of the measured stage; identical pool =
         # same work
-        server = ShardedServer(idx_dir, n_shards=4)
+        server = ShardedServer(idx_dir, n_shards=4, n_replicas=serve_reps)
         # batch 128: fewer per-batch shard RPCs (measured ~10% QPS; larger
         # pools gain little — the mean query cost, not the pool, dominates)
-        results = server.run(qlog, k=10, concurrency=4, batch_size=128)
+        results = server.run(qlog, k=10, concurrency=serve_conc, batch_size=128)
         stats = summarize(results)
         timings["query_serve"] = time.perf_counter() - t0
         extras["qps"] = round(n_queries / timings["query_serve"], 1)
@@ -193,7 +195,7 @@ def run_bench() -> dict:
         # QPS (the timed stage above deliberately includes every
         # cold-start cost).  extras-only: not part of the headline total.
         t0 = time.perf_counter()
-        summarize(server.run(qlog, k=10, concurrency=4, batch_size=128))
+        summarize(server.run(qlog, k=10, concurrency=serve_conc, batch_size=128))
         extras["qps_warm"] = round(n_queries / (time.perf_counter() - t0), 1)
         server.shutdown()
 

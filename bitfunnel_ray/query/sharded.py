@@ -176,7 +176,14 @@ class ShardedSearchEngine(QueryAlgebra):
     ):
         if isinstance(index_dirs, str):
             index_dirs = [index_dirs]
-        self.shards = list(shard_handles)
+        # shard_handles: one handle per shard, or one LIST of replica
+        # handles per shard.  Replicas hold identical state; each engine
+        # binds one replica per shard (pid-spread, so concurrent front-ends
+        # fan across replicas) — results are replica-independent.
+        groups = [g if isinstance(g, list) else [g] for g in shard_handles]
+        pick = os.getpid()
+        self.shards = [g[pick % len(g)] for g in groups]
+        self._all_replicas = [h for g in groups for h in g]
         self.n_shards = len(self.shards)
         mans, self._seg_buckets, heads = [], [], []
         for d in index_dirs:
@@ -351,21 +358,31 @@ class ShardedServer:
         index_dirs: "str | list[str]",
         n_shards: int = 4,
         num_cpus_per_shard: float = 1.0,
+        n_replicas: int = 1,
     ):
         if isinstance(index_dirs, str):
             index_dirs = [index_dirs]
         self.index_dirs = list(index_dirs)
         self.n_shards = int(n_shards)
-        self.handles = [
-            IndexShardActor.options(num_cpus=num_cpus_per_shard).remote(
-                self.index_dirs, s, self.n_shards
-            )
-            for s in range(self.n_shards)
+        self.n_replicas = max(1, int(n_replicas))
+        # shards scale the VOCABULARY (each actor holds 1/S of the dict);
+        # replicas scale QPS (identical state, front-ends fan across them)
+        self.handle_groups = [
+            [
+                IndexShardActor.options(num_cpus=num_cpus_per_shard).remote(
+                    self.index_dirs, shard, self.n_shards
+                )
+                for _r in range(self.n_replicas)
+            ]
+            for shard in range(self.n_shards)
         ]
-        ray.get([h.stats.remote() for h in self.handles])  # block until loaded
+        self.handles = [g[0] for g in self.handle_groups]
+        ray.get(
+            [h.stats.remote() for g in self.handle_groups for h in g]
+        )  # block until loaded
 
     def engine(self) -> ShardedSearchEngine:
-        return ShardedSearchEngine(self.index_dirs, self.handles)
+        return ShardedSearchEngine(self.index_dirs, self.handle_groups)
 
     def shard_stats(self) -> "list[dict]":
         return ray.get([h.stats.remote() for h in self.handles])
@@ -387,7 +404,7 @@ class ShardedServer:
             ShardedQueryActor,
             fn_constructor_kwargs={
                 "index_dirs": self.index_dirs,
-                "shard_handles": self.handles,
+                "shard_handles": self.handle_groups,
                 "k": k,
             },
             batch_format="pyarrow",
@@ -396,6 +413,7 @@ class ShardedServer:
         )
 
     def shutdown(self) -> None:
-        for h in self.handles:
-            ray.kill(h)
+        for g in self.handle_groups:
+            for h in g:
+                ray.kill(h)
         self.handles = []

@@ -122,3 +122,21 @@ def test_sharded_multi_segment(tmp_path_factory, ray_session):
         assert sum(s["local_docs"] for s in stats) == 500
     finally:
         srv.shutdown()
+
+
+def test_replicated_serving_identical(built, ray_session):
+    """n_replicas scales QPS with identical state: every query must give
+    the same answer through a 2-replica server as through the local
+    engine."""
+    srv = ShardedServer(built, n_shards=2, num_cpus_per_shard=0.25, n_replicas=2)
+    try:
+        local = SearchEngine(built, load_urls=False)
+        eng = srv.engine()
+        for q in QUERIES:
+            node = parse_query(q)
+            assert np.array_equal(eng.eval(node), local.eval(node)), q
+        assert len(srv.handle_groups) == 2 and all(
+            len(g) == 2 for g in srv.handle_groups
+        )
+    finally:
+        srv.shutdown()
