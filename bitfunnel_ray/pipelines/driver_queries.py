@@ -2909,7 +2909,110 @@ def q_proximity_indexed(sf_dir):
     )
 
 
+def _new_corpus_batch(t: pa.Table) -> pa.Table:
+    """Deterministic 're-crawl' variant of a documents block: doc_id%7==0
+    vanished, doc_id%5==0 changed (text + ' drift'), doc_id%11==0 spawned
+    an added doc at doc_id+1_000_000."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    text = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+    keep = ids % 7 != 0
+    kept_ids = ids[keep]
+    kept_txt = text.filter(pa.array(keep))
+    mod = kept_ids % 5 == 0
+    suffix = pa.array(np.where(mod, " drift", "").tolist(), pa.string())
+    kept_txt = pc.binary_join_element_wise(kept_txt, suffix, "")
+    add = ids % 11 == 0
+    add_ids = ids[add] + 1_000_000
+    add_txt = pa.array([f"added doc {i}" for i in ids[add].tolist()], pa.string())
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate([kept_ids, add_ids]), pa.int64()),
+            "text": pa.concat_arrays([kept_txt.combine_chunks() if isinstance(kept_txt, pa.ChunkedArray) else kept_txt, add_txt]),
+        }
+    )
+
+
+_SQL_NEW_CORPUS = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN text || ' drift' ELSE text END AS text
+FROM documents WHERE doc_id % 7 <> 0
+UNION ALL
+SELECT doc_id + 1000000, 'added doc ' || CAST(doc_id AS VARCHAR)
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def q_corpus_diff(sf_dir):
+    """Re-crawl delta: full outer compare of old vs new corpus by doc_id
+    → (doc_id, status ∈ added/removed/changed).  One hash exchange on the
+    id; per-block vectorized run compare (ops/diffstats.py)."""
+    from bitfunnel_ray.ops.diffstats import corpus_diff
+
+    old = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    new = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_new_corpus_batch, batch_format="pyarrow")
+    return corpus_diff(old, new)
+
+
+SQL_CORPUS_DIFF = f"""
+WITH old AS (SELECT doc_id, text FROM documents),
+new AS ({_SQL_NEW_CORPUS})
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+"""
+
+
+def q_drift_terms(sf_dir):
+    """Distribution drift between the even- and odd-doc_id halves of the
+    corpus: top-50 terms by |KL summand| with add-one smoothing.  Exact
+    int counts aggregate distributively; each drift value is one fixed
+    float expression (p·ln(p/q), rounded) so rows hash-compare; ordering
+    uses the ROUNDED value on both sides so last-ulp libm differences
+    cannot reorder ties."""
+    from bitfunnel_ray.ops.diffstats import drift_terms
+
+    def half(par: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == par))
+
+        return f
+
+    def read():
+        return rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    even = read().map_batches(half(0), batch_format="pyarrow")
+    odd = read().map_batches(half(1), batch_format="pyarrow")
+    return drift_terms(even, odd, k=50)
+
+
+SQL_DRIFT_TERMS = """
+WITH pd AS (SELECT unnest(string_split(text,' ')) AS term FROM documents WHERE doc_id % 2 = 0),
+qd AS (SELECT unnest(string_split(text,' ')) AS term FROM documents WHERE doc_id % 2 = 1),
+pcnt AS (SELECT term, count(*) AS c FROM pd GROUP BY term),
+qcnt AS (SELECT term, count(*) AS c FROM qd GROUP BY term),
+vocab AS (SELECT term FROM pcnt UNION SELECT term FROM qcnt),
+tot AS (SELECT (SELECT count(*) FROM pd) + (SELECT count(*) FROM vocab) AS np_tot,
+               (SELECT count(*) FROM qd) + (SELECT count(*) FROM vocab) AS nq_tot),
+j AS (SELECT v.term,
+             CAST(coalesce(p.c, 0) + 1 AS DOUBLE) / (SELECT np_tot FROM tot) AS p,
+             CAST(coalesce(q.c, 0) + 1 AS DOUBLE) / (SELECT nq_tot FROM tot) AS q
+      FROM vocab v LEFT JOIN pcnt p USING (term) LEFT JOIN qcnt q USING (term))
+SELECT term, round(p * ln(p / q), 9) AS drift
+FROM j ORDER BY abs(round(p * ln(p / q), 9)) DESC, term LIMIT 50
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
+    "drift_terms": (q_drift_terms, SQL_DRIFT_TERMS),
     "proximity_indexed": (q_proximity_indexed, SQL_PROXIMITY_SEARCH),
     "chunk_roundtrip": (q_chunk_roundtrip, SQL_CHUNK_ROUNDTRIP),
     "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),

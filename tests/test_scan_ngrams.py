@@ -229,3 +229,27 @@ def test_heavy_hitters_mg_guarantees():
     for term, c in true.items():
         if c > err:
             assert term in got, (term, c, err)
+
+
+def test_corpus_diff_statuses():
+    from bitfunnel_ray.ops.diffstats import corpus_diff
+
+    old = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["a", "b", "c", "d"]),
+            }
+        )
+    )
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([2, 3, 5], pa.int64()),
+                "text": pa.array(["b", "c CHANGED", "e"]),
+            }
+        )
+    )
+    got = corpus_diff(old, new).to_pandas()
+    m = dict(zip(got["doc_id"], got["status"]))
+    assert m == {1: "removed", 3: "changed", 4: "removed", 5: "added"}
