@@ -190,6 +190,12 @@ class QueryAlgebra:
 
     urls = None
     all_docs = None
+    # per-engine instrumentation: posting rows touched by eval/score — the
+    # QueryPipelineStatistics "quadwords read" analog
+    # (reference: inc/BitFunnel/Plan/QueryInstrumentation.h:48-174); the
+    # runner snapshots the counter around each query to emit a per-query
+    # postings_rows column.
+    stat_postings_rows = 0
 
     def postings(self, term_hash: int, gram: int) -> Postings:  # pragma: no cover
         raise NotImplementedError
@@ -438,6 +444,7 @@ class SearchEngine(QueryAlgebra):
         key = (int(term_hash), int(gram))
         hit = self._cache.get(key)
         if hit is not None:
+            self.stat_postings_rows += len(hit.doc_ids)
             return hit
         parts, metas = [], []
         for s in self.segments:
@@ -448,6 +455,7 @@ class SearchEngine(QueryAlgebra):
             infl = max(1.0, self.avgdl / s.avgdl) if s.avgdl > 0 else 1.0
             metas.extend((ld, mt * infl) for ld, mt in s.block_meta_rows(rows))
         out = merge_chunks(parts, metas)
+        self.stat_postings_rows += len(out.doc_ids)
         if len(self._cache) < 100_000:
             self._cache[key] = out
         return out

@@ -29,21 +29,29 @@ def eval_queries(engine, qids, nodes, parse_errs, k: int) -> pa.Table:
     never job failures (the reference swallows per-query exceptions too,
     QueryRunner.cpp:263-267)."""
     out_qid, out_rank, out_doc, out_score = [], [], [], []
-    out_matches, out_lat, out_err = [], [], []
+    out_matches, out_lat, out_rows, out_err = [], [], [], []
 
-    def error_row(qid, t0, msg):
+    def rows_delta(base):
+        return getattr(engine, "stat_postings_rows", 0) - base
+
+    def error_row(qid, t0, base, msg):
         out_qid.append(np.array([qid], dtype=np.uint32))
         out_rank.append(np.array([0], dtype=np.uint32))
         out_doc.append(np.array([0], dtype=np.uint64))
         out_score.append(np.array([0.0]))
         out_matches.append(np.array([-1], dtype=np.int64))
         out_lat.append(np.array([time.perf_counter() - t0]))
+        out_rows.append(np.array([rows_delta(base)], dtype=np.int64))
         out_err.append([msg])
 
     for qid, node, perr in zip(qids, nodes, parse_errs):
         t0 = time.perf_counter()
+        # posting rows touched per query (QueryPipelineStatistics's
+        # quadwords-read analog, QueryInstrumentation.h:48-174): snapshot
+        # the engine counter around the evaluation
+        base = getattr(engine, "stat_postings_rows", 0)
         if node is None:
-            error_row(qid, t0, perr or "ParseError")
+            error_row(qid, t0, base, perr or "ParseError")
             continue
         try:
             matches = engine.eval(node)
@@ -51,6 +59,7 @@ def eval_queries(engine, qids, nodes, parse_errs, k: int) -> pa.Table:
             order = np.lexsort((matches, -scores))[:k]
             lat = time.perf_counter() - t0
             n = len(order)
+            prows = rows_delta(base)
             if n == 0:
                 # marker row (rank 0) so zero-match queries still appear
                 out_qid.append(np.array([qid], dtype=np.uint32))
@@ -59,6 +68,7 @@ def eval_queries(engine, qids, nodes, parse_errs, k: int) -> pa.Table:
                 out_score.append(np.array([0.0]))
                 out_matches.append(np.array([0], dtype=np.int64))
                 out_lat.append(np.array([lat]))
+                out_rows.append(np.array([prows], dtype=np.int64))
                 out_err.append([""])
                 continue
             out_qid.append(np.full(n, qid, dtype=np.uint32))
@@ -67,9 +77,10 @@ def eval_queries(engine, qids, nodes, parse_errs, k: int) -> pa.Table:
             out_score.append(scores[order])
             out_matches.append(np.full(n, len(matches), dtype=np.int64))
             out_lat.append(np.full(n, lat, dtype=np.float64))
+            out_rows.append(np.full(n, prows, dtype=np.int64))
             out_err.append([""] * n)
         except Exception as e:  # per-query error row
-            error_row(qid, t0, f"{type(e).__name__}: {e}")
+            error_row(qid, t0, base, f"{type(e).__name__}: {e}")
     return pa.table(
         {
             "query_id": pa.array(np.concatenate(out_qid), pa.uint32()),
@@ -78,6 +89,7 @@ def eval_queries(engine, qids, nodes, parse_errs, k: int) -> pa.Table:
             "score": pa.array(np.concatenate(out_score), pa.float64()),
             "n_matches": pa.array(np.concatenate(out_matches), pa.int64()),
             "latency_s": pa.array(np.concatenate(out_lat), pa.float64()),
+            "postings_rows": pa.array(np.concatenate(out_rows), pa.int64()),
             "error": pa.array([e for part in out_err for e in part], pa.string()),
         }
     )

@@ -283,6 +283,7 @@ class ShardedSearchEngine(QueryAlgebra):
                     parts.extend(_DecodedChunkView(t) for t in p)
                     metas.extend(m)
                 hit = merge_chunks(parts, metas)
+        self.stat_postings_rows += len(hit.doc_ids)
         return hit
 
     def _complement(self, sorted_docs: np.ndarray) -> np.ndarray:

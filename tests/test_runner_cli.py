@@ -17,7 +17,8 @@ from bitfunnel_ray.functions.bm25 import (
 )
 from bitfunnel_ray.pipelines.querylog import generate_query_log
 from bitfunnel_ray.query.engine import SearchEngine
-from bitfunnel_ray.query.runner import run_query_log, summarize
+from bitfunnel_ray.query.parser import parse_query
+from bitfunnel_ray.query.runner import eval_queries, run_query_log, summarize
 from bitfunnel_ray.sources.corpus import corpus_from_documents
 
 
@@ -172,3 +173,21 @@ def test_cli_report_corpus_qa(tmp_path):
     assert rep["exact_dup"]["n_distinct_texts"] <= 500
     assert rep["doclen_percentiles"]["p25"] <= rep["doclen_percentiles"]["p99"]
     assert 0.0 <= rep["repetition_means"]["dup_token_frac"] <= 1.0
+
+
+def test_per_query_postings_rows(idx):
+    """QueryPipelineStatistics analog: each query row reports the posting
+    rows its evaluation touched (cache hits count — the reference counts
+    quadwords READ)."""
+    eng = SearchEngine(idx, load_urls=False)
+    t = eval_queries(
+        eng,
+        np.array([0, 1], dtype=np.uint32),
+        [parse_query("spark"), parse_query("spark join")],
+        [None, None],
+        5,
+    )
+    df = t.to_pandas()
+    r0 = df[df.query_id == 0].postings_rows.iloc[0]
+    r1 = df[df.query_id == 1].postings_rows.iloc[0]
+    assert r0 > 0 and r1 > r0  # AND touches both terms' lists
