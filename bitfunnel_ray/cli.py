@@ -231,6 +231,16 @@ def cmd_query(args):
     print(t.to_pandas().to_string(index=False))
 
 
+def cmd_explain(args):
+    """Per-term BM25 contribution breakdown for (query, doc): the
+    debugging surface for 'why did this doc rank here'."""
+    from bitfunnel_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(args.index, load_urls=False)
+    t = eng.explain(args.query, int(args.doc_id))
+    print(t.to_pandas().to_string(index=False))
+
+
 def cmd_repl(args):
     """Interactive query loop — the ``BitFunnel repl`` analog
     (tools/BitFunnel/src/REPL.cpp)."""
@@ -530,6 +540,12 @@ def main(argv=None):
     s = sub.add_parser("query")
     s.add_argument("index"); s.add_argument("query"); s.add_argument("-k", type=int, default=10)
     s.set_defaults(fn=cmd_query, needs_ray=False)
+
+    s = sub.add_parser("explain")
+    s.add_argument("index")
+    s.add_argument("query")
+    s.add_argument("doc_id")
+    s.set_defaults(fn=cmd_explain, needs_ray=False)
 
     s = sub.add_parser("repl")
     s.add_argument("index")

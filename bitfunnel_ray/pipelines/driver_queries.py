@@ -3010,7 +3010,56 @@ FROM j ORDER BY abs(round(p * ln(p / q), 9)) DESC, term LIMIT 50
 """
 
 
+def q_score_explain(sf_dir):
+    """BM25 explain: per-term contribution breakdown for the rank-1 doc
+    of 'spark join' — same recipe and accumulation as scoring, so the
+    contributions sum to the doc's score (pytest-bit-exact); floats
+    rounded to 6 dp here for the oracle hash like the bm25 queries."""
+    eng = get_engine(sf_dir)
+    top = eng.search("spark join", k=1)
+    doc = top["doc_id"][0].as_py()
+    exp = eng.explain("spark join", doc)
+    return pa.table(
+        {
+            "term": exp["term"],
+            "tf": exp["tf"],
+            "doclen": exp["doclen"],
+            "df": exp["df"],
+            "idf": pa.array([round(v, 6) for v in exp["idf"].to_pylist()], pa.float64()),
+            "contribution": pa.array(
+                [round(v, 6) for v in exp["contribution"].to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
+SQL_SCORE_EXPLAIN = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join') GROUP BY term),
+matches AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+contrib AS (
+  SELECT t.doc_id, t.term, t.tf, dl.dl, df.df,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) AS idf,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+),
+top1 AS (SELECT doc_id FROM (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+         ORDER BY score DESC, doc_id LIMIT 1)
+SELECT term, CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS doclen,
+       CAST(df AS BIGINT) AS df, round(idf, 6) AS idf, round(c, 6) AS contribution
+FROM contrib WHERE doc_id = (SELECT doc_id FROM top1)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "score_explain": (q_score_explain, SQL_SCORE_EXPLAIN),
     "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
     "drift_terms": (q_drift_terms, SQL_DRIFT_TERMS),
     "proximity_indexed": (q_proximity_indexed, SQL_PROXIMITY_SEARCH),

@@ -322,6 +322,80 @@ class QueryAlgebra:
             scores[present] += idf * (k1 + 1.0) * tfn
         return scores
 
+    # --- explain ----------------------------------------------------------
+    def scoring_term_labels(self, node: "ast.Node") -> dict[tuple[int, int], str]:
+        """(hash, gram) → human-readable label for every positive scoring
+        term (phrases label their constituent 1..max_gram windows)."""
+        labels: dict[tuple[int, int], str] = {}
+
+        def walk(n, negated: bool):
+            if isinstance(n, ast.Not):
+                walk(n.child, not negated)
+            elif isinstance(n, (ast.And, ast.Or)):
+                for c in n.children:
+                    walk(c, negated)
+            elif isinstance(n, ast.Term):
+                if not negated:
+                    labels[
+                        ((murmur64a(n.text) + n.stream) & 0xFFFFFFFFFFFFFFFF, 1)
+                    ] = n.text
+            elif isinstance(n, ast.Phrase):
+                if not negated:
+                    toks = n.tokens
+                    h1 = [murmur64a(t) for t in toks]
+                    for g in range(1, min(self.max_gram, len(toks)) + 1):
+                        for i in range(len(toks) - g + 1):
+                            key = (
+                                (ngram_hash(h1[i : i + g]) + n.stream)
+                                & 0xFFFFFFFFFFFFFFFF,
+                                g,
+                            )
+                            labels[key] = " ".join(toks[i : i + g])
+
+        walk(node, False)
+        return labels
+
+    def explain(self, query: str, doc_id: int) -> pa.Table:
+        """Per-term BM25 breakdown for one (query, doc) pair — the
+        debugging surface every engine ships.  Columns (term, gram, tf,
+        doclen, df, idf, contribution); the SAME recipe and accumulation
+        order as ``score``, so contribution sums bit-exactly to the
+        document's score."""
+        node = parse_query(query, self.stream_map)
+        labels = self.scoring_term_labels(node)
+        doc = np.uint64(doc_id)
+        k1, b = self.k1, self.b
+        terms, grams, tfs, dls, dfs, idfs, contribs = [], [], [], [], [], [], []
+        for h, g in self.scoring_terms(node):
+            p = self.postings(h, g)
+            if not p.df:
+                continue
+            i = int(np.searchsorted(p.doc_ids, doc))
+            if i >= len(p.doc_ids) or p.doc_ids[i] != doc:
+                continue
+            tf = float(p.tf[i])
+            dl = float(p.doclen[i])
+            idf_v = float(np.log((self.n_docs - p.df + 0.5) / (p.df + 0.5) + 1.0))
+            tfn = tf / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+            terms.append(labels.get((h, g), f"0x{h:016x}"))
+            grams.append(g)
+            tfs.append(int(tf))
+            dls.append(int(dl))
+            dfs.append(int(p.df))
+            idfs.append(idf_v)
+            contribs.append(idf_v * (k1 + 1.0) * tfn)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "gram": pa.array(grams, pa.uint8()),
+                "tf": pa.array(tfs, pa.int64()),
+                "doclen": pa.array(dls, pa.int64()),
+                "df": pa.array(dfs, pa.int64()),
+                "idf": pa.array(idfs, pa.float64()),
+                "contribution": pa.array(contribs, pa.float64()),
+            }
+        )
+
     # --- top-k ------------------------------------------------------------
     def search(self, query: str, k: int = 10) -> pa.Table:
         """Parse → match → score → top-k (score desc, doc_id asc)."""

@@ -191,3 +191,19 @@ def test_per_query_postings_rows(idx):
     r0 = df[df.query_id == 0].postings_rows.iloc[0]
     r1 = df[df.query_id == 1].postings_rows.iloc[0]
     assert r0 > 0 and r1 > r0  # AND touches both terms' lists
+
+
+def test_explain_sums_to_score(idx):
+    """explain() per-term contributions sum bit-exactly to the doc's
+    score for boolean and phrase queries."""
+    eng = SearchEngine(idx, load_urls=False)
+    for q in ("spark join", '"batch batch"', "spark | merge"):
+        res = eng.search(q, k=1)
+        if res.num_rows == 0:
+            continue
+        doc = res["doc_id"][0].as_py()
+        score = res["score"][0].as_py()
+        exp = eng.explain(q, doc)
+        assert exp.num_rows > 0
+        assert sum(exp["contribution"].to_pylist()) == pytest.approx(score, abs=0.0), q
+        assert all(t for t in exp["term"].to_pylist())  # labeled, no raw hashes
