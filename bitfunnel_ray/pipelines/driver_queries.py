@@ -3058,7 +3058,44 @@ FROM contrib WHERE doc_id = (SELECT doc_id FROM top1)
 """
 
 
+def q_next_word(sf_dir):
+    """Context-aware query completion: top-10 successors of 'data' by
+    bigram frequency (the ngram table powering a next-word suggester;
+    completes the prefix-autocomplete pair)."""
+    from bitfunnel_ray.build.stats import top_k_by
+    from bitfunnel_ray.ops.ngrams import ngram_counts
+
+    grams = ngram_counts(corpus_from_documents(sf_dir), 2)
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.starts_with(t["gram"], "data ")
+        sub = t.filter(keep)
+        nxt = pc.utf8_replace_slice(sub["gram"], 0, 5, "")
+        return pa.table({"next_word": nxt, "count": sub["count"]})
+
+    return top_k_by(
+        grams.map_batches(pick, batch_format="pyarrow"),
+        k=10,
+        col="count",
+        tiebreak="next_word",
+    )
+
+
+SQL_NEXT_WORD = """
+WITH pairs AS (
+  SELECT p[1] AS w1, p[2] AS w2
+  FROM (SELECT unnest(list_zip(string_split(text,' ')[1:-2],
+                               string_split(text,' ')[2:])) AS p
+        FROM documents)
+)
+SELECT w2 AS next_word, CAST(count(*) AS BIGINT) AS "count"
+FROM pairs WHERE w1 = 'data'
+GROUP BY w2 ORDER BY "count" DESC, next_word LIMIT 10
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "next_word": (q_next_word, SQL_NEXT_WORD),
     "score_explain": (q_score_explain, SQL_SCORE_EXPLAIN),
     "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
     "drift_terms": (q_drift_terms, SQL_DRIFT_TERMS),
