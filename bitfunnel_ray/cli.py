@@ -91,6 +91,34 @@ def cmd_chunks_import(args):
     print(json.dumps({"out": args.out, "status": "ok"}))
 
 
+def cmd_diff(args):
+    """Re-crawl delta between two corpora: added/removed/changed doc
+    counts (and optional per-doc parquet)."""
+    from bitfunnel_ray.ops.diffstats import corpus_diff
+
+    d = corpus_diff(_load_corpus(args.old), _load_corpus(args.new))
+    if args.out:
+        d.write_parquet(args.out)
+        import pandas as _pd
+
+        df = _pd.read_parquet(args.out)
+    else:
+        df = d.to_pandas()
+    counts = df["status"].value_counts().to_dict() if len(df) else {}
+    print(json.dumps({"added": int(counts.get("added", 0)),
+                      "removed": int(counts.get("removed", 0)),
+                      "changed": int(counts.get("changed", 0))}))
+
+
+def cmd_drift(args):
+    """Top drifted terms between two corpora (KL-summand ranking)."""
+    from bitfunnel_ray.ops.diffstats import drift_terms
+
+    t = drift_terms(_load_corpus(args.old), _load_corpus(args.new), k=args.k)
+    for term, v in zip(t["term"].to_pylist(), t["drift"].to_pylist()):
+        print(f"{v:+.9f}\t{term}")
+
+
 def cmd_grep(args):
     """Distributed corpus grep: per-doc occurrence counts of a literal
     substring (or RE2 regex with --regex); prints a JSON summary and
@@ -578,6 +606,18 @@ def main(argv=None):
     s.add_argument("corpus")
     s.add_argument("--out", default=None)
     s.set_defaults(fn=cmd_report, needs_ray=True)
+
+    s = sub.add_parser("diff")
+    s.add_argument("old")
+    s.add_argument("new")
+    s.add_argument("--out", default=None)
+    s.set_defaults(fn=cmd_diff, needs_ray=True)
+
+    s = sub.add_parser("drift")
+    s.add_argument("old")
+    s.add_argument("new")
+    s.add_argument("-k", type=int, default=30)
+    s.set_defaults(fn=cmd_drift, needs_ray=True)
 
     s = sub.add_parser("grep")
     s.add_argument("corpus")
