@@ -190,6 +190,8 @@ def run_bench() -> dict:
         extras["query_p50_ms"] = round(stats["p50_ms"], 3)
         extras["query_p99_ms"] = round(stats["p99_ms"], 3)
         extras["query_errors"] = stats["n_errors"]
+        extras["mpq"] = round(stats["mpq"], 1)
+        extras["mean_postings_rows"] = round(stats.get("mean_postings_rows", 0.0), 1)
         # steady-state: same log again over the live server — shard-side
         # decoded-ref caches are hot, so this is the long-running-service
         # QPS (the timed stage above deliberately includes every

@@ -149,17 +149,27 @@ def summarize(results: "ray.data.Dataset") -> dict:
     """QPS/latency stats — the QueryRunner::Statistics analog
     (QueryRunner.cpp:67-92)."""
     df = results.to_pandas()
-    per_q = df.groupby("query_id").agg(
-        latency_s=("latency_s", "first"),
-        n_matches=("n_matches", "first"),
-        error=("error", "first"),
-    )
+    agg = {
+        "latency_s": ("latency_s", "first"),
+        "n_matches": ("n_matches", "first"),
+        "error": ("error", "first"),
+    }
+    if "postings_rows" in df.columns:
+        agg["postings_rows"] = ("postings_rows", "first")
+    per_q = df.groupby("query_id").agg(**agg)
     lat = per_q["latency_s"].to_numpy()
-    return {
+    n_q = max(len(per_q), 1)
+    out = {
         "n_queries": int(len(per_q)),
         "n_errors": int((per_q["error"] != "").sum()),
         "total_matches": int(per_q["n_matches"].clip(lower=0).sum()),
+        # MPQ — matches per query, the reference's headline serving ratio
+        # (QueryRunner.cpp:315-401 prints matches/query alongside QPS)
+        "mpq": float(per_q["n_matches"].clip(lower=0).sum() / n_q),
         "p50_ms": float(np.percentile(lat, 50) * 1e3) if len(lat) else 0.0,
         "p99_ms": float(np.percentile(lat, 99) * 1e3) if len(lat) else 0.0,
         "mean_ms": float(lat.mean() * 1e3) if len(lat) else 0.0,
     }
+    if "postings_rows" in per_q.columns:
+        out["mean_postings_rows"] = float(per_q["postings_rows"].mean())
+    return out

@@ -87,3 +87,36 @@ def test_canonicalize_properties(scheme, www, host, port, path, tail):
         assert f"{port}/" not in got and not got.split("://")[1].split("/")[0].endswith(port)
     if port == ":8080":
         assert ":8080" in got
+
+
+# --- chunk format: serialize/parse round trip over random corpora ---------
+
+doc_token = st.text(alphabet="abcéxyz01", min_size=1, max_size=6)
+stream_text = st.lists(doc_token, min_size=0, max_size=8).map(" ".join)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**62), stream_text, stream_text),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda x: x[0],
+    )
+)
+def test_chunk_bytes_parse_roundtrip(rows):
+    import numpy as np
+
+    from bitfunnel_ray.sources.chunks import chunk_bytes, parse_chunk_buffer
+
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    cols = {0: [r[1] for r in rows], 2: [r[2] for r in rows]}
+    docs = parse_chunk_buffer(chunk_bytes(ids, cols))
+    assert len(docs) == len(rows)
+    for (did, streams), (rid, body, title) in zip(docs, rows):
+        assert did == rid
+        assert streams.get(0, []) == body.split()
+        assert streams.get(2, []) == title.split()
+        # empty streams are omitted entirely, never emitted as empty
+        for sid, toks in streams.items():
+            assert toks, sid
