@@ -101,6 +101,28 @@ def corpus_diff(
     )
 
 
+def _drift_join_block(t: pa.Table) -> pa.Table:
+    """Co-located (term, side, cnt) partials → one (term, cp, cq) row per
+    term (vectorized segment sums per side)."""
+    if len(t) == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "cp": pa.array([], pa.int64()),
+                "cq": pa.array([], pa.int64()),
+            }
+        )
+    d = pc.dictionary_encode(t["term"].combine_chunks())
+    idx = d.indices.to_numpy()
+    is_p = pc.equal(t["side"], "p").to_numpy(zero_copy_only=False)
+    cnt = t["cnt"].to_numpy(zero_copy_only=False)
+    cp = np.zeros(len(d.dictionary), dtype=np.int64)
+    cq = np.zeros(len(d.dictionary), dtype=np.int64)
+    np.add.at(cp, idx[is_p], cnt[is_p])
+    np.add.at(cq, idx[~is_p], cnt[~is_p])
+    return pa.table({"term": d.dictionary, "cp": pa.array(cp), "cq": pa.array(cq)})
+
+
 def drift_terms(
     corpus_p: "ray.data.Dataset",
     corpus_q: "ray.data.Dataset",
@@ -108,41 +130,71 @@ def drift_terms(
 ) -> pa.Table:
     """Top-k terms by KL-summand drift contribution
     ``round(p * ln(p/q), 9)`` where p, q are add-one-smoothed unigram
-    frequencies of the two corpora (shared vocabulary = union).  Exact
-    int counts aggregate distributively; each output float is one fixed
-    expression of two exact ints — bit-stable for the oracle hash."""
-    from bitfunnel_ray.build.stats import document_frequency_table
+    frequencies of the two corpora (shared vocabulary = union).
+
+    Fully distributed: each corpus's (term, count) table comes from the
+    map-side-combine df machinery, the two sides co-locate with ONE hash
+    exchange on term, the per-term drift is a vectorized map, and only
+    tie-aware top-k partials (≤ k rows/block) reach the driver.  The two
+    smoothing totals are scalar aggregates (driver-small by definition).
+    Exact int counts aggregate distributively; each output float is one
+    fixed expression of two exact ints — bit-stable for the oracle hash,
+    and the top-k order uses the ROUNDED value so last-ulp libm
+    differences cannot reorder ties."""
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+    from bitfunnel_ray.build.stats import document_frequency_table, top_k_by
     from bitfunnel_ray.config import EngineConfig
 
     cfg = EngineConfig(max_gram=1)
 
-    def counts(ds):
-        t = (
-            document_frequency_table(ds, cfg)
-            .select_columns(["term", "cf"])
-            .to_pandas()
-        )
-        return dict(zip(t["term"], t["cf"].astype("int64")))
+    def tagged(ds, side):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "term": t["term"],
+                    "side": pa.array([side] * len(t), pa.string()),
+                    "cnt": t["cf"].cast(pa.int64()),
+                }
+            )
 
-    # the aggregated vocab tables are Zipf-small relative to the corpus
-    # (50k terms for 40M tokens at bench scale) — driver-side join of two
-    # SMALL aggregates, the same shape as the df head broadcast
-    cp, cq = counts(corpus_p), counts(corpus_q)
-    vocab = sorted(set(cp) | set(cq))
-    np_tot = sum(cp.values()) + len(vocab)
-    nq_tot = sum(cq.values()) + len(vocab)
-    terms, contribs = [], []
-    for term in vocab:
-        p = (cp.get(term, 0) + 1) / np_tot
-        q = (cq.get(term, 0) + 1) / nq_tot
-        contribs.append(round(p * np.log(p / q), 9))
-        terms.append(term)
-    order = sorted(
-        range(len(terms)), key=lambda i: (-abs(contribs[i]), terms[i])
-    )[:k]
-    return pa.table(
-        {
-            "term": pa.array([terms[i] for i in order], pa.string()),
-            "drift": pa.array([contribs[i] for i in order], pa.float64()),
-        }
+        return document_frequency_table(ds, cfg).select_columns(
+            ["term", "cf"]
+        ).map_batches(f, batch_format="pyarrow")
+
+    both = tagged(corpus_p, "p").union(tagged(corpus_q, "q"))
+    n_blocks = tune_hash_shuffle(both.context)
+    joined = both.repartition(num_blocks=n_blocks, keys=["term"]).map_batches(
+        _drift_join_block, batch_format="pyarrow", batch_size=None
+    ).materialize()  # consumed 3x (two scalar aggs + the drift map)
+    vocab_n = joined.count()
+    sums = joined.sum(["cp", "cq"])
+    np_tot = int(sums["sum(cp)"]) + vocab_n
+    nq_tot = int(sums["sum(cq)"]) + vocab_n
+
+    def drift_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "drift": pa.array([], pa.float64()),
+                    "absdrift": pa.array([], pa.float64()),
+                }
+            )
+        p = (t["cp"].to_numpy(zero_copy_only=False) + 1) / np_tot
+        q = (t["cq"].to_numpy(zero_copy_only=False) + 1) / nq_tot
+        d = np.round(p * np.log(p / q), 9)
+        return pa.table(
+            {
+                "term": t["term"],
+                "drift": pa.array(d, pa.float64()),
+                "absdrift": pa.array(np.abs(d), pa.float64()),
+            }
+        )
+
+    top = top_k_by(
+        joined.map_batches(drift_block, batch_format="pyarrow"),
+        k=k,
+        col="absdrift",
+        tiebreak="term",
     )
+    return top.select(["term", "drift"])
