@@ -140,3 +140,19 @@ def test_replicated_serving_identical(built, ray_session):
         )
     finally:
         srv.shutdown()
+
+
+def test_sharded_explain_matches_local(built, ray_session):
+    """explain() runs unchanged over the scatter-gather engine (postings
+    by RPC) and must produce the identical breakdown."""
+    srv = ShardedServer(built, n_shards=2, num_cpus_per_shard=0.25)
+    try:
+        local = SearchEngine(built, load_urls=False)
+        remote = srv.engine()
+        top = local.search("spark join", k=1)
+        doc = top["doc_id"][0].as_py()
+        a = local.explain("spark join", doc).to_pydict()
+        b = remote.explain("spark join", doc).to_pydict()
+        assert a == b
+    finally:
+        srv.shutdown()
