@@ -207,12 +207,11 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         # k=5 shingles + 8 bands x 8 rows: the right operating point for a
         # 0.9 jaccard threshold.  FULL corpus — the verify stage is a
-        # distributed pair-keyed join (no driver gather, no coverage cap)
-        n_dup_pairs = len(
-            dedup.minhash_dedup_pairs(
-                rd.read_parquet(parquet_files), k=5, bands=8, threshold=0.9
-            )
-        )
+        # distributed pair-keyed join, and the verified pairs stay a
+        # Dataset in the object store (count(), never a driver gather)
+        n_dup_pairs = dedup.minhash_dedup_pairs(
+            rd.read_parquet(parquet_files), k=5, bands=8, threshold=0.9
+        ).count()
         timings["dedup_minhash"] = time.perf_counter() - t0
         extras["dedup_pairs"] = n_dup_pairs
 

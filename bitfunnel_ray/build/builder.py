@@ -175,14 +175,20 @@ ACK_SCHEMA = pa.schema(
 
 
 def _spill_bucket_shards(
-    postings: pa.Table, spill_dir: str, compression: str | None = None
+    postings: pa.Table, spill_dir: str, compression: str | None = None,
+    shard: str | None = None,
 ) -> tuple[list[int], list[int]]:
     """Split a postings table by bucket and append one Arrow-IPC spill
     shard per bucket (classic map-side shuffle-file layout).  The bucket
     id lives in the directory name, so the shard itself drops the bucket
     column — 4 fewer bytes per posting in the spill.  Uncompressed IPC:
     the spill target is RAM-backed or node-local SSD and the encode side
-    reads it back exactly once (compression cost > I/O saved there)."""
+    reads it back exactly once (compression cost > I/O saved there).
+
+    ``shard`` names the per-batch file; callers pass a value derived
+    deterministically from the batch (first doc_id) so a Ray task RETRY
+    overwrites its own earlier shard instead of appending a duplicate
+    (exactly-once spill under task retries)."""
     import pyarrow.ipc as _ipc
 
     buckets = postings["bucket"].to_numpy(zero_copy_only=False)
@@ -193,7 +199,7 @@ def _spill_bucket_shards(
     idx = pa.array(order)
     payload = postings.drop_columns(["bucket"])
     out_b, out_n = [], []
-    shard = uuid.uuid4().hex
+    shard = shard or uuid.uuid4().hex
     opts = _ipc.IpcWriteOptions(compression=compression) if compression else None
     for i in range(len(starts)):
         b = int(sorted_b[starts[i]])
@@ -239,6 +245,13 @@ class TokenizeSpill:
         import pyarrow.parquet as _pq
 
         postings, body_doclen = self.tp.build_postings(batch)
+        # Batch identity for every file this task writes: the first doc_id
+        # is unique per batch (doc_ids are unique and batch membership is
+        # deterministic), so a retried task OVERWRITES its earlier partial
+        # output instead of duplicating rows — docmeta stays exactly-once
+        # under worker crashes (a uuid4 name here silently double-counted
+        # docs on retry).
+        batch_tag = f"{int(batch['doc_id'][0].as_py()):016x}" if len(batch) else uuid.uuid4().hex
         # docmeta shard (doc_id, url, doclen, n_bytes — DocTable analog)
         nbytes = pc.binary_length(batch["text"].cast(pa.binary())) if "text" in batch.column_names else pa.nulls(len(batch), pa.int64())
         meta = pa.table(
@@ -250,9 +263,11 @@ class TokenizeSpill:
             }
         )
         os.makedirs(self.meta_dir, exist_ok=True)
-        _pq.write_table(meta, os.path.join(self.meta_dir, f"part-{uuid.uuid4().hex}.parquet"))
+        _pq.write_table(meta, os.path.join(self.meta_dir, f"part-{batch_tag}.parquet"))
         if len(postings):
-            out_b, out_n = _spill_bucket_shards(postings, self.spill_dir, self.compression)
+            out_b, out_n = _spill_bucket_shards(
+                postings, self.spill_dir, self.compression, shard=batch_tag
+            )
         else:
             out_b, out_n = [], []
         out_b.append(-1)
@@ -613,7 +628,20 @@ def build_index(
                 sum_dl = int(summary.sum_doclen.sum())
                 avgdl = (sum_dl / n_docs) if n_docs else 1.0
                 # publish the docmeta sidecar before encode so a crash
-                # mid-encode leaves docmeta complete for the resume run
+                # mid-encode leaves docmeta complete for the resume run.
+                # Cross-check first: parquet-metadata row count must equal
+                # the ack-derived n_docs (same guard the spill shards get) —
+                # catches any residual duplicate/lost docmeta shard.
+                meta_rows = sum(
+                    pq.ParquetFile(os.path.join(meta_tmp, f)).metadata.num_rows
+                    for f in os.listdir(meta_tmp)
+                    if f.endswith(".parquet")
+                )
+                if meta_rows != n_docs:
+                    raise RuntimeError(
+                        f"docmeta rows ({meta_rows}) != ack n_docs ({n_docs}) — "
+                        "duplicate or lost docmeta shard; refusing to publish"
+                    )
                 _shutil.rmtree(meta_dir, ignore_errors=True)
                 os.replace(meta_tmp, meta_dir)
                 with open(meta_done, "w") as f:

@@ -233,8 +233,11 @@ def merge_segments(
     ]
 
     def meta_rewrite(t: pa.Table, *, dest: str) -> pa.Table:
-        import uuid as _uuid
-
+        # deterministic part name from the batch's first (pre-filter)
+        # doc_id: a Ray task retry overwrites its own earlier file instead
+        # of duplicating rows (docmeta must stay exactly-once — its totals
+        # feed avgdl and the sharded server's doc striping)
+        tag = f"{int(t['doc_id'][0].as_py()):016x}" if len(t) else "empty"
         if dead_ref is not None:
             dd = ray.get(dead_ref)
             ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -242,7 +245,7 @@ def merge_segments(
             pos[pos == len(dd)] = 0
             t = t.filter(pa.array(dd[pos] != ids))
         os.makedirs(dest, exist_ok=True)
-        pq.write_table(t, os.path.join(dest, f"part-{_uuid.uuid4().hex}.parquet"))
+        pq.write_table(t, os.path.join(dest, f"part-{tag}.parquet"))
         dl = t["doclen"].to_numpy(zero_copy_only=False)
         return pa.table(
             {

@@ -138,5 +138,16 @@ def decontaminate(
         batch_format="pyarrow",
     )
     tables = ray.get(rows.to_arrow_refs())  # small: flagged docs only
-    out = pa.concat_tables([t for t in tables if len(t)] or [tables[0]])
-    return out.sort_by("doc_id")
+    nonempty = [t for t in tables if len(t)]
+    if not nonempty:
+        # zero candidate blocks (empty corpus) or nothing flagged: a
+        # statically-defined empty result, never tables[0] (IndexError)
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_shingles": pa.array([], pa.int64()),
+                "n_overlap": pa.array([], pa.int64()),
+                "contamination": pa.array([], pa.float64()),
+            }
+        )
+    return pa.concat_tables(nonempty).sort_by("doc_id")

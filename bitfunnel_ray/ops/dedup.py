@@ -629,12 +629,18 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     max_group: int = 256,
     prefilter_margin: "float | None" = None,
-) -> pa.Table:
+) -> "ray.data.Dataset":
     """Full MinHash-LSH near-dup pipeline: bands → candidate pairs →
     (optional signature-estimate prefilter) → EXACT Jaccard verify →
     verified pairs (doc_a < doc_b, jaccard ≥ threshold).  Every stage is
-    distributed; only the final verified-pair table (the reduced output)
-    is materialized, sorted for determinism.
+    distributed END TO END: the result is the verified-pairs DATASET,
+    materialized in the object store (so downstream consumers —
+    ``dedup_canonical``'s connected components + anti-join, a parquet
+    write — can read it more than once without re-running the verify)
+    and NEVER gathered to the driver.  Verified-pair count grows
+    superlinearly with corpus density (2M-doc run: 1.44M pairs; loose
+    settings: 8M) — callers that want a small deterministic table use
+    ``minhash_dedup_pairs_table`` (sf-scale only).
 
     ``prefilter_margin`` (off by default) drops pairs with estimated
     jaccard < threshold - margin before the exact join.  Worth enabling
@@ -649,8 +655,24 @@ def minhash_dedup_pairs(
         cands = sig_prefilter(
             corpus, cands.materialize(), k, max(0.0, threshold - prefilter_margin)
         )
-    verified = jaccard_verify(corpus, cands, k, threshold)
-    out = verified.to_pandas()
+    return jaccard_verify(corpus, cands, k, threshold).materialize()
+
+
+def minhash_dedup_pairs_table(
+    corpus: "ray.data.Dataset",
+    k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_group: int = 256,
+    prefilter_margin: "float | None" = None,
+) -> pa.Table:
+    """sf-scale wrapper: the verified pairs as ONE deterministically
+    sorted pyarrow Table on the driver.  Only for small corpora / tests —
+    at real scale use ``minhash_dedup_pairs`` (Dataset) or write the
+    pairs to parquet."""
+    out = minhash_dedup_pairs(
+        corpus, k, bands, threshold, max_group, prefilter_margin
+    ).to_pandas()
     if out.empty:
         return _EMPTY_PAIRS
     out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

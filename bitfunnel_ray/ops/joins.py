@@ -118,7 +118,18 @@ class _BlocklistFilter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bk = batch[self.key_col].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(~np.isin(bk, self.keys)))
+        keys = self.keys
+        # dtype alignment: np.isin(uint64, int64) silently promotes BOTH
+        # sides to float64, losing exactness for ids >= 2^53 — view the
+        # blocklist as the big side's 64-bit integer dtype instead
+        if (
+            bk.dtype != keys.dtype
+            and bk.dtype.kind in "iu"
+            and keys.dtype.kind in "iu"
+            and keys.dtype.itemsize == bk.dtype.itemsize
+        ):
+            keys = np.sort(keys.view(bk.dtype))
+        return batch.filter(pa.array(~np.isin(bk, keys)))
 
 
 def anti_join(
@@ -203,6 +214,15 @@ class _DimLookup:
         dim = _ray.get(dim_ref) if isinstance(dim_ref, _ray.ObjectRef) else dim_ref
         order = np.argsort(dim[dim_key].to_numpy(zero_copy_only=False))
         self.keys = dim[dim_key].to_numpy(zero_copy_only=False)[order]
+        # the searchsorted lookup resolves ONE dim row per big row, so a
+        # duplicated dim key would silently drop match rows instead of
+        # replicating (inner-join semantics) — refuse it loudly
+        if len(self.keys) > 1 and (self.keys[1:] == self.keys[:-1]).any():
+            dup = self.keys[1:][self.keys[1:] == self.keys[:-1]][0]
+            raise ValueError(
+                f"broadcast_dim_join: dim key '{dim_key}' has duplicate "
+                f"value {dup!r}; dim keys must be unique"
+            )
         self.cols = {c: dim[c].take(pa.array(order)) for c in dim_cols}
         self.big_key = big_key
 

@@ -1065,7 +1065,13 @@ _ANN_QUERY_IDS = (0, 1, 2)
 
 
 def _ann_query_matrix(sf_dir):
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # predicate pushdown: only the 3 query vectors' row groups leave the
+    # file — never the whole embeddings table onto the driver
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(_ANN_QUERY_IDS))],
+    )
     df = tbl.to_pandas().set_index("vec_id")
     return np.stack([np.asarray(df.loc[i, "embedding"], dtype=np.float64) for i in _ANN_QUERY_IDS])
 
@@ -1310,7 +1316,11 @@ FROM (SELECT d.doc_id, d.text, np FROM documents d JOIN
 
 
 def q_minhash_dedup(sf_dir):
-    return dedup.minhash_dedup_pairs(corpus_from_documents(sf_dir), k=3, bands=16, threshold=0.5)
+    # _table: the sf-scale deterministic wrapper (driver compare needs a
+    # sorted table); the scale path is the Dataset-returning op
+    return dedup.minhash_dedup_pairs_table(
+        corpus_from_documents(sf_dir), k=3, bands=16, threshold=0.5
+    )
 
 
 def q_sessionize(sf_dir):

@@ -49,6 +49,42 @@ from bitfunnel_ray.query.engine import (
 )
 
 
+class LruCache:
+    """Bounded LRU map for the two serving caches (front-side merged
+    postings, shard-side decoded refs).  The round-2 versions were
+    insert-until-full: once the cap was hit, NEW hot terms were re-fetched
+    per query forever (starvation) and stale entries never left.  Real
+    recency eviction keeps the hot set cached under vocabulary churn."""
+
+    __slots__ = ("cap", "_od")
+
+    def __init__(self, cap: int):
+        from collections import OrderedDict
+
+        self.cap = int(cap)
+        self._od = OrderedDict()
+
+    def get(self, key):
+        v = self._od.get(key)
+        if v is not None:
+            self._od.move_to_end(key)
+        return v
+
+    def put(self, key, val) -> None:
+        od = self._od
+        if key in od:
+            od.move_to_end(key)
+        od[key] = val
+        if len(od) > self.cap:
+            od.popitem(last=False)
+
+    def __len__(self):
+        return len(self._od)
+
+    def __contains__(self, key):
+        return key in self._od
+
+
 @ray.remote(max_concurrency=4)
 class IndexShardActor:
     """One serving shard: dict buckets ``b % n_shards == shard_id`` of
@@ -65,8 +101,7 @@ class IndexShardActor:
         # ObjectRef and reads the plasma object zero-copy — without this,
         # each of F front-ends forces a fresh decode + serialization of
         # multi-MB posting lists per hot term (F× shard CPU, F× copies)
-        self._ref_cache: dict = {}
-        self._ref_cache_cap = 65536
+        self._ref_cache = LruCache(65536)
         self.segments = []
         local_doc_parts = []
         for d in index_dirs:
@@ -116,7 +151,10 @@ class IndexShardActor:
         cached so repeated fetches of the same term (every front-end warms
         the same hot query terms) cost one decode + one serialization
         total per shard."""
-        ak = round(float(serve_avgdl), 3)
+        # EXACT avgdl in the key: a rounded key served an entry whose
+        # max_tfn inflation was computed with a different avgdl (<1e-3 off)
+        # — enough, in principle, for WAND to skip a qualifying block
+        ak = float(serve_avgdl)
         out = []
         for h, g in pairs:
             key = (int(h), int(g), ak)
@@ -130,8 +168,7 @@ class IndexShardActor:
                     infl = max(1.0, serve_avgdl / s.avgdl) if s.avgdl > 0 else 1.0
                     metas.extend((ld, mt * infl) for ld, mt in s.block_meta_rows(rows))
                 ref = ray.put((parts, metas))
-                if len(self._ref_cache) < self._ref_cache_cap:
-                    self._ref_cache[key] = ref
+                self._ref_cache.put(key, ref)
             out.append(ref)
         return out
 
@@ -179,10 +216,15 @@ class ShardedSearchEngine(QueryAlgebra):
         # shard_handles: one handle per shard, or one LIST of replica
         # handles per shard.  Replicas hold identical state; each engine
         # binds one replica per shard (pid-spread, so concurrent front-ends
-        # fan across replicas) — results are replica-independent.
+        # fan across replicas) — results are replica-independent.  On a
+        # dead replica (RayActorError / lost plasma objects) the engine
+        # rotates to the next replica in the group and retries — queries
+        # survive a shard-replica kill with zero errors.
         groups = [g if isinstance(g, list) else [g] for g in shard_handles]
         pick = os.getpid()
-        self.shards = [g[pick % len(g)] for g in groups]
+        self._groups = groups
+        self._replica_idx = [pick % len(g) for g in groups]
+        self.shards = [g[i] for g, i in zip(groups, self._replica_idx)]
         self._all_replicas = [h for g in groups for h in g]
         self.n_shards = len(self.shards)
         mans, self._seg_buckets, heads = [], [], []
@@ -212,8 +254,39 @@ class ShardedSearchEngine(QueryAlgebra):
             if tombstones is not None and len(tombstones)
             else None
         )
-        self._cache: dict[tuple[int, int], Postings] = {}
-        self._cache_cap = cache_cap
+        self._cache = LruCache(cache_cap)
+
+    # --- replica failover --------------------------------------------------
+    def _rotate(self, s: int) -> None:
+        g = self._groups[s]
+        self._replica_idx[s] = (self._replica_idx[s] + 1) % len(g)
+        self.shards[s] = g[self._replica_idx[s]]
+
+    def _retryable_errors(self):
+        import ray.exceptions as rex
+
+        return (
+            rex.RayActorError,
+            rex.OwnerDiedError,
+            rex.ObjectLostError,
+            rex.ObjectReconstructionFailedError,
+        )
+
+    def _fetch_shard(self, s: int, pairs: "list[tuple[int, int]]"):
+        """postings_many from shard ``s`` with replica failover; returns the
+        ray.get'd [(parts, metas), ...] payloads.  The inner get is inside
+        the retry because a dead replica's ref-cached plasma objects die
+        with their owner."""
+        errs = self._retryable_errors()
+        last = None
+        for _ in range(2 * len(self._groups[s])):
+            try:
+                inner = ray.get(self.shards[s].postings_many.remote(pairs, self.avgdl))
+                return ray.get(inner)
+            except errs as e:
+                last = e
+                self._rotate(s)
+        raise last
 
     # --- routing ----------------------------------------------------------
     def _shards_for(self, term_hash: int) -> "list[int]":
@@ -241,54 +314,57 @@ class ShardedSearchEngine(QueryAlgebra):
         for key in need:
             for s in self._shards_for(key[0]):
                 per_shard.setdefault(s, []).append(key)
+        # two-level gather: the RPC returns tiny ObjectRefs (shard-side ref
+        # cache); the second ray.get reads every posting payload zero-copy
+        # from the object store.  Outer RPCs are issued to all shards
+        # up-front (parallel); a failed shard falls back to the
+        # failover-retry path for just that shard.
+        errs = self._retryable_errors()
         refs = {
             s: self.shards[s].postings_many.remote(ps, self.avgdl)
             for s, ps in per_shard.items()
         }
-        # two-level gather: the RPC returns tiny ObjectRefs (shard-side ref
-        # cache); one batched ray.get then reads every posting payload
-        # zero-copy from the object store
-        inner: "list" = []
-        owners: "list[tuple[int, tuple[int, int]]]" = []
-        for s, ref in refs.items():
-            for key, pref in zip(per_shard[s], ray.get(ref)):
-                inner.append(pref)
-                owners.append((s, key))
         gathered: dict[tuple[int, int], tuple[list, list]] = {k: ([], []) for k in need}
-        for (_s, key), (parts, metas) in zip(owners, ray.get(inner)):
-            gathered[key][0].extend(_DecodedChunkView(t) for t in parts)
-            gathered[key][1].extend(metas)
+        for s, ref in refs.items():
+            try:
+                payloads = ray.get(ray.get(ref))
+            except errs:
+                self._rotate(s)
+                payloads = self._fetch_shard(s, per_shard[s])
+            for key, (parts, metas) in zip(per_shard[s], payloads):
+                gathered[key][0].extend(_DecodedChunkView(t) for t in parts)
+                gathered[key][1].extend(metas)
         for key, (parts, metas) in gathered.items():
-            out = merge_chunks(parts, metas)
-            if len(self._cache) < self._cache_cap:
-                self._cache[key] = out
+            self._cache.put(key, merge_chunks(parts, metas))
 
     # --- storage primitives ----------------------------------------------
     def postings(self, term_hash: int, gram: int) -> Postings:
         key = (int(term_hash), int(gram))
         hit = self._cache.get(key)
         if hit is None:
+            # prefetch always inserts (LRU evicts, never drops the fetch)
             self.prefetch([key])
             hit = self._cache.get(key)
-            if hit is None:  # cache full: fetch without storing
-                s_ids = self._shards_for(key[0])
-                inner = [
-                    r[0]
-                    for r in ray.get(
-                        [self.shards[s].postings_many.remote([key], self.avgdl) for s in s_ids]
-                    )
-                ]
-                parts, metas = [], []
-                for p, m in ray.get(inner):
-                    parts.extend(_DecodedChunkView(t) for t in p)
-                    metas.extend(m)
-                hit = merge_chunks(parts, metas)
         self.stat_postings_rows += len(hit.doc_ids)
         return hit
 
+    def _call_shard(self, s: int, method: str, *args):
+        """One shard RPC with replica failover."""
+        errs = self._retryable_errors()
+        last = None
+        for _ in range(2 * len(self._groups[s]) + 1):
+            try:
+                return ray.get(getattr(self.shards[s], method).remote(*args))
+            except errs as e:
+                last = e
+                self._rotate(s)
+        raise last
+
     def _complement(self, sorted_docs: np.ndarray) -> np.ndarray:
         docs_ref = ray.put(np.asarray(sorted_docs, dtype=np.uint64))
-        parts = ray.get([s.complement.remote(docs_ref) for s in self.shards])
+        parts = [
+            self._call_shard(s, "complement", docs_ref) for s in range(self.n_shards)
+        ]
         # shard doc slices are disjoint but not range-partitioned → one sort
         return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
 
@@ -367,12 +443,15 @@ class ShardedServer:
         self.n_shards = int(n_shards)
         self.n_replicas = max(1, int(n_replicas))
         # shards scale the VOCABULARY (each actor holds 1/S of the dict);
-        # replicas scale QPS (identical state, front-ends fan across them)
+        # replicas scale QPS (identical state, front-ends fan across them).
+        # SPREAD placement: on a multi-node cluster, replicas of a shard
+        # land on DIFFERENT nodes, so a node loss keeps every shard
+        # reachable (single-node: no-op).
         self.handle_groups = [
             [
-                IndexShardActor.options(num_cpus=num_cpus_per_shard).remote(
-                    self.index_dirs, shard, self.n_shards
-                )
+                IndexShardActor.options(
+                    num_cpus=num_cpus_per_shard, scheduling_strategy="SPREAD"
+                ).remote(self.index_dirs, shard, self.n_shards)
                 for _r in range(self.n_replicas)
             ]
             for shard in range(self.n_shards)

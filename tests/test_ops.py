@@ -37,7 +37,7 @@ def test_minhash_finds_planted_near_dups():
     t2 = " ".join(f"w{i}" for i in range(39)) + " zz"  # near-dup of t1
     others = [" ".join(f"u{i+j*50}" for i in range(40)) for j in range(8)]
     c = _corpus([t1, t2] + others)
-    pairs = dedup.minhash_dedup_pairs(c, k=3, bands=16, threshold=0.5)
+    pairs = dedup.minhash_dedup_pairs_table(c, k=3, bands=16, threshold=0.5)
     got = set(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()))
     assert (0, 1) in got
     # high jaccard for the planted pair
