@@ -96,49 +96,68 @@ class TokenizePostings:
         cfg: EngineConfig,
         head_ref=None,
         skip_buckets: frozenset[int] = frozenset(),
+        stats_max_gram: int | None = None,
     ):
         self.cfg = cfg
         self.skip = skip_buckets
+        # fused statistics (StatisticsBuilder precedent — stats and ingest
+        # are ONE corpus walk): when set, build_postings also returns the
+        # per-batch df/cf partial over the BODY stream's PRE-stream-fold
+        # hashes (identical to a standalone document_frequency_table scan)
+        self.stats_max_gram = stats_max_gram
         if head_ref is not None:
             heads = ray.get(head_ref) if isinstance(head_ref, ray.ObjectRef) else head_ref
             self.head_hashes = np.sort(np.asarray(heads, dtype=np.uint64))
         else:
             self.head_hashes = np.empty(0, dtype=np.uint64)
 
-    def _stream_postings(self, batch: pa.Table, column: str, stream_id: int):
+    def _stream_postings(self, batch: pa.Table, column: str, stream_id: int, keep_pos=False):
         cfg = self.cfg
-        r = tokenize_batch(batch[column], cfg.max_gram, emit_text=False)
+        r = tokenize_batch(batch[column], cfg.max_gram, emit_text=False, keep_pos=keep_pos)
         # stream identity folds into the stored hash (ComputeGeneralHash
         # parity: hash + streamId, wrapping — Term.cpp:328-333)
         hashes = r.term_hash + np.uint64(stream_id)
         doc_ids = batch["doc_id"].to_numpy().astype(np.uint64)[r.row]
         doclen = r.doclen[r.row].astype(np.uint32)
-        return hashes, r.gram_size, doc_ids, r.tf, doclen, r.doclen
+        return hashes, r.gram_size, doc_ids, r.tf, doclen, r.doclen, r
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.build_postings(batch)[0]
 
-    def build_postings(self, batch: pa.Table) -> tuple[pa.Table, np.ndarray]:
+    def build_postings(
+        self, batch: pa.Table
+    ) -> "tuple[pa.Table, np.ndarray, pa.Table | None]":
         """Returns (postings table, per-document doclen of the body stream
-        — the whitespace token count docmeta records)."""
+        — the whitespace token count docmeta records, fused df/cf partial
+        table or None)."""
         from bitfunnel_ray.functions.mem import tune_allocator
 
         tune_allocator()
         cfg = self.cfg
         parts = []
         body_doclen = np.zeros(len(batch), dtype=np.int64)
+        stats_tbl = None
         for (name, col, sid) in cfg.streams:
             if col not in batch.column_names:
                 continue
-            part = self._stream_postings(batch, col, sid)
+            is_body = col == "text" or not parts
+            want_stats = self.stats_max_gram is not None and is_body
+            part = self._stream_postings(batch, col, sid, keep_pos=want_stats)
             parts.append(part)
-            if col == "text" or len(parts) == 1:
+            if is_body:
                 body_doclen = np.asarray(part[5], dtype=np.int64)
+            if want_stats:
+                from bitfunnel_ray.build.stats import partial_term_stats
+
+                stats_tbl = partial_term_stats(
+                    part[6], emit_text=True, stats_max_gram=self.stats_max_gram
+                )
         hashes = np.concatenate([p[0] for p in parts])
         grams = np.concatenate([p[1] for p in parts])
         doc_ids = np.concatenate([p[2] for p in parts])
         tf = np.concatenate([p[3] for p in parts])
         doclen = np.concatenate([p[4] for p in parts])
+        del parts[:]  # release per-stream TokenizeResults before the sort
         salt = np.zeros(len(hashes), dtype=np.uint32)
         if self.head_hashes.size:
             pos = np.searchsorted(self.head_hashes, hashes)
@@ -159,7 +178,7 @@ class TokenizePostings:
             },
             schema=POSTINGS_SCHEMA,
         )
-        return tbl, body_doclen
+        return tbl, body_doclen, stats_tbl
 
 
 # --- external (disk-spill) shuffle path -----------------------------------
@@ -226,10 +245,26 @@ class TokenizeSpill:
     spilled row counts against these and aborts on shard loss) plus one
     summary row (bucket = -1) carrying the doc-count/doclen partials."""
 
-    def __init__(self, cfg, head_ref, skip_buckets, spill_dir: str, meta_dir: str):
-        self.tp = TokenizePostings(cfg, head_ref, skip_buckets)
+    def __init__(
+        self,
+        cfg,
+        head_ref,
+        skip_buckets,
+        spill_dir: str,
+        meta_dir: str,
+        stats_dir: str | None = None,
+        stats_max_gram: int = 1,
+    ):
+        # stats_dir: fused-statistics sidecar — each batch also writes its
+        # df/cf partial shard there (deterministic name, retry-overwrites),
+        # so the df table needs NO second corpus read (combine_fused_stats)
+        self.tp = TokenizePostings(
+            cfg, head_ref, skip_buckets,
+            stats_max_gram=stats_max_gram if stats_dir else None,
+        )
         self.spill_dir = spill_dir
         self.meta_dir = meta_dir
+        self.stats_dir = stats_dir
         # lz4 IPC by default — 2M-doc interleaved A/B: at 32-way
         # concurrency the RAM-backed spill is memory-bandwidth-bound and
         # lz4 halves the spill stage (18.7 s -> 8.8 s) while costing ~4%
@@ -244,7 +279,7 @@ class TokenizeSpill:
         import pyarrow.compute as pc
         import pyarrow.parquet as _pq
 
-        postings, body_doclen = self.tp.build_postings(batch)
+        postings, body_doclen, stats_tbl = self.tp.build_postings(batch)
         # Batch identity for every file this task writes: the first doc_id
         # is unique per batch (doc_ids are unique and batch membership is
         # deterministic), so a retried task OVERWRITES its earlier partial
@@ -264,6 +299,11 @@ class TokenizeSpill:
         )
         os.makedirs(self.meta_dir, exist_ok=True)
         _pq.write_table(meta, os.path.join(self.meta_dir, f"part-{batch_tag}.parquet"))
+        if stats_tbl is not None and self.stats_dir:
+            os.makedirs(self.stats_dir, exist_ok=True)
+            _pq.write_table(
+                stats_tbl, os.path.join(self.stats_dir, f"part-{batch_tag}.parquet")
+            )
         if len(postings):
             out_b, out_n = _spill_bucket_shards(
                 postings, self.spill_dir, self.compression, shard=batch_tag
@@ -283,6 +323,44 @@ class TokenizeSpill:
             },
             schema=ACK_SCHEMA,
         )
+
+
+# Worker-process memo for the task-based spill map: map_batches with a
+# FUNCTION runs in stateless tasks (no actor-pool startup per Dataset — a
+# fresh 32-actor pool costs ~2s, paid per WAVE in build_index_waves), and
+# the memo re-creates actor-style amortization: each worker process builds
+# the (sorted head set, compiled state) once per spill_dir and reuses it
+# across all its tasks.
+_SPILL_MEMO: dict = {}
+
+
+def _spill_map(batch: pa.Table, *, ctor: tuple) -> pa.Table:
+    cfg, head_ref, skip, spill_dir, meta_dir, stats_dir, stats_max_gram = ctor
+    ts = _SPILL_MEMO.get(spill_dir)
+    if ts is None:
+        ts = TokenizeSpill(
+            cfg, head_ref, skip, spill_dir, meta_dir,
+            stats_dir=stats_dir, stats_max_gram=stats_max_gram,
+        )
+        _SPILL_MEMO.clear()  # one live spill per worker; drop stale state
+        _SPILL_MEMO[spill_dir] = ts
+    return ts(batch)
+
+
+def _encode_batch_size(per_bucket: "dict[int, int]", cfg: EngineConfig) -> int:
+    """Buckets per encode task: amortize per-task fixed cost without
+    starving the encode pool (≥ 2 waves of tasks per slot) or blowing the
+    per-task row budget (~4M postings)."""
+    if not per_bucket:
+        return 1
+    n = len(per_bucket)
+    mean_rows = max(1, sum(per_bucket.values()) // n)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    enc_cpus = float(cfg.extra.get("encode_num_cpus", 2 if cpus >= 16 else 1))
+    slots = max(1, int(cpus // max(1.0, enc_cpus)))
+    by_slots = max(1, n // (2 * slots))
+    by_rows = max(1, int(4_000_000 // mean_rows))
+    return max(1, min(by_slots, by_rows))
 
 
 def encode_spilled_bucket(
@@ -416,15 +494,88 @@ def effective_num_buckets(cfg: EngineConfig, corpus: "ray.data.Dataset") -> int:
     return max(cfg.num_buckets, need)
 
 
+def scan_head_terms(
+    corpus: "ray.data.Dataset | None",
+    cfg: EngineConfig,
+    skip_count: bool = False,
+    files: "list[str] | None" = None,
+) -> np.ndarray:
+    """Terms with df > ``cfg.head_df_threshold`` (the skew-salting head
+    set).  Head detection is a HEURISTIC (any head set yields identical
+    results — pytest salted==unsalted), so the df scan runs on a
+    deterministic sample when the sampled df at the threshold is
+    statistically solid (≥ 50 expected postings): with ``files`` given and
+    plentiful, a FILE-stride sample (only 1/rate of the corpus leaves
+    storage — the pruned-read form); else a hash-sample of rows (still a
+    full read, 5% of the tokenize)."""
+    import pyarrow.compute as pc
+
+    rate = float(cfg.extra.get("head_sample_rate", 0.05))
+    stride = max(1, int(round(1.0 / rate))) if rate > 0 else 1
+    if (
+        files is not None
+        and len(files) >= 2 * stride
+        and cfg.head_df_threshold * rate >= 50
+    ):
+        sub = sorted(files)[::stride]
+        eff_rate = len(sub) / len(files)
+        scan = ray.data.read_parquet(sub)
+        thr = int(cfg.head_df_threshold * eff_rate)
+        heads = (
+            document_frequency_table(scan, cfg, emit_text=False)
+            .map_batches(
+                lambda t, _thr=thr: t.filter(pc.greater(t["df"], _thr)),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        if not len(heads):
+            return np.empty(0, dtype=np.uint64)
+        return heads["term_hash"].to_numpy().astype(np.uint64)
+    if corpus is None:
+        corpus = ray.data.read_parquet(files)
+    if not skip_count and corpus.count() <= cfg.head_df_threshold:
+        return np.empty(0, dtype=np.uint64)
+    scan, thr = corpus, cfg.head_df_threshold
+    if 0.0 < rate < 1.0 and cfg.head_df_threshold * rate >= 50:
+        from bitfunnel_ray.stages.filters import sample_filter
+
+        scan = sample_filter(corpus, rate)
+        thr = int(cfg.head_df_threshold * rate)
+    heads = (
+        document_frequency_table(scan, cfg, emit_text=False)
+        .map_batches(
+            lambda t, _thr=thr: t.filter(pc.greater(t["df"], _thr)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if not len(heads):
+        return np.empty(0, dtype=np.uint64)
+    return heads["term_hash"].to_numpy().astype(np.uint64)
+
+
 def build_index(
     corpus: "ray.data.Dataset",
     out_dir: str,
     cfg: EngineConfig | None = None,
+    _defer_encode: bool = False,
 ) -> dict:
     """Build (or resume) one index segment from a corpus Dataset.
 
     Returns the manifest dict.  Idempotent: a completed segment returns
     immediately; a partial one rebuilds only missing buckets.
+
+    ``cfg.extra["fused_stats_dir"]``: also emit per-batch df/cf partial
+    shards (gram sizes ≤ ``extra["stats_max_gram"]``, default 1) from the
+    SAME tokenize pass — the StatisticsBuilder fusion; finish with
+    ``stats.combine_fused_stats``.
+
+    ``_defer_encode`` (internal, used by ``build_index_waves``): return
+    right after the spill pass with ``{"deferred": True, "finish": fn}``;
+    calling ``finish()`` runs the encode phase + manifest write.  Lets a
+    caller overlap this segment's (memory-bandwidth-bound) encode with the
+    NEXT segment's (compute-bound) tokenize/spill.
     """
     cfg = cfg or EngineConfig()
     eff_buckets = effective_num_buckets(cfg, corpus)
@@ -516,30 +667,8 @@ def build_index(
                 os.path.join(out_dir, "heads.parquet"),
             )
     elif (n_docs if n_docs is not None else corpus.count()) > cfg.head_df_threshold:
-        import pyarrow.compute as pc
-
-        # Head detection is a skew HEURISTIC (any head set yields identical
-        # results — pytest salted==unsalted), so the df scan runs on a
-        # deterministic hash sample of the corpus when the sampled df at
-        # the threshold is statistically solid (≥ 50 expected postings):
-        # a 5% scan instead of a full second corpus pass.
-        rate = float(cfg.extra.get("head_sample_rate", 0.05))
-        scan, thr = corpus, cfg.head_df_threshold
-        if 0.0 < rate < 1.0 and cfg.head_df_threshold * rate >= 50:
-            from bitfunnel_ray.stages.filters import sample_filter
-
-            scan = sample_filter(corpus, rate)
-            thr = int(cfg.head_df_threshold * rate)
-        heads = (
-            document_frequency_table(scan, cfg, emit_text=False)
-            .map_batches(
-                lambda t, _thr=thr: t.filter(pc.greater(t["df"], _thr)),
-                batch_format="pyarrow",
-            )
-            .to_pandas()
-        )
-        if len(heads):
-            head_arr = heads["term_hash"].to_numpy().astype(np.uint64)
+        head_arr = scan_head_terms(corpus, cfg, skip_count=True)
+        if len(head_arr):
             head_ref = ray.put(head_arr)
             n_head_terms = len(head_arr)
             # sidecar for query-time routing: a salted head term's chunks
@@ -554,6 +683,7 @@ def build_index(
 
     # --- postings shuffle + per-bucket encode ---------------------------
     bucket_stats: list[dict] = []
+    deferred_encode = None
     if len(done) < cfg.num_buckets:
         from functools import partial
 
@@ -597,7 +727,9 @@ def build_index(
             os.makedirs(spill_dir, exist_ok=True)
             meta_tmp = meta_dir + ".tmp"
             _shutil.rmtree(meta_tmp, ignore_errors=True)
+            stats_dir = cfg.extra.get("fused_stats_dir")
             try:
+                ok = False
                 schema_names = corpus.schema().names
                 sel = ["doc_id"] + (["url"] if "url" in schema_names else []) + stream_cols
                 # docs per map task: pins the spill-shard count (and the
@@ -617,8 +749,27 @@ def build_index(
                         min(65536, 4096 * max(1, cfg.num_buckets // 64)),
                     )
                 )
+                # task args must stay tiny: the head set travels as an
+                # ObjectRef (head_ref), never inline in cfg.extra
+                cfg_task = cfg
+                if "head_hashes" in cfg.extra:
+                    import dataclasses as _dc
+
+                    cfg_task = _dc.replace(
+                        cfg,
+                        extra={k: v for k, v in cfg.extra.items() if k != "head_hashes"},
+                    )
+                # task-based map (plain function + worker memo), NOT an
+                # actor pool: actor startup is ~2s per Dataset execution
+                # and build_index_waves runs one spill Dataset per wave
                 acks = corpus.select_columns(sel).map_batches(
-                    TokenizeSpill(cfg, head_ref, done, spill_dir, meta_tmp),
+                    partial(
+                        _spill_map,
+                        ctor=(
+                            cfg_task, head_ref, done, spill_dir, meta_tmp,
+                            stats_dir, int(cfg.extra.get("stats_max_gram", 1)),
+                        ),
+                    ),
                     batch_size=spill_batch,
                     batch_format="pyarrow",
                 ).to_pandas()
@@ -654,73 +805,197 @@ def build_index(
                     if len(bucket_acks)
                     else {}
                 )
-                import ray.data as rd
+                def _encode_phase(
+                    per_bucket=per_bucket, spill_dir=spill_dir, avgdl=avgdl
+                ) -> "list[dict]":
+                    import ray.data as rd
 
-                enc = rd.from_items(
-                    [
-                        {"bucket": int(b), "expected_rows": int(n)}
-                        for b, n in sorted(per_bucket.items())
-                    ]
-                ).map_batches(
-                    partial(
-                        encode_spilled_bucket,
-                        spill_dir=spill_dir,
-                        out_dir=out_dir,
-                        avgdl=avgdl,
-                        cfg=cfg,
-                    ),
-                    batch_size=1,
-                    batch_format="pyarrow",
-                    # encode is memory-bandwidth-bound, not compute-bound:
-                    # at full task-per-core concurrency 32 concurrent
-                    # varint/PFor packers thrash the shared bus and run
-                    # ABSOLUTELY slower than 16 (measured 2M-doc A/B on
-                    # this box: encode 16.2-23.6 s at 32-way vs 8.4-18.3 s
-                    # at 16-way, min-of-2 each).  num_cpus=2 halves the
-                    # concurrent encode tasks per node; on a real cluster
-                    # this is per-node bandwidth management, the same knob.
-                    # Small sessions (< 16 CPUs — unit tests, laptops)
-                    # keep 1: the bus isn't contended there, and a 2-CPU
-                    # reservation can deadlock against live actor pools.
-                    num_cpus=float(
-                        cfg.extra.get(
-                            "encode_num_cpus",
-                            2
-                            if ray.cluster_resources().get("CPU", 0) >= 16
-                            else 1,
+                    te = time.time()
+                    try:
+                        enc = rd.from_items(
+                            [
+                                {"bucket": int(b), "expected_rows": int(n)}
+                                for b, n in sorted(per_bucket.items())
+                            ]
+                        ).map_batches(
+                            partial(
+                                encode_spilled_bucket,
+                                spill_dir=spill_dir,
+                                out_dir=out_dir,
+                                avgdl=avgdl,
+                                cfg=cfg_task,
+                            ),
+                            # several small buckets per task: the per-task
+                            # fixed cost (launch, glob, parquet write)
+                            # dominates once auto-bucketing or wave splits
+                            # shrink buckets below ~1M postings; the sort
+                            # working set stays per-bucket either way.
+                            # Keep ≥ 2 tasks per encode slot so the stage
+                            # still fills the pool, and ≤ ~4M rows per task.
+                            batch_size=_encode_batch_size(per_bucket, cfg),
+                            batch_format="pyarrow",
+                            # encode is memory-bandwidth-bound, not compute-bound:
+                            # at full task-per-core concurrency 32 concurrent
+                            # varint/PFor packers thrash the shared bus and run
+                            # ABSOLUTELY slower than 16 (measured 2M-doc A/B on
+                            # this box: encode 16.2-23.6 s at 32-way vs 8.4-18.3 s
+                            # at 16-way, min-of-2 each).  num_cpus=2 halves the
+                            # concurrent encode tasks per node; on a real cluster
+                            # this is per-node bandwidth management, the same knob.
+                            # Small sessions (< 16 CPUs — unit tests, laptops)
+                            # keep 1: the bus isn't contended there, and a 2-CPU
+                            # reservation can deadlock against live actor pools.
+                            num_cpus=float(
+                                cfg.extra.get(
+                                    "encode_num_cpus",
+                                    2
+                                    if ray.cluster_resources().get("CPU", 0) >= 16
+                                    else 1,
+                                )
+                            ),
                         )
-                    ),
-                )
-                bucket_stats = enc.to_pandas().to_dict("records")
-                t1 = _mark("encode", t1)
+                        out = enc.to_pandas().to_dict("records")
+                        _mark("encode", te)
+                        return out
+                    finally:
+                        _shutil.rmtree(spill_dir, ignore_errors=True)
+
+                ok = True
+                if _defer_encode:
+                    deferred_encode = _encode_phase
+                else:
+                    bucket_stats = _encode_phase()
             finally:
-                _shutil.rmtree(spill_dir, ignore_errors=True)
+                if not ok:
+                    _shutil.rmtree(spill_dir, ignore_errors=True)
                 _shutil.rmtree(meta_tmp, ignore_errors=True)
 
-    manifest = {
-        "format_version": 1,
+    def _finalize(bucket_stats: "list[dict]") -> dict:
+        manifest = {
+            "format_version": 1,
+            "complete": True,
+            "n_docs": n_docs,
+            "sum_doclen": sum_dl,
+            "avgdl": avgdl,
+            "config": {
+                "max_gram": cfg.max_gram,
+                "k1": cfg.k1,
+                "b": cfg.b,
+                "block_size": cfg.block_size,
+                "treatment_bands": [list(b) for b in cfg.treatment_bands] if cfg.treatment_bands else None,
+                "num_buckets": cfg.num_buckets,
+                "head_df_threshold": cfg.head_df_threshold,
+                "salt_shift": cfg.salt_shift,
+                "streams": [list(s) for s in cfg.streams],
+            },
+            "n_head_terms": n_head_terms,
+            "input_files": input_files[:4096],
+            "n_input_files": len(input_files),
+            "buckets_completed": sorted(segment.completed_buckets(out_dir)),
+            "bucket_stats": {int(r["bucket"]): {k: int(v) for k, v in r.items() if k != "bucket"} for r in bucket_stats},
+            "build_seconds": round(time.time() - t0, 3),
+            "stage_seconds": stage_s,
+        }
+        segment.write_manifest(out_dir, manifest)
+        return manifest
+
+    if deferred_encode is not None:
+        return {
+            "complete": False,
+            "deferred": True,
+            "finish": lambda: _finalize(deferred_encode()),
+            "n_docs": n_docs,
+            "sum_doclen": sum_dl,
+            "avgdl": avgdl,
+            "out_dir": out_dir,
+        }
+    return _finalize(bucket_stats)
+
+
+def build_index_waves(
+    parquet_files: "list[str]",
+    out_root: str,
+    cfg: EngineConfig | None = None,
+    n_waves: int = 4,
+    override_num_blocks_per_wave: int | None = None,
+) -> dict:
+    """Streaming ingestion: split the corpus files into ``n_waves``
+    contiguous waves and build one ADDITIVE SEGMENT per wave, overlapping
+    wave i's encode phase (memory-bandwidth-bound) with wave i+1's
+    tokenize/spill pass (compute-bound) — the producer-consumer pipelining
+    a continuously-ingesting build runs at any scale; without it the
+    encode phase idles every CPU at a bandwidth floor while the next
+    corpus slice waits.  Segments are the engine's incremental-ingest unit
+    already (build/merge.py); BM25 scores are computed from decoded
+    tf/doclen + the SERVING avgdl, so query results over the wave
+    segments are identical to a single-segment build of the same corpus
+    (pytest-proven in tests/test_build_query.py).
+
+    One head-term set is scanned up front and shared by every wave
+    (salting must agree across segments for sharded head routing).
+    ``cfg.extra["fused_stats_dir"]`` composes: every wave's spill emits
+    df/cf partials into the same durable sidecar dir.
+
+    Resume: per-wave segment manifests are idempotent — completed waves
+    are skipped, partially-built waves rebuild only missing buckets.
+
+    Returns ``{"segment_dirs": [...], "waves": [manifests], "n_docs": n,
+    "sum_doclen": s, "avgdl": a}``; query engines take ``segment_dirs``.
+    """
+    import dataclasses as _dc
+    import json as _json
+    from concurrent.futures import ThreadPoolExecutor
+
+    import ray.data as rd
+
+    cfg = cfg or EngineConfig()
+    files = sorted(parquet_files)
+    if not files:
+        raise ValueError("build_index_waves: no input files")
+    n_waves = max(1, min(int(n_waves), len(files)))
+    step = (len(files) + n_waves - 1) // n_waves
+    groups = [files[i : i + step] for i in range(0, len(files), step)]
+    os.makedirs(out_root, exist_ok=True)
+
+    if cfg.extra.get("head_hashes") is None:
+        head_arr = scan_head_terms(None, cfg, files=files)
+        cfg = _dc.replace(cfg, extra={**cfg.extra, "head_hashes": head_arr})
+
+    seg_dirs = [os.path.join(out_root, f"seg-{i:04d}") for i in range(len(groups))]
+    manifests: dict[int, dict] = {}
+    pending: list[tuple[int, object]] = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        # max_workers=1 serializes encodes (two concurrent encode phases
+        # would contend for the same memory bandwidth); the main thread
+        # keeps streaming the next wave's spill meanwhile
+        for i, g in enumerate(groups):
+            # override_num_blocks: input blocks bound map-task parallelism
+            # within a wave (few big files would leave CPUs idle); a FIXED
+            # count keeps the work shape identical across cluster sizes
+            wave = (
+                rd.read_parquet(g, override_num_blocks=override_num_blocks_per_wave)
+                if override_num_blocks_per_wave
+                else rd.read_parquet(g)
+            )
+            part = build_index(wave, seg_dirs[i], cfg, _defer_encode=True)
+            if part.get("deferred"):
+                pending.append((i, pool.submit(part["finish"])))
+            else:
+                manifests[i] = part
+        for i, fut in pending:
+            manifests[i] = fut.result()
+    mans = [manifests[i] for i in range(len(groups))]
+    n_docs = sum(int(m["n_docs"] or 0) for m in mans)
+    sum_dl = sum(int(m["sum_doclen"] or 0) for m in mans)
+    root = {
         "complete": True,
+        "segment_dirs": seg_dirs,
+        "n_waves": len(groups),
         "n_docs": n_docs,
         "sum_doclen": sum_dl,
-        "avgdl": avgdl,
-        "config": {
-            "max_gram": cfg.max_gram,
-            "k1": cfg.k1,
-            "b": cfg.b,
-            "block_size": cfg.block_size,
-            "treatment_bands": [list(b) for b in cfg.treatment_bands] if cfg.treatment_bands else None,
-            "num_buckets": cfg.num_buckets,
-            "head_df_threshold": cfg.head_df_threshold,
-            "salt_shift": cfg.salt_shift,
-            "streams": [list(s) for s in cfg.streams],
-        },
-        "n_head_terms": n_head_terms,
-        "input_files": input_files[:4096],
-        "n_input_files": len(input_files),
-        "buckets_completed": sorted(segment.completed_buckets(out_dir)),
-        "bucket_stats": {int(r["bucket"]): {k: int(v) for k, v in r.items() if k != "bucket"} for r in bucket_stats},
-        "build_seconds": round(time.time() - t0, 3),
-        "stage_seconds": stage_s,
+        "avgdl": (sum_dl / n_docs) if n_docs else 1.0,
+        "waves": mans,
     }
-    segment.write_manifest(out_dir, manifest)
-    return manifest
+    with open(os.path.join(out_root, "waves.json"), "w") as f:
+        _json.dump(root, f)
+    return root

@@ -25,45 +25,72 @@ from bitfunnel_ray.config import EngineConfig
 from bitfunnel_ray.stages.tokenize import tokenize_batch
 
 
+def partial_term_stats(r, emit_text: bool = True, stats_max_gram: int | None = None) -> pa.Table:
+    """Per-batch combiner over a TokenizeResult: one row per batch-unique
+    (term_hash, gram) with partial df (unique-doc count — postings are
+    already unique per (row, term)) and partial cf (tf sum).
+
+    Term text is reconstructed lazily for the ≤ vocab-sized unique rows
+    when the result carries positions (``keep_pos=True``), else taken from
+    ``r.term``.  ``stats_max_gram`` restricts the partial to gram sizes ≤ n
+    (the fused build pass tokenizes at the BUILD max_gram but the df-table
+    sidecar usually wants unigrams only)."""
+    h, g, tf, pos = r.term_hash, r.gram_size, r.tf, r.pos
+    if stats_max_gram is not None and len(g) and int(g.max()) > stats_max_gram:
+        m = g <= stats_max_gram
+        h, g, tf = h[m], g[m], tf[m]
+        pos = pos[m] if pos is not None else None
+    if len(h) == 0:
+        cols = {
+            "term_hash": pa.array([], pa.int64()),
+            "gram_size": pa.array([], pa.uint8()),
+            "df_part": pa.array([], pa.int64()),
+            "cf_part": pa.array([], pa.int64()),
+        }
+        if emit_text:
+            cols["term"] = pa.array([], pa.string())
+        return pa.table(cols)
+    order = np.lexsort((g, h))
+    hs, gs, tfs = h[order], g[order], tf[order]
+    b = np.empty(len(hs), dtype=bool)
+    b[0] = True
+    b[1:] = (hs[1:] != hs[:-1]) | (gs[1:] != gs[:-1])
+    starts = np.flatnonzero(b)
+    counts = np.diff(np.append(starts, len(hs)))
+    cf = np.add.reduceat(tfs.astype(np.int64), starts)
+    cols = {
+        # int64 bit-view of the uint64 hash: Ray's shuffle/aggregate ops
+        # fall back to pickled python objects on uint64 columns
+        "term_hash": pa.array(hs[starts].view(np.int64), pa.int64()),
+        "gram_size": pa.array(gs[starts], pa.uint8()),
+        "df_part": pa.array(counts.astype(np.int64)),
+        "cf_part": pa.array(cf),
+    }
+    if emit_text:
+        if r.term is not None:
+            texts = r.term[order][starts]
+        else:
+            from bitfunnel_ray.stages.tokenize import reconstruct_terms
+
+            texts = reconstruct_terms(r.tokens, pos[order][starts], gs[starts])
+        cols["term"] = pa.array(texts.tolist(), pa.string())
+    return pa.table(cols)
+
+
 class PartialTermStats:
-    """Per-batch combiner: (term, gram) → (partial df, partial cf)."""
+    """Per-batch combiner: (term, gram) → (partial df, partial cf).
+    Text is built lazily for batch-unique terms only (cost ∝ vocabulary
+    per batch, not postings)."""
 
     def __init__(self, max_gram: int = 1, emit_text: bool = True):
         self.max_gram = max_gram
         self.emit_text = emit_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        r = tokenize_batch(batch["text"], self.max_gram, emit_text=self.emit_text)
-        if len(r.term_hash) == 0:
-            cols = {
-                "term_hash": pa.array([], pa.int64()),
-                "gram_size": pa.array([], pa.uint8()),
-                "df_part": pa.array([], pa.int64()),
-                "cf_part": pa.array([], pa.int64()),
-            }
-            if self.emit_text:
-                cols["term"] = pa.array([], pa.string())
-            return pa.table(cols)
-        # postings are already unique per (row, term): df partial = run count
-        order = np.lexsort((r.gram_size, r.term_hash))
-        h, g, tf = r.term_hash[order], r.gram_size[order], r.tf[order]
-        b = np.empty(len(h), dtype=bool)
-        b[0] = True
-        b[1:] = (h[1:] != h[:-1]) | (g[1:] != g[:-1])
-        starts = np.flatnonzero(b)
-        counts = np.diff(np.append(starts, len(h)))
-        cf = np.add.reduceat(tf.astype(np.int64), starts)
-        cols = {
-            # int64 bit-view of the uint64 hash: Ray's shuffle/aggregate ops
-            # fall back to pickled python objects on uint64 columns
-            "term_hash": pa.array(h[starts].view(np.int64), pa.int64()),
-            "gram_size": pa.array(g[starts], pa.uint8()),
-            "df_part": pa.array(counts.astype(np.int64)),
-            "cf_part": pa.array(cf),
-        }
-        if self.emit_text:
-            cols["term"] = pa.array(r.term[order][starts].tolist(), pa.string())
-        return pa.table(cols)
+        r = tokenize_batch(
+            batch["text"], self.max_gram, emit_text=False, keep_pos=self.emit_text
+        )
+        return partial_term_stats(r, emit_text=self.emit_text)
 
 
 def document_frequency_table(
@@ -132,6 +159,28 @@ def _combine_term_stats(t: pa.Table, *, emit_text: bool) -> pa.Table:
             "cf": cols["cf"],
         }
     return pa.table(cols)
+
+
+def combine_fused_stats(stats_dir: str, emit_text: bool = True) -> "ray.data.Dataset":
+    """Finish the FUSED statistics pass: the index build's tokenize/spill
+    stage already emitted one df/cf partial shard per map batch into
+    ``stats_dir`` (build/builder.py TokenizeSpill with a fused stats dir —
+    the reference's own shape: statistics and ingestion are ONE corpus
+    walk, tools/BitFunnel/src/StatisticsBuilder.cpp:114-187 drives both
+    builders from a single ChunkIngestor).  This combine is a small hash
+    exchange over partial rows (∝ vocab × map batches), never a second
+    corpus read.  Output schema == ``document_frequency_table``."""
+    from functools import partial as _bind
+
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    parts = ray.data.read_parquet(stats_dir, file_extensions=["parquet"])
+    n_blocks = tune_hash_shuffle(parts.context)
+    return parts.repartition(num_blocks=n_blocks, keys=["term_hash"]).map_batches(
+        _bind(_combine_term_stats, emit_text=emit_text),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
 
 
 def top_k_by(

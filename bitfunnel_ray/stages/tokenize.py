@@ -92,10 +92,36 @@ class TokenizeResult:
     term: np.ndarray | None  # object — term text (space-joined for n-grams)
     doclen: np.ndarray     # int64 per source row — unigram token count
     n_postings: np.ndarray  # int64 per source row — unique 1..max_gram terms
+    # lazy-text support (keep_pos=True): first-occurrence token position of
+    # each posting + the flat token array, so a caller can reconstruct text
+    # for a SUBSET of postings (e.g. one row per batch-unique term — cost
+    # ∝ vocabulary) instead of paying emit_text's per-posting string build
+    pos: np.ndarray | None = None      # int64 per posting
+    tokens: "pa.Array | None" = None   # flat whitespace tokens of the batch
+
+
+def reconstruct_terms(flat: "pa.Array", pos: np.ndarray, gram: np.ndarray) -> np.ndarray:
+    """Term text for selected postings: gather the gram-sized token window
+    at each first-occurrence position (vectorized arrow take per gram)."""
+    out = np.empty(len(pos), dtype=object)
+    for g in np.unique(gram):
+        m = gram == g
+        p = pos[m]
+        gathered = [flat.take(pa.array(p + j)).to_pylist() for j in range(int(g))]
+        if g == 1:
+            out[m] = np.asarray(gathered[0], dtype=object)
+        else:
+            out[m] = np.asarray(
+                [" ".join(parts) for parts in zip(*gathered)], dtype=object
+            )
+    return out
 
 
 def tokenize_batch(
-    texts: pa.Array | pa.ChunkedArray, max_gram: int = 1, emit_text: bool = False
+    texts: pa.Array | pa.ChunkedArray,
+    max_gram: int = 1,
+    emit_text: bool = False,
+    keep_pos: bool = False,
 ) -> TokenizeResult:
     """Tokenize a batch → deduplicated postings with tf.
 
@@ -139,6 +165,8 @@ def tokenize_batch(
             np.empty(0, np.uint32),
             np.empty(0, dtype=object) if emit_text else None,
             doclen, np.zeros(n_rows, np.int64),
+            pos=np.empty(0, np.int64) if keep_pos else None,
+            tokens=flat if keep_pos else None,
         )
 
     # dedup (row, term_hash, gram) → tf, keeping first occurrence position.
@@ -187,20 +215,12 @@ def tokenize_batch(
         )
     u_text = None
     if emit_text:
-        # reconstruct text for UNIQUE terms only (cost ∝ vocabulary, not
-        # token count): gather first-occurrence windows via arrow take
-        u_text = np.empty(len(u_pos), dtype=object)
-        for g in np.unique(u_gram):
-            m = u_gram == g
-            p = u_pos[m]
-            gathered = [
-                flat.take(pa.array(p + j)).to_pylist() for j in range(int(g))
-            ]
-            if g == 1:
-                u_text[m] = np.asarray(gathered[0], dtype=object)
-            else:
-                u_text[m] = np.asarray(
-                    [" ".join(parts) for parts in zip(*gathered)], dtype=object
-                )
+        # reconstruct text per unique (row, term) posting via first-
+        # occurrence window gathers
+        u_text = reconstruct_terms(flat, u_pos, u_gram)
     n_postings = np.bincount(u_rows, minlength=n_rows).astype(np.int64)
-    return TokenizeResult(u_rows, u_hash, u_gram, tf, u_text, doclen, n_postings)
+    return TokenizeResult(
+        u_rows, u_hash, u_gram, tf, u_text, doclen, n_postings,
+        pos=u_pos if keep_pos else None,
+        tokens=flat if keep_pos else None,
+    )

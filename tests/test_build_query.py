@@ -179,3 +179,80 @@ def test_effective_num_buckets_scales_with_corpus():
     assert effective_num_buckets(cfg, FakeDs(2_000_000)) == 128  # stress
     off = EngineConfig(num_buckets=16, extra={"auto_buckets": False})
     assert effective_num_buckets(off, FakeDs(2_000_000)) == 16
+
+
+def test_fused_stats_matches_standalone(built, tmp_path):
+    """StatisticsBuilder fusion: the df/cf partials emitted by the build's
+    own tokenize/spill pass combine to EXACTLY the standalone
+    document_frequency_table (same hashes, texts, df, cf)."""
+    from bitfunnel_ray.build.stats import combine_fused_stats, document_frequency_table
+
+    out, cfg, manifest, oracle = built
+    idx = str(tmp_path / "fused_idx")
+    stats_dir = str(tmp_path / "fused_stats")
+    corpus = corpus_from_documents("/root/testdata/sf0.001")
+    cfg2 = EngineConfig(
+        max_gram=2, num_buckets=5,
+        extra={"fused_stats_dir": stats_dir, "stats_max_gram": 1},
+    )
+    build_index(corpus, idx, cfg2)
+    fused = (
+        combine_fused_stats(stats_dir)
+        .to_pandas()
+        .sort_values(["term_hash", "gram_size"])
+        .reset_index(drop=True)
+    )
+    want = (
+        document_frequency_table(corpus, EngineConfig(max_gram=1), emit_text=True)
+        .to_pandas()
+        .sort_values(["term_hash", "gram_size"])
+        .reset_index(drop=True)
+    )
+    assert list(fused.columns) == list(want.columns)
+    assert fused.equals(want)
+
+
+def test_waves_build_identical_results(built, tmp_path):
+    """Streaming wave segments (overlapped encode) must return the same
+    match sets, ranks and bit-identical scores as one monolithic build."""
+    import pyarrow as pa
+
+    from bitfunnel_ray.build.builder import build_index_waves
+
+    out, cfg, manifest, oracle = built
+    # split the corpus into 4 parquet files
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    files = []
+    for i in range(4):
+        part = docs.slice(i * 125, 125)
+        p = str(tmp_path / f"docs-{i}.parquet")
+        pq.write_table(part, p)
+        files.append(p)
+    root = str(tmp_path / "waves")
+    res = build_index_waves(files, root, EngineConfig(max_gram=2, num_buckets=5), n_waves=4)
+    assert res["n_docs"] == 500 and len(res["segment_dirs"]) == 4
+    eng_single = SearchEngine(out)
+    eng_waves = SearchEngine(res["segment_dirs"])
+    for q in QUERIES:
+        a = eng_single.search(q, k=10)
+        b = eng_waves.search(q, k=10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+
+def test_waves_resume_skips_completed(tmp_path):
+    """A second build_index_waves call over the same input is a no-op
+    (per-wave manifests are the resume unit)."""
+    from bitfunnel_ray.build.builder import build_index_waves
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    files = []
+    for i in range(2):
+        p = str(tmp_path / f"d{i}.parquet")
+        pq.write_table(docs.slice(i * 250, 250), p)
+        files.append(p)
+    root = str(tmp_path / "wroot")
+    r1 = build_index_waves(files, root, EngineConfig(max_gram=1, num_buckets=4), n_waves=2)
+    r2 = build_index_waves(files, root, EngineConfig(max_gram=1, num_buckets=4), n_waves=2)
+    assert r1["n_docs"] == r2["n_docs"] == 500
+    assert [m["complete"] for m in r2["waves"]] == [True, True]
