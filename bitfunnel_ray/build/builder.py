@@ -152,6 +152,32 @@ class TokenizePostings:
                 stats_tbl = partial_term_stats(
                     part[6], emit_text=True, stats_max_gram=self.stats_max_gram
                 )
+        # facts (IFactSet analog): one synthetic posting per (fact, doc)
+        # where the boolean column holds — vectorized mask, tf=1, doclen =
+        # body doclen so the posting layout matches every other term
+        for (fname, fcol) in cfg.facts:
+            if fcol not in batch.column_names:
+                continue
+            import pyarrow.compute as _pc
+
+            from bitfunnel_ray.functions.hashing import fact_term_hash
+
+            mask = _pc.fill_null(batch[fcol].cast(pa.bool_()), False).to_numpy(
+                zero_copy_only=False
+            )
+            sel = np.flatnonzero(mask)
+            if not len(sel):
+                continue
+            fh = np.uint64(fact_term_hash(fname))
+            parts.append(
+                (
+                    np.full(len(sel), fh, dtype=np.uint64),
+                    np.ones(len(sel), dtype=np.uint8),
+                    batch["doc_id"].to_numpy().astype(np.uint64)[sel],
+                    np.ones(len(sel), dtype=np.uint32),
+                    body_doclen[sel].astype(np.uint32),
+                )
+            )
         hashes = np.concatenate([p[0] for p in parts])
         grams = np.concatenate([p[1] for p in parts])
         doc_ids = np.concatenate([p[2] for p in parts])
@@ -658,26 +684,33 @@ def build_index(
         # caller already ran a statistics pass (the reference's own order:
         # statistics → termtable build → ingest) and hands the head-term
         # hashes over directly — no scan here
-        head_arr = np.sort(np.asarray(pre_heads, dtype=np.uint64))
-        if len(head_arr):
-            head_ref = ray.put(head_arr)
-            n_head_terms = len(head_arr)
-            pq.write_table(
-                pa.table({"term_hash": pa.array(head_arr, pa.uint64())}),
-                os.path.join(out_dir, "heads.parquet"),
-            )
+        head_arr = np.asarray(pre_heads, dtype=np.uint64)
     elif (n_docs if n_docs is not None else corpus.count()) > cfg.head_df_threshold:
         head_arr = scan_head_terms(corpus, cfg, skip_count=True)
-        if len(head_arr):
-            head_ref = ray.put(head_arr)
-            n_head_terms = len(head_arr)
-            # sidecar for query-time routing: a salted head term's chunks
-            # live in MANY buckets, so a term-sharded server must scatter
-            # lookups for these hashes to every shard (query/sharded.py)
-            pq.write_table(
-                pa.table({"term_hash": pa.array(np.sort(head_arr), pa.uint64())}),
-                os.path.join(out_dir, "heads.parquet"),
-            )
+    else:
+        head_arr = np.empty(0, dtype=np.uint64)
+    if cfg.facts:
+        # facts are potentially corpus-sized posting lists by construction
+        # (a popular predicate holds for most documents), so their chunks
+        # are ALWAYS salted — the guaranteed-whale analog of the
+        # reference's private rows for system facts (FactSetBase.cpp)
+        from bitfunnel_ray.functions.hashing import fact_term_hash
+
+        fact_arr = np.array(
+            [fact_term_hash(n) for (n, _c) in cfg.facts], dtype=np.uint64
+        )
+        head_arr = np.union1d(head_arr, fact_arr)
+    if len(head_arr):
+        head_arr = np.sort(head_arr)
+        head_ref = ray.put(head_arr)
+        n_head_terms = len(head_arr)
+        # sidecar for query-time routing: a salted head term's chunks
+        # live in MANY buckets, so a term-sharded server must scatter
+        # lookups for these hashes to every shard (query/sharded.py)
+        pq.write_table(
+            pa.table({"term_hash": pa.array(head_arr, pa.uint64())}),
+            os.path.join(out_dir, "heads.parquet"),
+        )
 
     t1 = _mark("head_scan", t1)
 
@@ -688,6 +721,12 @@ def build_index(
         from functools import partial
 
         stream_cols = [c for (_n, c, _s) in cfg.streams]
+        stream_cols += [c for (_n, c) in cfg.facts if c not in stream_cols]
+        try:
+            _names = set(corpus.schema().names)
+            stream_cols = [c for c in stream_cols if c in _names]
+        except Exception:
+            pass
         if shuffle_mode == "ray":
             # in-memory hash exchange on the explicit bucket key (a
             # key-based exchange, ~5x faster than sort-based groupby on a
@@ -746,7 +785,7 @@ def build_index(
                 spill_batch = int(
                     cfg.extra.get(
                         "spill_batch_docs",
-                        min(65536, 4096 * max(1, cfg.num_buckets // 64)),
+                        min(65536, max(8192, 4096 * (cfg.num_buckets // 64))),
                     )
                 )
                 # task args must stay tiny: the head set travels as an
@@ -834,6 +873,34 @@ def build_index(
                             # still fills the pool, and ≤ ~4M rows per task.
                             batch_size=_encode_batch_size(per_bucket, cfg),
                             batch_format="pyarrow",
+                            # In deferred (overlap) mode the encode runs
+                            # CONCURRENTLY with the next wave's spill: cap
+                            # concurrent encode tasks to half the cluster
+                            # so the bandwidth-floored encode never starves
+                            # the compute-bound spill of CPUs (uncapped, 16
+                            # tasks x 2 cpus reserve the whole 32-cpu box
+                            # and the "overlap" degenerates to alternation)
+                            concurrency=(
+                                max(
+                                    1,
+                                    int(
+                                        ray.cluster_resources().get("CPU", 8)
+                                        // (
+                                            2
+                                            * float(
+                                                cfg.extra.get(
+                                                    "encode_num_cpus",
+                                                    2
+                                                    if ray.cluster_resources().get("CPU", 0) >= 16
+                                                    else 1,
+                                                )
+                                            )
+                                        )
+                                    ),
+                                )
+                                if _defer_encode
+                                else None
+                            ),
                             # encode is memory-bandwidth-bound, not compute-bound:
                             # at full task-per-core concurrency 32 concurrent
                             # varint/PFor packers thrash the shared bus and run
@@ -887,6 +954,7 @@ def build_index(
                 "head_df_threshold": cfg.head_df_threshold,
                 "salt_shift": cfg.salt_shift,
                 "streams": [list(s) for s in cfg.streams],
+                "facts": [list(f) for f in cfg.facts],
             },
             "n_head_terms": n_head_terms,
             "input_files": input_files[:4096],

@@ -203,6 +203,7 @@ def merge_segments(
         head_df_threshold=int(c0["head_df_threshold"]),
         salt_shift=int(c0["salt_shift"]),
         streams=tuple(tuple(s) for s in c0["streams"]),
+        facts=tuple(tuple(f) for f in c0.get("facts", []) or []),
         treatment_bands=tuple(tuple(b) for b in bands) if bands else None,
     )
     existing = seglib.load_manifest(out_dir)

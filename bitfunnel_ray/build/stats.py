@@ -125,16 +125,22 @@ def document_frequency_table(
 
 
 def _combine_term_stats(t: pa.Table, *, emit_text: bool) -> pa.Table:
-    """Sum df/cf partials per (term_hash, gram) within one hash-partitioned
-    block (each key is wholly co-located by the exchange)."""
+    """Sum df/cf partials per (term_hash, gram) within one block.
+
+    Accepts either partial columns (df_part/cf_part) or already-combined
+    ones (df/cf) — the op is associative, so it can run BOTH as a map-side
+    pre-combine over raw partial shards (shrinking rows before the
+    exchange) and as the post-exchange finish."""
+    dfc = "df_part" if "df_part" in t.column_names else "df"
+    cfc = "cf_part" if "cf_part" in t.column_names else "cf"
     if len(t) == 0:
         return t.select(
             ["term_hash", "gram_size"] + (["term"] if emit_text else [])
         ).append_column("df", pa.array([], pa.int64())).append_column("cf", pa.array([], pa.int64()))
     h = t["term_hash"].to_numpy(zero_copy_only=False)
     g = t["gram_size"].to_numpy(zero_copy_only=False)
-    dfp = t["df_part"].to_numpy(zero_copy_only=False)
-    cfp = t["cf_part"].to_numpy(zero_copy_only=False)
+    dfp = t[dfc].to_numpy(zero_copy_only=False)
+    cfp = t[cfc].to_numpy(zero_copy_only=False)
     order = np.lexsort((g, h))
     h, g = h[order], g[order]
     new = np.empty(len(h), dtype=bool)
@@ -175,8 +181,17 @@ def combine_fused_stats(stats_dir: str, emit_text: bool = True) -> "ray.data.Dat
     from bitfunnel_ray.build.builder import tune_hash_shuffle
 
     parts = ray.data.read_parquet(stats_dir, file_extensions=["parquet"])
-    n_blocks = tune_hash_shuffle(parts.context)
-    return parts.repartition(num_blocks=n_blocks, keys=["term_hash"]).map_batches(
+    # hierarchical combine: each read block pre-combines its shards before
+    # the exchange — with one partial shard per spill batch, common (zipf)
+    # terms repeat in EVERY shard, so the pre-combine shrinks exchanged
+    # rows by roughly the shards-per-block factor
+    pre = parts.map_batches(
+        _bind(_combine_term_stats, emit_text=emit_text),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    n_blocks = tune_hash_shuffle(pre.context)
+    return pre.repartition(num_blocks=n_blocks, keys=["term_hash"]).map_batches(
         _bind(_combine_term_stats, emit_text=emit_text),
         batch_size=None,
         batch_format="pyarrow",

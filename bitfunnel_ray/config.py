@@ -71,4 +71,15 @@ class EngineConfig:
     # Term::ComputeGeneralHash (= rawHash + streamId, Term.cpp:328-333).
     streams: tuple = (("body", "text", 0),)
 
+    # document FACTS — the IFactSet analog (reference:
+    # inc/BitFunnel/Index/IFactSet.h:30-46, src/Index/src/FactSetBase.cpp):
+    # named boolean per-document predicates, ingested from a boolean corpus
+    # column and indexed as synthetic terms on the reserved fact stream
+    # (functions/hashing.py FACT_STREAM_ID), queryable as ``fact:<name>``
+    # in the boolean language.  Facts participate in matching (AND/OR/NOT)
+    # but contribute ZERO BM25 score — they are filters, like the
+    # reference's rank-0 fact rows (its own soft delete is such a fact).
+    # Tuple of (fact_name, corpus_column) pairs.
+    facts: tuple = ()
+
     extra: dict = field(default_factory=dict, compare=False)

@@ -111,3 +111,18 @@ KNUTH = 2654435761
 def knuth_hash32(keys) -> np.ndarray:
     k = np.asarray(keys).astype(np.uint64)
     return ((k * np.uint64(KNUTH)) & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+
+
+# Reserved stream id for document FACTS (IFactSet analog, reference:
+# inc/BitFunnel/Index/IFactSet.h:30-46, src/Index/src/FactSetBase.cpp —
+# facts are boolean per-document predicates indexed as private rows; here
+# each fact is a synthetic term on its own stream, using the SAME
+# hash + streamId general-hash fold as every other stream, Term.cpp:328-333).
+# Far above any real stream id so fact hashes can't collide with a body
+# term's fold.
+FACT_STREAM_ID = 0x00FACC0000000000
+
+
+def fact_term_hash(name: str) -> int:
+    """Stored hash of the synthetic term for fact ``name``."""
+    return (murmur64a(name) + FACT_STREAM_ID) & _MASK

@@ -57,6 +57,40 @@ def _search_docs(sf_dir: str, query: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(docs.astype(np.int64), pa.int64())})
 
 
+_FACT_ENGINES: dict[str, SearchEngine] = {}
+
+
+def get_fact_engine(sf_dir: str) -> SearchEngine:
+    """Index with document FACTS configured (IFactSet analog, reference
+    inc/BitFunnel/Index/IFactSet.h:30-46 + src/Index/src/FactSetBase.cpp):
+    ``en_doc`` (lang == 'en') and ``even_doc`` (doc_id % 2 == 0) ingest as
+    boolean columns and serve as filter terms in the query language."""
+    eng = _FACT_ENGINES.get(sf_dir)
+    if eng is None:
+        import pyarrow.compute as pc
+
+        def add_facts(t: pa.Table) -> pa.Table:
+            t = t.append_column("is_en", pc.equal(t["lang"], "en"))
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.append_column("is_even", pa.array(ids % 2 == 0))
+
+        tag = sf_dir.strip("/").replace("/", "_")
+        idx_dir = f"/tmp/bfr_idx_cache/{tag}_facts"
+        os.makedirs(os.path.dirname(idx_dir), exist_ok=True)
+        cfg = EngineConfig(
+            max_gram=2,
+            num_buckets=8,
+            facts=(("en_doc", "is_en"), ("even_doc", "is_even")),
+        )
+        corpus = corpus_from_documents(sf_dir).map_batches(
+            add_facts, batch_format="pyarrow"
+        )
+        build_index(corpus, idx_dir, cfg)
+        eng = SearchEngine(idx_dir, load_urls=False)
+        _FACT_ENGINES[sf_dir] = eng
+    return eng
+
+
 def _tokens_sql(where: str = "") -> str:
     return (
         "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents" + where
@@ -377,6 +411,63 @@ scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
        doc_id, round(score, 6) AS score
 FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_fact_filter_search(sf_dir):
+    """BM25 top-10 of 'spark join' restricted by the ``en_doc`` fact
+    (lang == 'en'), queried through the boolean language as
+    ``spark join fact:en_doc``.  The fact participates in matching but
+    contributes zero score (IFactSet semantics: facts are rank-0 filter
+    rows, never scored content)."""
+    eng = get_fact_engine(sf_dir)
+    t = eng.search("spark join fact:en_doc", k=10)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+# same BM25 recipe as SQL_BM25_TOPK; the fact adds ONE predicate to the
+# match set (global n/avgdl/df are unchanged — facts filter, never score)
+SQL_FACT_FILTER_SEARCH = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join') GROUP BY term),
+matches AS (SELECT doc_id FROM tf
+            WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+            GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_fact_only_count(sf_dir):
+    """Match count of a pure fact query (fact:even_doc OR fact:en_doc) —
+    boolean algebra over fact rows alone."""
+    eng = get_fact_engine(sf_dir)
+    docs = eng.eval(parse_query("fact:even_doc | fact:en_doc", eng.stream_map))
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64), pa.int64())})
+
+
+SQL_FACT_ONLY_COUNT = """
+SELECT doc_id FROM documents WHERE doc_id % 2 = 0 OR lang = 'en'
 """
 
 
@@ -3131,6 +3222,8 @@ REGISTRY: dict[str, tuple] = {
     "search_phrase": (q_search_phrase, SQL_SEARCH_PHRASE),
     "search_boolean_mix": (q_search_boolean_mix, SQL_SEARCH_BOOLEAN_MIX),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "fact_filter_search": (q_fact_filter_search, SQL_FACT_FILTER_SEARCH),
+    "fact_only_count": (q_fact_only_count, SQL_FACT_ONLY_COUNT),
     "bm25_or_topk": (q_bm25_or_topk, SQL_BM25_OR_TOPK),
     "sample_filter": (q_sample_filter, SQL_SAMPLE_FILTER),
     "posting_count_filter": (q_posting_count_filter, SQL_POSTING_COUNT_FILTER),

@@ -63,6 +63,7 @@ class _Segment:
         self.num_buckets = int(cfg.get("num_buckets", 16))
         self.k1, self.b = float(cfg["k1"]), float(cfg["b"])
         self.streams = {name: int(sid) for (name, _col, sid) in cfg.get("streams", [["body", "text", 0]])}
+        self.facts = [tuple(f) for f in cfg.get("facts", []) or []]
         if buckets is None:
             files = sorted(glob.glob(os.path.join(seg_dir, "dict-*.parquet")))
         else:
@@ -190,6 +191,10 @@ class QueryAlgebra:
 
     urls = None
     all_docs = None
+    # stored hashes of configured FACT terms (IFactSet analog): facts
+    # participate in boolean matching but score ZERO — they are rank-0
+    # filter rows in the reference, not scored content
+    fact_hashes: frozenset = frozenset()
     # per-engine instrumentation: posting rows touched by eval/score — the
     # QueryPipelineStatistics "quadwords read" analog
     # (reference: inc/BitFunnel/Plan/QueryInstrumentation.h:48-174); the
@@ -240,6 +245,8 @@ class QueryAlgebra:
                     acc.update(self._phrase_grams(n.tokens, n.stream))
 
         walk(node, False)
+        if self.fact_hashes:
+            acc = {p for p in acc if p[0] not in self.fact_hashes}
         return sorted(acc, key=lambda p: (p[1], p[0]))
 
     # --- boolean evaluation ----------------------------------------------
@@ -495,6 +502,12 @@ class SearchEngine(QueryAlgebra):
         s0 = self.segments[0]
         self.max_gram, self.k1, self.b = s0.max_gram, s0.k1, s0.b
         self.stream_map = dict(s0.streams)  # name -> id (StreamConfiguration analog)
+        from bitfunnel_ray.functions.hashing import FACT_STREAM_ID, fact_term_hash
+
+        self.stream_map.setdefault("fact", FACT_STREAM_ID)
+        self.fact_hashes = frozenset(
+            fact_term_hash(n) for s in self.segments for (n, _c) in s.facts
+        )
         metas = []
         for s in self.segments:
             cols = ["doc_id", "url"] if load_urls else ["doc_id"]

@@ -249,6 +249,14 @@ class ShardedSearchEngine(QueryAlgebra):
         self.stream_map = {
             name: int(sid) for (name, _c, sid) in cfg0.get("streams", [["body", "text", 0]])
         }
+        from bitfunnel_ray.functions.hashing import FACT_STREAM_ID, fact_term_hash
+
+        self.stream_map.setdefault("fact", FACT_STREAM_ID)
+        self.fact_hashes = frozenset(
+            fact_term_hash(n)
+            for m in mans
+            for (n, _c) in (m["config"].get("facts", []) or [])
+        )
         self.tombstones = (
             np.sort(np.asarray(tombstones, dtype=np.uint64))
             if tombstones is not None and len(tombstones)
