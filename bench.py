@@ -207,6 +207,11 @@ def run_bench() -> dict:
         extras["query_errors"] = stats["n_errors"]
         extras["mpq"] = round(stats["mpq"], 1)
         extras["mean_postings_rows"] = round(stats.get("mean_postings_rows", 0.0), 1)
+        # per-phase latency split (parse/plan/match/score means, ms)
+        extras["query_phases_ms"] = {
+            p: round(stats.get(f"mean_{p}_ms", 0.0), 4)
+            for p in ("parse", "plan", "match", "score")
+        }
         # steady-state: same log again over the live server — shard-side
         # decoded-ref caches are hot, so this is the long-running-service
         # QPS (the timed stage above deliberately includes every

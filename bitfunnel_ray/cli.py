@@ -269,26 +269,134 @@ def cmd_explain(args):
     print(t.to_pandas().to_string(index=False))
 
 
+_REPL_HELP = """commands (BitFunnel Environment registry analog):
+  query <q>      run a boolean/BM25 query (bare text works too)
+  show term <t>  dict-row inspection: hash, df, cf, chunks, codec, bytes
+  status         index totals (docs, avgdl, segments, dict rows)
+  script <file>  execute commands from a file (reproducible sessions)
+  help           this text
+  exit / quit    leave"""
+
+
+def repl_execute(eng, line: str, *, _depth: int = 0) -> str:
+    """Execute ONE REPL command and return its printable output — the
+    command-registry analog of the reference REPL's Environment
+    (tools/BitFunnel/src/Environment.cpp:78-98 registers query/show/
+    script/status/... commands); factored out so scripts and tests drive
+    the same dispatcher as the interactive loop."""
+    line = line.strip()
+    if not line or line.startswith("#"):
+        return ""
+    cmd, _, rest = line.partition(" ")
+    rest = rest.strip()
+    if cmd == "help":
+        return _REPL_HELP
+    if cmd == "status":
+        rows = sum(len(s.dict) if s.dict is not None else 0 for s in eng.segments)
+        return json.dumps(
+            {
+                "n_docs": eng.n_docs,
+                "avgdl": round(eng.avgdl, 3),
+                "segments": len(eng.segments),
+                "dict_rows": int(rows),
+                "max_gram": eng.max_gram,
+            }
+        )
+    if cmd == "show":
+        sub, _, term = rest.partition(" ")
+        term = term.strip()
+        if sub != "term" or not term:
+            return "usage: show term <text>"
+        # `BitFunnel show term` analog (REPL.cpp / Environment command
+        # set): resolve text → stored hash → dict rows across segments
+        from bitfunnel_ray.functions.hashing import murmur64a, ngram_hash
+
+        toks = term.split()
+        gram = len(toks)
+        h = (
+            murmur64a(term)
+            if gram == 1
+            else ngram_hash([murmur64a(t) for t in toks])
+        )
+        out = [f"term={term!r} gram={gram} hash=0x{h:016x}"]
+        total_df = total_cf = total_chunks = total_bytes = 0
+        for i, s in enumerate(eng.segments):
+            rows = s.chunk_rows(h, gram)
+            if not rows:
+                continue
+            np_col = s.dict["n_postings"]
+            cf_col = s.dict["cf"]
+            salt_col = s.dict["salt"]
+            codec_col = s.dict["codec"] if "codec" in s.dict.column_names else None
+            for r in rows:
+                nbytes = sum(
+                    len(s.dict[c][r].as_py())
+                    for c in ("docs_payload", "tf_payload", "dl_payload")
+                )
+                out.append(
+                    f"  seg {i} salt={salt_col[r].as_py()} "
+                    f"df={np_col[r].as_py()} cf={cf_col[r].as_py()} "
+                    f"codec={'pfor' if codec_col is not None and codec_col[r].as_py() else 'varint'} "
+                    f"payload_bytes={nbytes}"
+                )
+                total_df += int(np_col[r].as_py())
+                total_cf += int(cf_col[r].as_py())
+                total_bytes += nbytes
+                total_chunks += 1
+        if total_chunks == 0:
+            out.append("  (not in index)")
+        else:
+            out.append(
+                f"  TOTAL chunks={total_chunks} df={total_df} cf={total_cf} "
+                f"payload_bytes={total_bytes}"
+            )
+        return "\n".join(out)
+    if cmd == "script":
+        if _depth >= 4:
+            return "error: script nesting too deep"
+        try:
+            with open(rest) as f:
+                lines = f.read().splitlines()
+        except OSError as e:
+            return f"error: {e}"
+        outs = []
+        for ln in lines:
+            if ln.strip() in ("exit", "quit"):
+                break
+            o = repl_execute(eng, ln, _depth=_depth + 1)
+            if o:
+                outs.append(o)
+        return "\n".join(outs)
+    q = rest if cmd == "query" else line
+    try:
+        return eng.search(q, k=10).to_pandas().to_string(index=False)
+    except Exception as e:
+        return f"error: {e}"
+
+
 def cmd_repl(args):
-    """Interactive query loop — the ``BitFunnel repl`` analog
-    (tools/BitFunnel/src/REPL.cpp)."""
+    """Interactive command REPL — the ``BitFunnel repl`` analog
+    (tools/BitFunnel/src/REPL.cpp + Environment.cpp command registry).
+    ``--script <file>`` executes a command file non-interactively."""
     from bitfunnel_ray.query.engine import SearchEngine
 
     eng = SearchEngine(args.index)
-    print(f"loaded {eng.n_docs} docs, avgdl {eng.avgdl:.1f}; 'exit' to quit")
+    if getattr(args, "script", None):
+        out = repl_execute(eng, f"script {args.script}")
+        if out:
+            print(out)
+        return
+    print(f"loaded {eng.n_docs} docs, avgdl {eng.avgdl:.1f}; 'help' for commands")
     while True:
         try:
             q = input("query> ").strip()
         except EOFError:
             break
-        if q in ("exit", "quit", ""):
-            if q:
-                break
-            continue
-        try:
-            print(eng.search(q, k=10).to_pandas().to_string(index=False))
-        except Exception as e:
-            print(f"error: {e}")
+        if q in ("exit", "quit"):
+            break
+        out = repl_execute(eng, q)
+        if out:
+            print(out)
 
 
 def cmd_verify(args):
@@ -577,6 +685,7 @@ def main(argv=None):
 
     s = sub.add_parser("repl")
     s.add_argument("index")
+    s.add_argument("--script", default=None, help="command file to execute")
     s.set_defaults(fn=cmd_repl, needs_ray=False)
 
     s = sub.add_parser("verify")

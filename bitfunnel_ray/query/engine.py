@@ -226,6 +226,27 @@ class QueryAlgebra:
                 out.append(((ngram_hash(h1[i : i + g]) + stream) & 0xFFFFFFFFFFFFFFFF, g))
         return out
 
+    def query_pairs(self, node: ast.Node) -> "list[tuple[int, int]]":
+        """Every (hash, gram) a query's evaluation will touch (positive AND
+        negated terms — eval needs both).  This is the PLAN phase's work
+        list: the runner resolves these against storage (dict lookup +
+        decode, or one batched RPC per shard) before matching."""
+        acc: set[tuple[int, int]] = set()
+
+        def walk(n):
+            if isinstance(n, ast.Not):
+                walk(n.child)
+            elif isinstance(n, (ast.And, ast.Or)):
+                for c in n.children:
+                    walk(c)
+            elif isinstance(n, ast.Term):
+                acc.add(((murmur64a(n.text) + n.stream) & 0xFFFFFFFFFFFFFFFF, 1))
+            elif isinstance(n, ast.Phrase):
+                acc.update(self._phrase_grams(n.tokens, n.stream))
+
+        walk(node)
+        return sorted(acc)
+
     def scoring_terms(self, node: ast.Node) -> list[tuple[int, int]]:
         """Distinct positive (hash, gram) terms, ascending (gram, hash) —
         the canonical BM25 accumulation order."""

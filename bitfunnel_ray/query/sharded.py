@@ -376,30 +376,6 @@ class ShardedSearchEngine(QueryAlgebra):
         # shard doc slices are disjoint but not range-partitioned → one sort
         return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
 
-    # --- serving-side term extraction for prefetch ------------------------
-    def query_pairs(self, node) -> "list[tuple[int, int]]":
-        """Every (hash, gram) a query's evaluation will touch (positive AND
-        negated terms — eval needs both)."""
-        from bitfunnel_ray.functions.hashing import murmur64a
-        from bitfunnel_ray.query import ast
-
-        acc: set[tuple[int, int]] = set()
-
-        def walk(n):
-            if isinstance(n, ast.Not):
-                walk(n.child)
-            elif isinstance(n, (ast.And, ast.Or)):
-                for c in n.children:
-                    walk(c)
-            elif isinstance(n, ast.Term):
-                acc.add(((murmur64a(n.text) + n.stream) & 0xFFFFFFFFFFFFFFFF, 1))
-            elif isinstance(n, ast.Phrase):
-                acc.update(self._phrase_grams(n.tokens, n.stream))
-
-        walk(node)
-        return sorted(acc)
-
-
 class ShardedQueryActor:
     """map_batches front-end: same output contract as
     ``runner.QueryActor`` but backed by a ShardedSearchEngine.  Per batch,
@@ -411,12 +387,15 @@ class ShardedQueryActor:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
         from bitfunnel_ray.query.parser import parse_query
         from bitfunnel_ray.query.runner import eval_queries
 
-        nodes, parse_errs = [], []
+        nodes, parse_errs, parse_s = [], [], []
         pairs = []
         for q in batch["query"].to_pylist():
+            t0 = _time.perf_counter()
             try:
                 node = parse_query(q, self.engine.stream_map)
                 nodes.append(node)
@@ -425,6 +404,9 @@ class ShardedQueryActor:
             except Exception as e:
                 nodes.append(None)
                 parse_errs.append(f"{type(e).__name__}: {e}")
+            parse_s.append(_time.perf_counter() - t0)
+        # batch-level prefetch: ONE RPC per shard touched; the per-query
+        # plan phase then assembles from the warm front cache
         self.engine.prefetch(pairs)
         return eval_queries(
             self.engine,
@@ -432,6 +414,7 @@ class ShardedQueryActor:
             nodes,
             parse_errs,
             self.k,
+            parse_s,
         )
 
 

@@ -207,3 +207,99 @@ def test_explain_sums_to_score(idx):
         assert exp.num_rows > 0
         assert sum(exp["contribution"].to_pylist()) == pytest.approx(score, abs=0.0), q
         assert all(t for t in exp["term"].to_pylist())  # labeled, no raw hashes
+
+
+def test_query_phase_split_sums_to_latency(tmp_path):
+    """parse/plan/match/score phase columns exist and plan+match+score ≈
+    the independently measured latency_s (QuerySummaryStatistics analog)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.query.runner import run_query_log, summarize
+    from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+    idx = str(tmp_path / "phidx")
+    build_index(
+        corpus_from_documents("/root/testdata/sf0.001"), idx,
+        EngineConfig(max_gram=2, num_buckets=4),
+    )
+    qlog = pa.table(
+        {
+            "query_id": pa.array(range(4), pa.int64()),
+            "query": pa.array(
+                ["table", "spark join", "merge | window", "-table"], pa.string()
+            ),
+        }
+    )
+    res = run_query_log(qlog, idx, k=5, concurrency=1).to_pandas()
+    for col in ("parse_s", "plan_s", "match_s", "score_s"):
+        assert col in res.columns
+    per_q = res.groupby("query_id").first()
+    phase_sum = per_q["plan_s"] + per_q["match_s"] + per_q["score_s"]
+    # phases are measured inside the same window as latency_s: the sum must
+    # account for (almost) all of it
+    assert (phase_sum <= per_q["latency_s"] + 1e-9).all()
+    assert ((per_q["latency_s"] - phase_sum) < 0.005).all()
+    s = summarize(rd.from_pandas(res))
+    for key in ("mean_parse_ms", "mean_plan_ms", "mean_match_ms", "mean_score_ms"):
+        assert key in s and s[key] >= 0.0
+
+
+def test_cli_repl_script_and_show_term(tmp_path):
+    """``cli repl --script``: batch a command file (reference REPL's
+    ``script`` command, Environment.cpp:78-98) with query / show term /
+    status outputs."""
+    import ray.data as rd
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+    idx = str(tmp_path / "repl_idx")
+    build_index(
+        corpus_from_documents("/root/testdata/sf0.001"), idx,
+        EngineConfig(max_gram=2, num_buckets=4),
+    )
+    script = tmp_path / "session.bfs"
+    script.write_text(
+        "# reproducible session\n"
+        "status\n"
+        "show term table\n"
+        "show term nonexistenttermxyz\n"
+        "query spark join\n"
+        "table -join\n"
+    )
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root"}
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "repl", idx, "--script", str(script)],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = r.stdout
+    assert '"n_docs": 500' in out                  # status
+    assert "term='table' gram=1 hash=0x" in out    # show term resolves hash
+    assert "TOTAL chunks=" in out                  # dict rows found
+    assert "(not in index)" in out                 # missing term handled
+    assert "doc_id" in out                         # query results printed
+
+
+def test_repl_execute_show_term_df_matches_search(tmp_path):
+    """show term's TOTAL df equals the term's match count."""
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.cli import repl_execute
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.query.engine import SearchEngine
+    from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+    idx = str(tmp_path / "repl_idx2")
+    build_index(
+        corpus_from_documents("/root/testdata/sf0.001"), idx,
+        EngineConfig(max_gram=2, num_buckets=4),
+    )
+    eng = SearchEngine(idx, load_urls=False)
+    out = repl_execute(eng, "show term table")
+    total_line = [l for l in out.splitlines() if "TOTAL" in l][0]
+    df = int(total_line.split("df=")[1].split()[0])
+    assert df == eng.match_count("table")
