@@ -243,8 +243,27 @@ def run_bench() -> dict:
         qmat = np.stack(
             pq.read_table(emb_path, columns=["embedding"]).slice(0, 8)["embedding"].to_pylist()
         )
-        ann.brute_force_topk(rd.read_parquet(emb_path), qmat, k=10).to_pandas()
+        truth = ann.brute_force_topk(rd.read_parquet(emb_path), qmat, k=10).to_pandas()
         timings["ann_topk"] = time.perf_counter() - t0
+        # recall@10 vs nprobe for the IVF quantizer (trained once, probed
+        # at widening nprobe) — the accuracy/cost curve an ANN user tunes.
+        # extras-only: not part of the headline total.
+        emb = rd.read_parquet(emb_path)
+        cents = ann.kmeans_centroids(emb, n_clusters=16, n_iter=3)
+        gt = {
+            q: set(g["vec_id"].tolist())
+            for q, g in truth.groupby("query_id")
+        }
+        curve = {}
+        for npb in (1, 2, 4, 8, 16):
+            got = ann.ivf_topk(emb, qmat, k=10, n_clusters=16, nprobe=npb,
+                               centroids=cents).to_pandas()
+            rec = [
+                len(set(g["vec_id"].tolist()) & gt[q]) / max(1, len(gt[q]))
+                for q, g in got.groupby("query_id")
+            ]
+            curve[str(npb)] = round(float(np.mean(rec)) if rec else 0.0, 4)
+        extras["ivf_recall_at_10_by_nprobe"] = curve
 
     ray.shutdown()
 

@@ -226,20 +226,70 @@ def lsh_topk(
 # --- IVF (inverted-file) ANN ---------------------------------------------
 
 
+_GOLD64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _seeded_init_centroids(
+    embeddings: "ray.data.Dataset", n_clusters: int, vec_col: str, id_col: str
+) -> "np.ndarray | None":
+    """Deterministic hash-sample init for k-means: keep rows whose
+    Knuth-hashed id falls in a 1/m band sized for ~8×n_clusters
+    candidates, then stride-pick n_clusters of them in hash order.  The
+    sample is spread across the WHOLE dataset — the former
+    ``limit(n_clusters)`` init took the first parquet block, so every
+    seed came from one shard of the data (first-block bias: clustered /
+    time-ordered files seeded all centroids from one region).  No RNG —
+    resume and repeat runs derive identical centroids."""
+    try:
+        n_total = embeddings.count()
+    except Exception:
+        return None
+    if not n_total or n_total <= 8 * n_clusters:
+        return None
+    m = max(1, n_total // (8 * n_clusters))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ids * _GOLD64
+        keep = h % np.uint64(m) == 0
+        out = t.filter(pa.array(keep))
+        return out.append_column("_h", pa.array(h[keep], pa.uint64()))
+
+    try:
+        sample = (
+            embeddings.select_columns([id_col, vec_col])
+            .map_batches(pick, batch_format="pyarrow")
+            .to_pandas()
+        )
+    except Exception:
+        return None
+    if len(sample) < n_clusters:
+        return None
+    sample = sample.sort_values("_h").reset_index(drop=True)
+    sel = np.linspace(0, len(sample) - 1, n_clusters).round().astype(int)
+    return np.stack(sample[vec_col].to_numpy()[sel]).astype(np.float64)
+
+
 def kmeans_centroids(
     embeddings: "ray.data.Dataset",
     n_clusters: int = 16,
     n_iter: int = 5,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Distributed spherical k-means (cosine metric): each Lloyd iteration
     is one streaming pass — centroids broadcast via ``ray.put``, every
     batch emits per-cluster (sum, count) partials, the driver folds the
-    tiny (n_clusters × dim) partial table and renormalizes.  Deterministic:
-    init takes the first ``n_clusters`` vectors (stable parquet order), no
-    RNG in the data path."""
-    init_rows = embeddings.select_columns([vec_col]).limit(n_clusters).to_pandas()
-    cents = np.stack(init_rows[vec_col].to_numpy()).astype(np.float64)
+    tiny (n_clusters × dim) partial table and renormalizes.  Deterministic
+    and RNG-free: init is a seeded hash-sample spread over the whole
+    dataset (see ``_seeded_init_centroids``), falling back to the first
+    ``n_clusters`` vectors for tiny inputs or missing id columns."""
+    cents = None
+    if id_col:
+        cents = _seeded_init_centroids(embeddings, n_clusters, vec_col, id_col)
+    if cents is None:
+        init_rows = embeddings.select_columns([vec_col]).limit(n_clusters).to_pandas()
+        cents = np.stack(init_rows[vec_col].to_numpy()).astype(np.float64)
     cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     nc, dim = cents.shape
 
@@ -303,7 +353,7 @@ def ivf_topk(
     cents = (
         np.asarray(centroids, dtype=np.float64)
         if centroids is not None
-        else kmeans_centroids(embeddings, n_clusters, n_iter, vec_col)
+        else kmeans_centroids(embeddings, n_clusters, n_iter, vec_col, id_col)
     )
     q = np.asarray(query_vectors, dtype=np.float64)
     q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
