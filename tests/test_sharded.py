@@ -156,3 +156,53 @@ def test_sharded_explain_matches_local(built, ray_session):
         assert a == b
     finally:
         srv.shutdown()
+
+
+def test_replica_failover_zero_errors(tmp_path):
+    """Kill one shard replica mid-serving: fronts rotate to the surviving
+    replica — zero query errors, identical results (multi-node posture:
+    replicas are SPREAD-placed; a node loss keeps every shard reachable)."""
+    import time
+
+    import ray
+    import pyarrow as pa
+
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.query.sharded import ShardedServer
+    from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+    idx = str(tmp_path / "fo_idx")
+    build_index(
+        corpus_from_documents("/root/testdata/sf0.001"), idx,
+        EngineConfig(max_gram=2, num_buckets=4),
+    )
+    # fractional CPUs: 4 shard actors (2 shards x 2 replicas) must leave
+    # room for the 2 map_batches query actors inside the 4-cpu test session
+    srv = ShardedServer(idx, n_shards=2, n_replicas=2, num_cpus_per_shard=0.25)
+    try:
+        q = pa.table(
+            {
+                "query_id": pa.array(range(4), pa.int64()),
+                "query": pa.array(
+                    ["table", "spark join", "NOT table", "merge | window"], pa.string()
+                ),
+            }
+        )
+        drop = ["latency_s", "parse_s", "plan_s", "match_s", "score_s"]
+        before = (
+            srv.run(q, k=5, concurrency=2).to_pandas()
+            .sort_values(["query_id", "rank"]).reset_index(drop=True).drop(columns=drop)
+        )
+        # kill one replica of EACH shard — every front must fail over
+        for g in srv.handle_groups:
+            ray.kill(g[0])
+        time.sleep(0.5)
+        after = (
+            srv.run(q, k=5, concurrency=2).to_pandas()
+            .sort_values(["query_id", "rank"]).reset_index(drop=True).drop(columns=drop)
+        )
+        assert (after["error"] == "").all(), after["error"].tolist()
+        assert before.equals(after)
+    finally:
+        srv.shutdown()
