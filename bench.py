@@ -119,6 +119,10 @@ def run_bench() -> dict:
     # memory-bandwidth-bound encode overlaps wave i+1's compute-bound
     # tokenize/spill, so neither phase idles the machine.
     #
+    # BFR_STATS_MODE=scan restores the two-pass workflow (a separate
+    # statistics scan before the build, the reference's literal stage
+    # order) for A/B against the fused single-pass form.
+    #
     # num_buckets floor is pinned (NOT a function of ncpu) so the 8- and
     # 32-cpu scaling runs do identical work; build_index auto-scales the
     # count with wave size (~16Ki docs/bucket — deterministic in the
@@ -126,14 +130,21 @@ def run_bench() -> dict:
     # terms so the skew-salting path actually runs at bench scale
     # (salt_shift=14 caps salted chunks at 16k postings); the head set is
     # scanned once from a 5% hash sample and shared by every wave.
-    from bitfunnel_ray.build.builder import build_index_waves
+    from bitfunnel_ray.build.builder import build_index, build_index_waves
     from bitfunnel_ray.build.stats import combine_fused_stats, top_k_by
 
     head_df_threshold = 1 << 15
-    stats_dir = "/tmp/bfr_bench_stats_partials"
+    stats_mode = os.environ.get("BFR_STATS_MODE", "fused")
+    # stats partials are shuffle-intermediate data, not output: keep them
+    # on RAM-backed storage like the spill shards (a disk-backed /tmp adds
+    # a write-back floor that is identical at every parallelism level)
+    stats_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    stats_dir = os.path.join(stats_root, "bfr_bench_stats_partials")
     idx_dir = "/tmp/bfr_bench_idx"
     n_waves = int(os.environ.get("BFR_BUILD_WAVES", "4"))
-    extra = {"fused_stats_dir": stats_dir, "stats_max_gram": 1}
+    extra = {}
+    if stats_mode == "fused":
+        extra = {"fused_stats_dir": stats_dir, "stats_max_gram": 1}
     if os.environ.get("BFR_ENCODE_NCPU"):
         extra["encode_num_cpus"] = float(os.environ["BFR_ENCODE_NCPU"])
     if os.environ.get("BFR_SPILL_COMP"):
@@ -145,18 +156,55 @@ def run_bench() -> dict:
         salt_shift=14,
         extra=extra,
     )
+
+    df_tbl = None
+    if stats_mode == "scan":
+        # r2-style separate statistics pass: one full-corpus tokenize +
+        # hash exchange + map-side top-k (BitFunnel statistics, literal)
+        from bitfunnel_ray.build.stats import document_frequency_table
+        from bitfunnel_ray.functions.hashing import murmur64a
+
+        t0 = time.perf_counter()
+        df_tbl = top_k_by(
+            document_frequency_table(
+                rd.read_parquet(parquet_files, override_num_blocks=128),
+                EngineConfig(max_gram=1),
+            ).select_columns(["term", "df", "term_hash"]),
+            k=5000,
+            col="df",
+            tiebreak="term_hash",
+        ).to_pandas()
+        if want("stats_df"):
+            timings["stats_df"] = time.perf_counter() - t0
+        head_hashes = np.array(
+            [murmur64a(t) for t in df_tbl.loc[df_tbl["df"] > head_df_threshold, "term"]],
+            dtype=np.uint64,
+        )
+        cfg.extra["head_hashes"] = head_hashes
+
     seg_dirs = [idx_dir]
     if want("index_build") or want("query_serve") or want("stats_df"):
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(stats_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        res = build_index_waves(
-            parquet_files, idx_dir, cfg, n_waves=n_waves,
-            # 128 fixed input blocks across the run (the corpus's row-group
-            # granularity): bounds map parallelism identically at every
-            # cluster size
-            override_num_blocks_per_wave=max(8, 128 // n_waves),
-        )
+        if n_waves == 1:
+            # monolithic build: no deferred-encode concurrency cap
+            manifest = build_index(
+                rd.read_parquet(parquet_files, override_num_blocks=128), idx_dir, cfg
+            )
+            res = {
+                "segment_dirs": [idx_dir],
+                "waves": [manifest],
+                "n_docs": manifest["n_docs"],
+            }
+        else:
+            res = build_index_waves(
+                parquet_files, idx_dir, cfg, n_waves=n_waves,
+                # 128 fixed input blocks across the run (the corpus's
+                # row-group granularity): bounds map parallelism
+                # identically at every cluster size
+                override_num_blocks_per_wave=max(8, 128 // n_waves),
+            )
         seg_dirs = res["segment_dirs"]
         if want("index_build"):
             timings["index_build"] = time.perf_counter() - t0
@@ -168,19 +216,20 @@ def run_bench() -> dict:
             extras["n_build_waves"] = n_waves
 
     # --- statistics finish (df table; the 'BitFunnel statistics' analog) -
-    # the corpus walk already happened inside the build; this stage is the
-    # partial-shard combine (one small hash exchange over vocab-sized
-    # partials) + the map-side top-k prune — never a corpus read, never an
-    # all-to-all sort of the full vocabulary
-    t0 = time.perf_counter()
-    df_tbl = top_k_by(
-        combine_fused_stats(stats_dir).select_columns(["term", "df", "term_hash"]),
-        k=5000,
-        col="df",
-        tiebreak="term_hash",
-    ).to_pandas()
-    if want("stats_df"):
-        timings["stats_df"] = time.perf_counter() - t0
+    # fused mode: the corpus walk already happened inside the build; this
+    # stage is the partial-shard combine (one small hash exchange over
+    # vocab-sized partials) + the map-side top-k prune — never a corpus
+    # read, never an all-to-all sort of the full vocabulary
+    if stats_mode == "fused":
+        t0 = time.perf_counter()
+        df_tbl = top_k_by(
+            combine_fused_stats(stats_dir).select_columns(["term", "df", "term_hash"]),
+            k=5000,
+            col="df",
+            tiebreak="term_hash",
+        ).to_pandas()
+        if want("stats_df"):
+            timings["stats_df"] = time.perf_counter() - t0
 
     # --- query serving (term-sharded actors + scatter-gather fronts) -----
     # each shard actor opens only its bucket subset (~1/4 of the dict);

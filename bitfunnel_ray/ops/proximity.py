@@ -86,6 +86,76 @@ def proximity_search(
     )
 
 
+def _phrase_batch(t: pa.Table, *, terms: "tuple[str, ...]") -> pa.Table:
+    """Docs containing ``terms`` as CONSECUTIVE tokens in order.  All-numpy:
+    k shifted equality masks ANDed together over the flattened token
+    stream, gated to same-doc (start and end token in one document)."""
+    flat, doc_of, _ = flat_tokens(t["text"])
+    k = len(terms)
+    n = len(flat)
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    if n < k:
+        return empty
+    m = pc.equal(flat, terms[0]).to_numpy(zero_copy_only=False)[: n - k + 1].copy()
+    for i, term in enumerate(terms[1:], 1):
+        m &= pc.equal(flat, term).to_numpy(zero_copy_only=False)[i : n - k + 1 + i]
+    m &= doc_of[: n - k + 1] == doc_of[k - 1 :]
+    if not m.any():
+        return empty
+    uniq = np.unique(doc_of[np.flatnonzero(m)])
+    ids = (
+        t["doc_id"].combine_chunks()
+        if isinstance(t["doc_id"], pa.ChunkedArray)
+        else t["doc_id"]
+    )
+    return pa.table({"doc_id": ids.take(pa.array(uniq)).cast(pa.int64())})
+
+
+def exact_phrase_search(
+    corpus: "ray.data.Dataset", terms: "list[str]", engine=None
+) -> "ray.data.Dataset":
+    """Exact ORDERED-adjacency phrase match — the semantics the
+    reference's phrase operator approximates: BitFunnel indexes phrases
+    as unordered co-occurrence of their 1..maxGram n-gram terms
+    (src/Plan/src/TermMatchTreeConverter.cpp:156-179 — no positions, so
+    "a b c" also matches "c b a" scattered across the page), and our
+    index reproduces that for parity.  This operator answers the exact
+    question with a positional map-only scan: k shifted equality masks
+    over the flattened token stream, no python loop, no shuffle.
+
+    With ``engine`` given, the scale path runs: the index's co-occurrence
+    phrase query (a strict SUPERSET of exact matches by construction)
+    selects candidate doc_ids first — broadcast once — and blocks
+    pre-filter with a vectorized ``isin`` so the position scan touches
+    only candidate documents."""
+    if len(terms) < 2:
+        raise ValueError("exact_phrase_search wants >= 2 terms")
+    tt = tuple(terms)
+    if engine is None:
+        return corpus.select_columns(["doc_id", "text"]).map_batches(
+            partial(_phrase_batch, terms=tt), batch_format="pyarrow"
+        )
+    import ray
+
+    from bitfunnel_ray.query.parser import parse_query
+
+    quoted = '"' + " ".join(terms) + '"'
+    cand = engine.eval(parse_query(quoted, engine.stream_map))
+    cand_ref = ray.put(np.sort(np.asarray(cand, dtype=np.int64)))
+
+    def batch(t: pa.Table) -> pa.Table:
+        allowed = ray.get(cand_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(ids, allowed)
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return _phrase_batch(t.filter(pa.array(keep)), terms=tt)
+
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
+        batch, batch_format="pyarrow"
+    )
+
+
 def indexed_proximity_search(
     engine,
     corpus: "ray.data.Dataset",

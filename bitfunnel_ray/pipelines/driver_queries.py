@@ -113,6 +113,33 @@ FROM ({_tokens_sql()}) GROUP BY term
 """
 
 
+def q_fused_df_table(sf_dir):
+    """Statistics FUSED into the build's tokenize/spill pass (the
+    reference's own shape: statistics and ingestion are ONE corpus walk,
+    tools/BitFunnel/src/StatisticsBuilder.cpp:114-187 drives both builders
+    from a single ChunkIngestor): build a segment with ``fused_stats_dir``
+    set, then finish the df table from the emitted partials — no second
+    corpus read.  Same oracle SQL as ``df_table`` proves the fused path
+    bit-identical to the standalone scan."""
+    import shutil as _sh
+
+    from bitfunnel_ray.build.stats import combine_fused_stats
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx_dir = f"/tmp/bfr_idx_cache/{tag}_fusedstats_idx"
+    stats_dir = f"/tmp/bfr_idx_cache/{tag}_fusedstats_parts"
+    _sh.rmtree(idx_dir, ignore_errors=True)
+    _sh.rmtree(stats_dir, ignore_errors=True)
+    os.makedirs("/tmp/bfr_idx_cache", exist_ok=True)
+    cfg = EngineConfig(
+        max_gram=1,
+        num_buckets=8,
+        extra={"fused_stats_dir": stats_dir, "stats_max_gram": 1},
+    )
+    build_index(corpus_from_documents(sf_dir), idx_dir, cfg)
+    return combine_fused_stats(stats_dir).select_columns(["term", "df", "cf"])
+
+
 def q_doclen_histogram(sf_dir):
     return doclen_histogram(corpus_from_documents(sf_dir), EngineConfig(max_gram=1))
 
@@ -2994,6 +3021,39 @@ def q_chunk_roundtrip(sf_dir):
 SQL_CHUNK_ROUNDTRIP = "SELECT doc_id, text FROM documents"
 
 
+def q_exact_phrase(sf_dir):
+    """Exact ORDERED 3-token phrase — the semantics the engine's phrase
+    operator deliberately approximates (reference parity: unordered
+    co-occurrence of the 1..maxGram n-grams, TermMatchTreeConverter.cpp:
+    156-179).  Positional scan, map-only."""
+    from bitfunnel_ray.ops.proximity import exact_phrase_search
+
+    return exact_phrase_search(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        ["order", "batch", "batch"],
+    )
+
+
+def q_exact_phrase_indexed(sf_dir):
+    """Index-accelerated exact phrase: the co-occurrence phrase query is
+    a strict SUPERSET of ordered-adjacency matches, so the index selects
+    candidates and the position scan touches only those — same oracle as
+    the full scan."""
+    from bitfunnel_ray.ops.proximity import exact_phrase_search
+
+    return exact_phrase_search(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        ["order", "batch", "batch"],
+        engine=get_engine(sf_dir),
+    )
+
+
+SQL_EXACT_PHRASE = """
+SELECT doc_id FROM documents
+WHERE ' ' || text || ' ' LIKE '% order batch batch %'
+"""
+
+
 def q_proximity_indexed(sf_dir):
     """Index-accelerated NEAR/5: the boolean AND over posting lists
     selects candidates (broadcast once), the position scan touches only
@@ -3201,6 +3261,8 @@ REGISTRY: dict[str, tuple] = {
     "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
     "drift_terms": (q_drift_terms, SQL_DRIFT_TERMS),
     "proximity_indexed": (q_proximity_indexed, SQL_PROXIMITY_SEARCH),
+    "exact_phrase": (q_exact_phrase, SQL_EXACT_PHRASE),
+    "exact_phrase_indexed": (q_exact_phrase_indexed, SQL_EXACT_PHRASE),
     "chunk_roundtrip": (q_chunk_roundtrip, SQL_CHUNK_ROUNDTRIP),
     "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
     "url_dedup": (q_url_dedup, _sql_url_dedup()),
@@ -3213,6 +3275,7 @@ REGISTRY: dict[str, tuple] = {
     "regex_scan": (q_regex_scan, SQL_REGEX_SCAN),
     "embedding_exact_dups": (q_embedding_exact_dups, SQL_EMBEDDING_EXACT_DUPS),
     "df_table": (q_df_table, SQL_DF_TABLE),
+    "fused_df_table": (q_fused_df_table, SQL_DF_TABLE),
     "doclen_histogram": (q_doclen_histogram, SQL_DOCLEN_HISTOGRAM),
     "doc_meta": (q_doc_meta, SQL_DOC_META),
     "ingest_totals": (q_ingest_totals, SQL_INGEST_TOTALS),

@@ -253,3 +253,49 @@ def test_corpus_diff_statuses():
     got = corpus_diff(old, new).to_pandas()
     m = dict(zip(got["doc_id"], got["status"]))
     assert m == {1: "removed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_exact_phrase_search_vs_brute():
+    from bitfunnel_ray.ops.proximity import exact_phrase_search
+
+    texts = [
+        "x a b c y",      # match
+        "c b a",          # reversed: co-occurrence would match, order must not
+        "a b x c",        # scattered: no adjacency
+        "a b c a b c",    # two matches
+        "a b",            # prefix only
+        "b c",            # suffix only
+        "",
+    ]
+    # phrase spanning a doc boundary must NOT match: "... a b" | "c ..."
+    texts += ["z z a b", "c z z"]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    got = sorted(exact_phrase_search(docs, ["a", "b", "c"]).to_pandas()["doc_id"])
+    want = [
+        i
+        for i, t in enumerate(texts)
+        if " a b c " in f" {t} "
+    ]
+    assert got == want == [0, 3]
+
+
+def test_exact_phrase_overlapping_self():
+    from bitfunnel_ray.ops.proximity import exact_phrase_search
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a a a", "a x a"]),
+            }
+        )
+    )
+    got = sorted(exact_phrase_search(docs, ["a", "a"]).to_pandas()["doc_id"])
+    assert got == [0]
