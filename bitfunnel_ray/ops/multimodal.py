@@ -72,7 +72,16 @@ class DecodeFeatures:
             {
                 "media_id": t["media_id"],
                 "media_type": t["media_type"],
-                "features": pa.array([row.tolist() for row in feats], pa.list_(pa.float32())),
+                # zero-copy list<float32> from the contiguous (n, dim)
+                # feature matrix: arange offsets + raveled values
+                "features": pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, feats.size + 1, feats.shape[1] or 1, dtype=np.int32)[
+                            : len(feats) + 1
+                        ]
+                    ),
+                    pa.array(feats.ravel(), pa.float32()),
+                ),
             }
         )
 

@@ -2485,7 +2485,9 @@ def q_multimodal_features(sf_dir):
         lambda t: pa.table(
             {
                 "media_id": t["media_id"].cast(pa.int64()),
-                "f0": pa.array([row[0] for row in t["features"].to_pylist()], pa.float32()),
+                "f0": pc.list_element(t["features"].combine_chunks(), 0).cast(
+                    pa.float32()
+                ),
             }
         ),
         batch_format="pyarrow",
