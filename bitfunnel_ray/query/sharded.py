@@ -464,7 +464,13 @@ class ShardedServer:
         k: int = 10,
         concurrency: int = 4,
         batch_size: int = 64,
+        num_cpus_per_front: float = 1.0,
     ):
+        """``num_cpus_per_front``: CPU reservation per front-end actor —
+        fronts are mostly waiting on shard RPCs, so fractional values let
+        fronts coexist with shard actors on small sessions (a front pool
+        that demands whole CPUs a fully-reserved session cannot grant
+        never starts, and run() waits forever)."""
         import ray.data
 
         if isinstance(queries, pa.Table):
@@ -481,6 +487,7 @@ class ShardedServer:
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
+            num_cpus=num_cpus_per_front,
         )
 
     def shutdown(self) -> None:

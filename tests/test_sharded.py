@@ -40,7 +40,7 @@ def built(tmp_path_factory, ray_session):
 
 @pytest.fixture(scope="module")
 def server(built):
-    srv = ShardedServer(built, n_shards=3)
+    srv = ShardedServer(built, n_shards=3, num_cpus_per_shard=0.5)
     yield srv
     srv.shutdown()
 
@@ -191,7 +191,7 @@ def test_replica_failover_zero_errors(tmp_path):
         )
         drop = ["latency_s", "parse_s", "plan_s", "match_s", "score_s"]
         before = (
-            srv.run(q, k=5, concurrency=2).to_pandas()
+            srv.run(q, k=5, concurrency=2, num_cpus_per_front=0.5).to_pandas()
             .sort_values(["query_id", "rank"]).reset_index(drop=True).drop(columns=drop)
         )
         # kill one replica of EACH shard — every front must fail over
@@ -199,7 +199,7 @@ def test_replica_failover_zero_errors(tmp_path):
             ray.kill(g[0])
         time.sleep(0.5)
         after = (
-            srv.run(q, k=5, concurrency=2).to_pandas()
+            srv.run(q, k=5, concurrency=2, num_cpus_per_front=0.5).to_pandas()
             .sort_values(["query_id", "rank"]).reset_index(drop=True).drop(columns=drop)
         )
         assert (after["error"] == "").all(), after["error"].tolist()
