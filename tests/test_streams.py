@@ -25,7 +25,11 @@ def eng(tmp_path_factory):
 
 
 def test_stream_map_loaded(eng):
-    assert eng.stream_map == {"body": 0, "lang": 1}
+    from bitfunnel_ray.functions.hashing import FACT_STREAM_ID
+
+    # configured streams load verbatim; the engine also registers the
+    # synthetic "fact" stream so fact:<name> parses (IFactSet analog)
+    assert eng.stream_map == {"body": 0, "lang": 1, "fact": FACT_STREAM_ID}
 
 
 def test_stream_query_matches_column(eng):
