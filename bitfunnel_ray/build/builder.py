@@ -72,6 +72,11 @@ def tune_hash_shuffle(ctx) -> int:
 
     cpus = int(_ray.cluster_resources().get("CPU", 8))
     n_blocks = max(2, min(32, cpus // 2))
+    # BFR_SHUFFLE_PARTS pins the exchange partition count independent of
+    # the CPU count (scaling runs: identical exchange layout at every
+    # cluster size — partitions are cheap at 0.05 cpu each)
+    if os.environ.get("BFR_SHUFFLE_PARTS"):
+        n_blocks = int(os.environ["BFR_SHUFFLE_PARTS"])
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.default_hash_shuffle_parallelism = n_blocks
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
