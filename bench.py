@@ -370,6 +370,10 @@ def run_scaling() -> dict:
         env.setdefault("BFR_STATS_MODE", "scan")
         env.setdefault("BFR_BUILD_WAVES", "1")
         env.setdefault("BFR_ENCODE_NCPU", "2")
+        # pinned exchange partition count (the auto cpus/2 gave the 8-cpu
+        # child a 4-partition exchange — a different physical plan;
+        # 16 partitions at 0.05 cpu each run fine at both levels)
+        env.setdefault("BFR_SHUFFLE_PARTS", "16")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
