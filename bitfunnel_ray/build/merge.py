@@ -335,3 +335,101 @@ def merge_segments(
     }
     seglib.write_manifest(out_dir, manifest)
     return manifest
+
+
+# --- size-tiered compaction (the LSM policy over additive segments) --------
+
+
+def next_compaction(
+    seg_dirs: "list[str]",
+    max_segments: int = 4,
+    tier_factor: float = 4.0,
+) -> "list[str] | None":
+    """Pick the next merge group under the size-tiered policy.
+
+    Streaming ingestion (``build_index_waves`` / incremental adds) leaves a
+    trail of additive segments; serving cost grows with segment count (one
+    dictionary lookup per segment per term).  The classic size-tiered rule
+    bounds write amplification: merge PEERS (segments within
+    ``tier_factor`` of the running group size), never a tiny segment into
+    a giant one — a doc ingested early is rewritten O(log_F total) times
+    instead of O(merges).
+
+    Returns the list of segment dirs to merge next (ascending size,
+    smallest tier first), or None when ``len(seg_dirs) <= max_segments``.
+    Deterministic in the manifests, so a killed compaction rerun picks the
+    same group.
+    """
+    if len(seg_dirs) <= max_segments:
+        return None
+    sizes = []
+    for d in seg_dirs:
+        man = seglib.load_manifest(d)
+        if man is None:
+            raise FileNotFoundError(f"no manifest in {d}")
+        sizes.append((int(man["n_docs"] or 0), d))
+    sizes.sort()
+    need = len(sizes) - max_segments + 1
+    group = [sizes[0]]
+    total = max(1, sizes[0][0])
+    for n, d in sizes[1:]:
+        if len(group) >= need:
+            break
+        if n > tier_factor * total and len(group) >= 2:
+            # next candidate is outside the tier: stop here (a later
+            # compaction round merges the output with its new peers)
+            break
+        group.append((n, d))
+        total += n
+    if len(group) < 2:
+        group = sizes[:2]
+    return [d for _n, d in group]
+
+
+def compact_segments(
+    out_root: str,
+    seg_dirs: "list[str]",
+    max_segments: int = 4,
+    tier_factor: float = 4.0,
+    tombstones: "np.ndarray | None" = None,
+) -> dict:
+    """Run size-tiered compactions until at most ``max_segments`` remain.
+
+    Each round merges one tier group into ``out_root/seg-merged-NNNN``
+    (atomic per-bucket, resumable — ``merge_segments`` semantics) and
+    replaces the group members in the live list.  Tombstones are applied
+    on the FIRST merge each doc participates in (compaction is when soft
+    deletes become real deletes, Ingestor.cpp:302-327 analog).
+
+    Returns ``{"segment_dirs": [...], "merges": [{"inputs": [...],
+    "output": ...}, ...]}``; query engines take ``segment_dirs``.
+    """
+    live = list(seg_dirs)
+    merges = []
+    seq = 0
+    existing = set(os.listdir(out_root)) if os.path.isdir(out_root) else set()
+    while True:
+        group = next_compaction(live, max_segments, tier_factor)
+        if group is None:
+            break
+        while f"seg-merged-{seq:04d}" in existing:
+            seq += 1
+        out_dir = os.path.join(out_root, f"seg-merged-{seq:04d}")
+        existing.add(f"seg-merged-{seq:04d}")
+        merge_segments(group, out_dir, tombstones=tombstones)
+        tombstones = None  # applied once; merged output is already clean
+        live = [d for d in live if d not in set(group)] + [out_dir]
+        merges.append({"inputs": group, "output": out_dir})
+    # refresh the waves manifest if this root has one (keeps
+    # ShardedServer(out_root) / waves.json consumers consistent)
+    waves_path = os.path.join(out_root, "waves.json")
+    if os.path.exists(waves_path):
+        import json as _json
+
+        with open(waves_path) as f:
+            root = _json.load(f)
+        root["segment_dirs"] = live
+        root["compactions"] = root.get("compactions", []) + merges
+        with open(waves_path, "w") as f:
+            _json.dump(root, f)
+    return {"segment_dirs": live, "merges": merges}

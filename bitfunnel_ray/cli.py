@@ -533,6 +533,54 @@ def cmd_pretrain(args):
     print(json.dumps(report, sort_keys=True))
 
 
+def cmd_compact(args):
+    """Size-tiered compaction: merge additive segments (streaming-wave or
+    incremental-ingest outputs) down to --max-segments, always merging
+    size PEERS first (LSM policy — bounded write amplification).  Reads
+    waves.json under the root when present, else every seg-*/ with a
+    manifest."""
+    import glob as _glob
+
+    from bitfunnel_ray.build.merge import compact_segments
+    from bitfunnel_ray.build import segment as seglib
+
+    root = args.root
+    waves = os.path.join(root, "waves.json")
+    if os.path.exists(waves):
+        with open(waves) as f:
+            seg_dirs = json.load(f)["segment_dirs"]
+    else:
+        seg_dirs = sorted(
+            d for d in _glob.glob(os.path.join(root, "seg-*"))
+            if seglib.load_manifest(d) is not None
+        )
+    tomb = None
+    if args.tombstones:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(args.tombstones)
+        col = "doc_id" if "doc_id" in t.column_names else t.column_names[0]
+        tomb = t[col].to_numpy().astype(np.uint64)
+    res = compact_segments(
+        root, seg_dirs, max_segments=args.max_segments,
+        tier_factor=args.tier_factor, tombstones=tomb,
+    )
+    print(
+        json.dumps(
+            {
+                "segments_before": len(seg_dirs),
+                "segments_after": len(res["segment_dirs"]),
+                "merges": [
+                    {"inputs": [os.path.basename(x) for x in m["inputs"]],
+                     "output": os.path.basename(m["output"])}
+                    for m in res["merges"]
+                ],
+            }
+        )
+    )
+
+
 def cmd_merge(args):
     """Merge bucket-aligned segments into one (optionally compacting
     tombstoned docs away).  No shuffle: bucket b of every input holds the
@@ -701,6 +749,13 @@ def main(argv=None):
     s.add_argument("out"); s.add_argument("segments", nargs="+")
     s.add_argument("--tombstones", default=None)
     s.set_defaults(fn=cmd_merge, needs_ray=True)
+
+    s = sub.add_parser("compact")
+    s.add_argument("root")
+    s.add_argument("--max-segments", type=int, default=4)
+    s.add_argument("--tier-factor", type=float, default=4.0)
+    s.add_argument("--tombstones", default=None)
+    s.set_defaults(fn=cmd_compact, needs_ray=True)
 
     s = sub.add_parser("verify-synthetic")
     s.add_argument("--docs", type=int, default=1024)

@@ -120,3 +120,64 @@ def test_merge_resume_after_partial(halves, tmp_path):
     assert got.keys() == ref.keys()
     for name in got:
         assert got[name].equals(ref[name]), name
+
+
+def test_next_compaction_tiered(tmp_path):
+    """The policy merges size PEERS first and never drags the giant
+    segment into a small-tier merge unless forced by max_segments."""
+    from bitfunnel_ray.build import segment as seglib
+    from bitfunnel_ray.build.merge import next_compaction
+
+    def seg(name, n_docs):
+        d = str(tmp_path / name)
+        import os as _os
+
+        _os.makedirs(d, exist_ok=True)
+        seglib.write_manifest(d, {"complete": True, "n_docs": n_docs})
+        return d
+
+    small = [seg(f"s{i}", 10 + i) for i in range(3)]
+    giant = seg("giant", 10000)
+    group = next_compaction(small + [giant], max_segments=2, tier_factor=4.0)
+    assert sorted(group) == sorted(small)  # giant stays out
+    # under the cap: nothing to do
+    assert next_compaction(small[:2], max_segments=2) is None
+    # forced pairing when only two remain over the cap
+    g2 = next_compaction([small[0], giant], max_segments=1)
+    assert sorted(g2) == sorted([small[0], giant])
+
+
+def test_compact_segments_query_identical(tmp_path, ray_session):
+    """Wave segments compacted down to 2 return bit-identical search
+    results; waves.json is refreshed to the live segment list."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from bitfunnel_ray.build.builder import build_index_waves
+    from bitfunnel_ray.build.merge import compact_segments
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.query.engine import SearchEngine
+
+    docs = _pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    files = []
+    for i in range(4):
+        p = str(tmp_path / f"docs-{i}.parquet")
+        _pq.write_table(docs.slice(i * 125, 125), p)
+        files.append(p)
+    root = str(tmp_path / "cwaves")
+    res = build_index_waves(files, root, EngineConfig(max_gram=2, num_buckets=5), n_waves=4)
+    assert len(res["segment_dirs"]) == 4
+    queries = ["table join", "merge | window", "-table", '"batch batch"']
+    before = {q: SearchEngine(res["segment_dirs"]).search(q, k=10) for q in queries}
+
+    out = compact_segments(root, res["segment_dirs"], max_segments=2)
+    assert len(out["segment_dirs"]) == 2
+    assert out["merges"] and all(len(m["inputs"]) >= 2 for m in out["merges"])
+    eng = SearchEngine(out["segment_dirs"])
+    for q in queries:
+        a, b = before[q], eng.search(q, k=10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
+    live = _json.load(open(f"{root}/waves.json"))["segment_dirs"]
+    assert sorted(live) == sorted(out["segment_dirs"])
