@@ -299,3 +299,32 @@ def test_exact_phrase_overlapping_self():
     )
     got = sorted(exact_phrase_search(docs, ["a", "a"]).to_pandas()["doc_id"])
     assert got == [0]
+
+
+def test_exact_phrase_property_random():
+    """Random small-vocab docs vs a brute-force python oracle (ordered
+    adjacency over whitespace tokens), including k=3 phrases with
+    repeated terms."""
+    import numpy as np
+
+    from bitfunnel_ray.ops.proximity import exact_phrase_search
+
+    rng = np.random.default_rng(7)
+    vocab = ["a", "b", "c"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 12)))
+        for _ in range(200)
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    for phrase in (["a", "b"], ["b", "b"], ["a", "b", "a"], ["c", "c", "c"]):
+        got = sorted(exact_phrase_search(docs, phrase).to_pandas()["doc_id"])
+        pat = " " + " ".join(phrase) + " "
+        want = [i for i, t in enumerate(texts) if pat in f" {t} "]
+        assert got == want, phrase
