@@ -133,15 +133,22 @@ def run_bench() -> dict:
     from bitfunnel_ray.build.builder import build_index, build_index_waves
     from bitfunnel_ray.build.stats import combine_fused_stats, top_k_by
 
+    # Default = scan + monolithic build: the measured-fastest form on this
+    # box at every size (600k @32: scan 10.8 s vs fused-waves 12.9 s
+    # build+stats; 2M: 23.5 vs ~31 — /tmp/probe600k_out.json,
+    # /tmp/grid_probe_out.json).  The fused single-pass (BFR_STATS_MODE=
+    # fused) and wave-overlapped (BFR_BUILD_WAVES=N) forms are the right
+    # call when input re-reads hit remote object storage / ingestion is
+    # continuous — page-cached local parquet hides exactly that cost.
     head_df_threshold = 1 << 15
-    stats_mode = os.environ.get("BFR_STATS_MODE", "fused")
+    stats_mode = os.environ.get("BFR_STATS_MODE", "scan")
     # stats partials are shuffle-intermediate data, not output: keep them
     # on RAM-backed storage like the spill shards (a disk-backed /tmp adds
     # a write-back floor that is identical at every parallelism level)
     stats_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     stats_dir = os.path.join(stats_root, "bfr_bench_stats_partials")
     idx_dir = "/tmp/bfr_bench_idx"
-    n_waves = int(os.environ.get("BFR_BUILD_WAVES", "4"))
+    n_waves = int(os.environ.get("BFR_BUILD_WAVES", "1"))
     extra = {}
     if stats_mode == "fused":
         extra = {"fused_stats_dir": stats_dir, "stats_max_gram": 1}
