@@ -68,3 +68,44 @@ def load_manifest(seg_dir: str) -> dict | None:
         return None
     with open(p) as f:
         return json.load(f)
+
+
+def resolve_segment_dirs(index_dirs) -> "list[str]":
+    """Normalize any index locator to the list of segment dirs.
+
+    Accepts a single segment dir (has a manifest), a BUILD ROOT (a
+    ``waves.json`` from ``build_index_waves`` / ``compact_segments``, or
+    ``seg-*`` subdirectories with manifests), or a list mixing both —
+    so ``SearchEngine``/``ShardedServer``/CLI take the directory a build
+    command printed, whatever its shape."""
+    import glob as _glob
+
+    if isinstance(index_dirs, (str, os.PathLike)):
+        index_dirs = [index_dirs]
+    out: list[str] = []
+    for d in index_dirs:
+        d = str(d)
+        if load_manifest(d) is not None:
+            out.append(d)
+            continue
+        waves = os.path.join(d, "waves.json")
+        if os.path.exists(waves):
+            with open(waves) as f:
+                segs = json.load(f)["segment_dirs"]
+            missing = [s for s in segs if load_manifest(s) is None]
+            if missing:
+                raise FileNotFoundError(
+                    f"waves.json in {d} lists segments without manifests: {missing[:3]}"
+                )
+            out.extend(segs)
+            continue
+        subs = sorted(
+            s for s in _glob.glob(os.path.join(d, "seg-*")) if load_manifest(s) is not None
+        )
+        if not subs:
+            raise FileNotFoundError(
+                f"no manifest in {d} (not a segment dir, and no waves.json "
+                "or seg-*/ segments under it)"
+            )
+        out.extend(subs)
+    return out

@@ -513,8 +513,7 @@ class SearchEngine(QueryAlgebra):
         load_urls: bool = True,
         tombstones: np.ndarray | None = None,
     ):
-        if isinstance(index_dirs, str):
-            index_dirs = [index_dirs]
+        index_dirs = seglib.resolve_segment_dirs(index_dirs)
         self.segments = [_Segment(d) for d in index_dirs]
         self.n_docs = sum(s.n_docs for s in self.segments)
         self.avgdl = (

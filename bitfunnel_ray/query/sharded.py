@@ -211,8 +211,7 @@ class ShardedSearchEngine(QueryAlgebra):
         tombstones: np.ndarray | None = None,
         cache_cap: int = 100_000,
     ):
-        if isinstance(index_dirs, str):
-            index_dirs = [index_dirs]
+        index_dirs = seglib.resolve_segment_dirs(index_dirs)
         # shard_handles: one handle per shard, or one LIST of replica
         # handles per shard.  Replicas hold identical state; each engine
         # binds one replica per shard (pid-spread, so concurrent front-ends
@@ -428,9 +427,9 @@ class ShardedServer:
         num_cpus_per_shard: float = 1.0,
         n_replicas: int = 1,
     ):
-        if isinstance(index_dirs, str):
-            index_dirs = [index_dirs]
-        self.index_dirs = list(index_dirs)
+        # accepts a segment dir, a build root (waves.json / seg-*), or a
+        # list — resolve ONCE here; actors and fronts get concrete dirs
+        self.index_dirs = seglib.resolve_segment_dirs(index_dirs)
         self.n_shards = int(n_shards)
         self.n_replicas = max(1, int(n_replicas))
         # shards scale the VOCABULARY (each actor holds 1/S of the dict);

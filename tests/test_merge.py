@@ -181,3 +181,38 @@ def test_compact_segments_query_identical(tmp_path, ray_session):
         assert a["score"].to_pylist() == b["score"].to_pylist(), q
     live = _json.load(open(f"{root}/waves.json"))["segment_dirs"]
     assert sorted(live) == sorted(out["segment_dirs"])
+
+
+def test_engine_accepts_build_root(tmp_path, ray_session):
+    """SearchEngine / resolve_segment_dirs accept a waves.json build root
+    and a bare directory of seg-*/ segments."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from bitfunnel_ray.build.builder import build_index_waves
+    from bitfunnel_ray.build.segment import resolve_segment_dirs
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.query.engine import SearchEngine
+
+    docs = _pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    files = []
+    for i in range(2):
+        p = str(tmp_path / f"d{i}.parquet")
+        _pq.write_table(docs.slice(i * 250, 250), p)
+        files.append(p)
+    root = str(tmp_path / "root")
+    res = build_index_waves(files, root, EngineConfig(max_gram=2, num_buckets=4), n_waves=2)
+    assert sorted(resolve_segment_dirs(root)) == sorted(res["segment_dirs"])
+    a = SearchEngine(root, load_urls=False).search("table join", k=5)
+    b = SearchEngine(res["segment_dirs"], load_urls=False).search("table join", k=5)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+    # bare seg-*/ directory (waves.json removed)
+    _os.remove(f"{root}/waves.json")
+    assert sorted(resolve_segment_dirs(root)) == sorted(res["segment_dirs"])
+    # a non-index dir fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        resolve_segment_dirs(str(tmp_path))
