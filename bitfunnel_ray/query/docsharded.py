@@ -1,0 +1,156 @@
+"""Doc-sharded serving: segment-partitioned shard actors + two-phase
+global-stats scoring.
+
+The complement to term-sharded serving (``query/sharded.py``).  Term
+sharding splits the DICTIONARY (each actor holds 1/S of every posting
+list's vocabulary range) — right when the index outgrows one host's
+memory.  Doc sharding splits the CORPUS (each actor holds ALL terms for
+1/S of the documents) — the reference's own partitioning axis
+(ShardDefinition routes documents to shards by posting count,
+src/Common/Configuration/src/ShardDefinition.cpp:160-217; queries run
+over every shard's slices, src/Plan/src/QueryRunner.cpp) and the shape
+that minimizes per-query fan-in when queries are selective: each shard
+answers the whole query locally and returns only its top-k.
+
+The classic distributed-IR correctness problem: BM25 idf needs the
+CORPUS-WIDE document frequency, but a doc shard only knows its local df.
+This server runs the standard two-phase protocol:
+
+1. stats round — every shard reports local df per scoring term (one
+   tiny RPC per shard); the front sums them into global df.
+2. scoring round — every shard runs the full match + score with the
+   global (df, n_docs, avgdl) injected (``QueryAlgebra.df_override``)
+   and returns its local top-k; the front merges on (score desc,
+   doc_id asc) and cuts to k.
+
+Because a document lives in exactly one shard, its score is computed in
+one place with the same canonical accumulation order and the same global
+constants as a single-process engine — results are BIT-IDENTICAL to
+``SearchEngine`` over the union of segments (pytest-proven), unlike
+naive local-idf federation.  NOT/complement stays shard-local (each
+shard complements within its own doc set; the union is the global
+complement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from bitfunnel_ray.build import segment as seglib
+
+
+@ray.remote(max_concurrency=4)
+class DocShardActor:
+    """One doc shard: a full local engine over a SUBSET of segments."""
+
+    def __init__(self, seg_dirs: "list[str]"):
+        from bitfunnel_ray.query.engine import SearchEngine
+
+        self.engine = SearchEngine(seg_dirs, load_urls=False)
+
+    def corpus_stats(self) -> "tuple[int, int]":
+        return self.engine.n_docs, int(round(self.engine.avgdl * self.engine.n_docs))
+
+    def scoring_pairs(self, query: str) -> "list[tuple[int, int]]":
+        from bitfunnel_ray.query.parser import parse_query
+
+        node = parse_query(query, self.engine.stream_map)
+        return [(int(h), int(g)) for h, g in self.engine.scoring_terms(node)]
+
+    def term_stats(self, pairs: "list[tuple[int, int]]") -> "list[int]":
+        """Local df per (term_hash, gram)."""
+        return [int(self.engine.postings(h, g).df) for h, g in pairs]
+
+    def match_count(self, query: str) -> int:
+        return self.engine.match_count(query)
+
+    def search_topk(
+        self,
+        query: str,
+        k: int,
+        df_map: "dict[tuple[int, int], int]",
+        n_docs: int,
+        avgdl: float,
+    ) -> "tuple[np.ndarray, np.ndarray]":
+        """Local top-k under GLOBAL statistics (returns doc_ids, scores)."""
+        eng = self.engine
+        old = (eng.n_docs, eng.avgdl, eng.df_override)
+        try:
+            eng.n_docs, eng.avgdl = int(n_docs), float(avgdl)
+            eng.df_override = {(int(h), int(g)): int(v) for (h, g), v in df_map.items()}
+            t = eng.search(query, k=k)
+            return (
+                t["doc_id"].to_numpy(zero_copy_only=False),
+                t["score"].to_numpy(zero_copy_only=False),
+            )
+        finally:
+            eng.n_docs, eng.avgdl, eng.df_override = old
+
+
+class DocShardedServer:
+    """Segment-partitioned serving with exact global BM25.
+
+    ``index_dirs``: any index locator (segment dir, waves.json root,
+    seg-*/ root, or list); segments are dealt round-robin across
+    ``n_shards`` actors (capped at the segment count — the doc-sharding
+    unit is the segment, whose doc ranges are disjoint by construction).
+    """
+
+    def __init__(
+        self,
+        index_dirs,
+        n_shards: int = 4,
+        num_cpus_per_shard: float = 1.0,
+    ):
+        segs = seglib.resolve_segment_dirs(index_dirs)
+        self.n_shards = max(1, min(int(n_shards), len(segs)))
+        groups = [segs[i :: self.n_shards] for i in range(self.n_shards)]
+        self.shards = [
+            DocShardActor.options(
+                num_cpus=num_cpus_per_shard, scheduling_strategy="SPREAD"
+            ).remote(g)
+            for g in groups
+        ]
+        stats = ray.get([s.corpus_stats.remote() for s in self.shards])
+        self.n_docs = sum(n for n, _ in stats)
+        self.avgdl = (
+            sum(s for _, s in stats) / self.n_docs if self.n_docs else 1.0
+        )
+
+    def search(self, query: str, k: int = 10) -> pa.Table:
+        # phase 1: global df for the query's scoring terms (any shard can
+        # derive the pair set — the parse is config-determined)
+        pairs = ray.get(self.shards[0].scoring_pairs.remote(query))
+        per_shard = ray.get([s.term_stats.remote(pairs) for s in self.shards])
+        df_map = {
+            p: sum(shard_dfs[i] for shard_dfs in per_shard)
+            for i, p in enumerate(pairs)
+        }
+        # phase 2: local top-k under global stats, merged deterministically
+        parts = ray.get(
+            [
+                s.search_topk.remote(query, k, df_map, self.n_docs, self.avgdl)
+                for s in self.shards
+            ]
+        )
+        doc_ids = np.concatenate([d for d, _ in parts]) if parts else np.empty(0, np.uint64)
+        scores = np.concatenate([s for _, s in parts]) if parts else np.empty(0, np.float64)
+        order = np.lexsort((doc_ids, -scores))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.uint32)),
+                "doc_id": pa.array(doc_ids[order], pa.uint64()),
+                "score": pa.array(scores[order], pa.float64()),
+            }
+        )
+
+    def match_count(self, query: str) -> int:
+        """Sum of shard-local match counts (doc sets are disjoint)."""
+        return sum(ray.get([s.match_count.remote(query) for s in self.shards]))
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

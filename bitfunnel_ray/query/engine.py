@@ -328,6 +328,18 @@ class QueryAlgebra:
         raise TypeError(f"unknown node {node!r}")
 
     # --- scoring ----------------------------------------------------------
+    # df_override: {(term_hash, gram): corpus-wide df} — set by
+    # doc-sharded serving (query/docsharded.py), where each shard holds
+    # only its documents' postings but BM25 idf must use the GLOBAL df
+    # (two-phase distributed scoring: stats round, then scoring round).
+    df_override: "dict[tuple[int, int], int] | None" = None
+
+    def _df(self, h: int, g: int, p) -> int:
+        o = self.df_override
+        if o is None:
+            return p.df
+        return int(o.get((int(h), int(g)), p.df))
+
     def score(self, node: ast.Node, matches: np.ndarray) -> np.ndarray:
         """float64 BM25 score of each match (canonical accumulation order)."""
         scores = np.zeros(len(matches), dtype=np.float64)
@@ -345,7 +357,8 @@ class QueryAlgebra:
                 continue
             tf = p.tf[idx[present]].astype(np.float64)
             dl = p.doclen[idx[present]].astype(np.float64)
-            idf = np.log((self.n_docs - p.df + 0.5) / (p.df + 0.5) + 1.0)
+            df = self._df(h, g, p)
+            idf = np.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
             tfn = tf / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
             scores[present] += idf * (k1 + 1.0) * tfn
         return scores
@@ -403,13 +416,14 @@ class QueryAlgebra:
                 continue
             tf = float(p.tf[i])
             dl = float(p.doclen[i])
-            idf_v = float(np.log((self.n_docs - p.df + 0.5) / (p.df + 0.5) + 1.0))
+            df = self._df(h, g, p)
+            idf_v = float(np.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0))
             tfn = tf / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
             terms.append(labels.get((h, g), f"0x{h:016x}"))
             grams.append(g)
             tfs.append(int(tf))
             dls.append(int(dl))
-            dfs.append(int(p.df))
+            dfs.append(int(df))
             idfs.append(idf_v)
             contribs.append(idf_v * (k1 + 1.0) * tfn)
         return pa.table(
@@ -453,7 +467,9 @@ class QueryAlgebra:
         if not p.df:
             return None
         k1, b = self.k1, self.b
-        idf = float(np.log((self.n_docs - p.df + 0.5) / (p.df + 0.5) + 1.0))
+        # stream 0 — same key term_postings() hashed with
+        df = self._df(murmur64a(text) & 0xFFFFFFFFFFFFFFFF, 1, p)
+        idf = float(np.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0))
         tf = p.tf.astype(np.float64)
         dl = p.doclen.astype(np.float64)
         contrib = idf * (k1 + 1.0) * (tf / (tf + k1 * (1.0 - b + b * dl / self.avgdl)))

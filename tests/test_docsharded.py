@@ -1,0 +1,71 @@
+"""Doc-sharded serving (query/docsharded.py): segment-partitioned shards
+with two-phase global-stats scoring must be BIT-IDENTICAL to the
+single-process engine over the union of segments — the distributed-IR
+global-idf problem, solved exactly (not local-idf federation)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bitfunnel_ray.build.builder import build_index_waves
+from bitfunnel_ray.config import EngineConfig
+from bitfunnel_ray.query.docsharded import DocShardedServer
+from bitfunnel_ray.query.engine import SearchEngine
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "spark join",
+    "table",
+    "merge | window",
+    "table -join",
+    '"batch batch"',
+    "(spark | vector) batch -window",
+    "-table",
+    "zzz_nonexistent_term",
+]
+
+
+@pytest.fixture(scope="module")
+def waved(tmp_path_factory, ray_session):
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    tmp = tmp_path_factory.mktemp("docsharded")
+    files = []
+    for i in range(4):
+        p = str(tmp / f"d{i}.parquet")
+        pq.write_table(docs.slice(i * 125, 125), p)
+        files.append(p)
+    root = str(tmp / "root")
+    build_index_waves(files, root, EngineConfig(max_gram=2, num_buckets=4), n_waves=4)
+    return root
+
+
+def test_docsharded_bit_identical(waved):
+    local = SearchEngine(waved, load_urls=False)
+    srv = DocShardedServer(waved, n_shards=2, num_cpus_per_shard=0.25)
+    try:
+        for q in QUERIES:
+            a = local.search(q, k=10)
+            b = srv.search(q, k=10)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+            assert local.match_count(q) == srv.match_count(q), q
+    finally:
+        srv.shutdown()
+
+
+def test_docsharded_needs_global_df(waved):
+    """Sanity that the stats round MATTERS: per-shard local df differs
+    from the global df for common terms (so a local-idf federation would
+    score differently — the thing the two-phase protocol fixes)."""
+    import ray
+
+    srv = DocShardedServer(waved, n_shards=2, num_cpus_per_shard=0.25)
+    try:
+        pairs = ray.get(srv.shards[0].scoring_pairs.remote("table"))
+        per_shard = ray.get([s.term_stats.remote(pairs) for s in srv.shards])
+        local_dfs = [d[0] for d in per_shard]
+        assert sum(local_dfs) > max(local_dfs) > 0
+    finally:
+        srv.shutdown()
