@@ -241,6 +241,45 @@ WHERE (list_contains(string_split(text,' '), 'spark')
 _BM25_TERMS = ("spark", "join")
 
 
+def q_docsharded_bm25_topk(sf_dir):
+    """Doc-sharded serving (query/docsharded.py): 2 wave segments dealt
+    across 2 doc-shard actors, two-phase global-stats BM25.  Same oracle
+    as ``bm25_topk`` — the merged result must be bit-identical to the
+    single-process engine (global idf, not local-idf federation)."""
+    import shutil as _sh
+
+    from bitfunnel_ray.build.builder import build_index_waves
+    from bitfunnel_ray.query.docsharded import DocShardedServer
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"/tmp/bfr_idx_cache/{tag}_docsharded"
+    if not os.path.exists(os.path.join(root, "waves.json")):
+        _sh.rmtree(root, ignore_errors=True)
+        fdir = f"{root}_in"
+        _sh.rmtree(fdir, ignore_errors=True)
+        os.makedirs(fdir, exist_ok=True)
+        docs = pq.read_table(f"{sf_dir}/documents.parquet")
+        half = (len(docs) + 1) // 2
+        files = []
+        for i in range(2):
+            p = os.path.join(fdir, f"d{i}.parquet")
+            pq.write_table(docs.slice(i * half, half), p)
+            files.append(p)
+        build_index_waves(files, root, _CFG, n_waves=2)
+    srv = DocShardedServer(root, n_shards=2, num_cpus_per_shard=0.25)
+    try:
+        t = srv.search(" ".join(_BM25_TERMS), k=10)
+        return pa.table(
+            {
+                "rank": t["rank"].cast(pa.int64()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            }
+        )
+    finally:
+        srv.shutdown()
+
+
 def q_bm25_topk(sf_dir):
     eng = get_engine(sf_dir)
     t = eng.search(" ".join(_BM25_TERMS), k=10)
@@ -3287,6 +3326,7 @@ REGISTRY: dict[str, tuple] = {
     "search_phrase": (q_search_phrase, SQL_SEARCH_PHRASE),
     "search_boolean_mix": (q_search_boolean_mix, SQL_SEARCH_BOOLEAN_MIX),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "docsharded_bm25_topk": (q_docsharded_bm25_topk, SQL_BM25_TOPK),
     "fact_filter_search": (q_fact_filter_search, SQL_FACT_FILTER_SEARCH),
     "fact_only_count": (q_fact_only_count, SQL_FACT_ONLY_COUNT),
     "bm25_or_topk": (q_bm25_or_topk, SQL_BM25_OR_TOPK),
