@@ -66,6 +66,22 @@ class DocShardActor:
     def match_count(self, query: str) -> int:
         return self.engine.match_count(query)
 
+    def scoring_pairs_many(self, queries: "list[str]") -> "list[list[tuple[int, int]]]":
+        return [self.scoring_pairs(q) for q in queries]
+
+    def term_stats_many(self, pairs: "list[tuple[int, int]]") -> "list[int]":
+        return self.term_stats(pairs)
+
+    def search_topk_many(
+        self,
+        queries: "list[str]",
+        k: int,
+        df_map: "dict[tuple[int, int], int]",
+        n_docs: int,
+        avgdl: float,
+    ) -> "list[tuple[np.ndarray, np.ndarray]]":
+        return [self.search_topk(q, k, df_map, n_docs, avgdl) for q in queries]
+
     def search_topk(
         self,
         query: str,
@@ -150,7 +166,94 @@ class DocShardedServer:
         """Sum of shard-local match counts (doc sets are disjoint)."""
         return sum(ray.get([s.match_count.remote(query) for s in self.shards]))
 
+    def run(
+        self,
+        queries: "ray.data.Dataset | pa.Table",
+        k: int = 10,
+        concurrency: int = 2,
+        batch_size: int = 64,
+        num_cpus_per_front: float = 0.5,
+    ):
+        """Query-log serving: front-end actors in ``map_batches`` run the
+        two-phase protocol PER BATCH — one scoring-pairs RPC, one
+        term-stats RPC per shard for the batch's UNION of terms, one
+        scoring RPC per shard for all queries — so the per-query RPC cost
+        amortizes across the batch.  Output: (query_id, rank, doc_id,
+        score) rows, identical to per-query ``search()``."""
+        import ray.data
+
+        if isinstance(queries, pa.Table):
+            from bitfunnel_ray.query.runner import table_to_blocks
+
+            queries = table_to_blocks(queries, batch_size, concurrency)
+        return queries.map_batches(
+            _DocShardedFront,
+            fn_constructor_kwargs={
+                "shard_handles": self.shards,
+                "k": k,
+                "n_docs": self.n_docs,
+                "avgdl": self.avgdl,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=num_cpus_per_front,
+        )
+
     def shutdown(self) -> None:
         for s in self.shards:
             ray.kill(s)
         self.shards = []
+
+
+class _DocShardedFront:
+    """map_batches front-end for ``DocShardedServer.run``: per batch, one
+    pairs RPC + one stats RPC per shard (batch-union of terms) + one
+    scoring RPC per shard; global df cached across batches."""
+
+    def __init__(self, shard_handles, k: int, n_docs: int, avgdl: float):
+        self.shards = shard_handles
+        self.k = int(k)
+        self.n_docs = int(n_docs)
+        self.avgdl = float(avgdl)
+        self._df_cache: dict[tuple[int, int], int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["query_id"].to_pylist()
+        qs = batch["query"].to_pylist()
+        per_q_pairs = ray.get(self.shards[0].scoring_pairs_many.remote(qs))
+        need = sorted(
+            {p for pairs in per_q_pairs for p in pairs if p not in self._df_cache}
+        )
+        if need:
+            per_shard = ray.get(
+                [s.term_stats_many.remote(need) for s in self.shards]
+            )
+            for i, p in enumerate(need):
+                self._df_cache[p] = sum(d[i] for d in per_shard)
+        df_map = {
+            p: self._df_cache[p] for pairs in per_q_pairs for p in pairs
+        }
+        parts = ray.get(
+            [
+                s.search_topk_many.remote(qs, self.k, df_map, self.n_docs, self.avgdl)
+                for s in self.shards
+            ]
+        )
+        out_qid, out_rank, out_doc, out_score = [], [], [], []
+        for qi in range(len(qs)):
+            doc_ids = np.concatenate([shard[qi][0] for shard in parts])
+            scores = np.concatenate([shard[qi][1] for shard in parts])
+            order = np.lexsort((doc_ids, -scores))[: self.k]
+            out_qid.extend([qids[qi]] * len(order))
+            out_rank.extend(range(1, len(order) + 1))
+            out_doc.extend(doc_ids[order].tolist())
+            out_score.extend(scores[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_qid, pa.int64()),
+                "rank": pa.array(out_rank, pa.uint32()),
+                "doc_id": pa.array(out_doc, pa.uint64()),
+                "score": pa.array(out_score, pa.float64()),
+            }
+        )

@@ -69,3 +69,32 @@ def test_docsharded_needs_global_df(waved):
         assert sum(local_dfs) > max(local_dfs) > 0
     finally:
         srv.shutdown()
+
+
+def test_docsharded_run_matches_search(waved):
+    """The batched map_batches front (run) returns the same rows as
+    per-query search() — per-batch RPC amortization changes nothing."""
+    import pyarrow as pa
+
+    srv = DocShardedServer(waved, n_shards=2, num_cpus_per_shard=0.25)
+    try:
+        qs = ["spark join", "table", "merge | window", '"batch batch"']
+        log = pa.table(
+            {
+                "query_id": pa.array(range(len(qs)), pa.int64()),
+                "query": pa.array(qs, pa.string()),
+            }
+        )
+        got = (
+            srv.run(log, k=5, concurrency=1, num_cpus_per_front=0.5)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        for i, q in enumerate(qs):
+            want = srv.search(q, k=5).to_pandas()
+            sub = got[got["query_id"] == i].reset_index(drop=True)
+            assert sub["doc_id"].tolist() == want["doc_id"].tolist(), q
+            assert sub["score"].tolist() == want["score"].tolist(), q
+    finally:
+        srv.shutdown()
