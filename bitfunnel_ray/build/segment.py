@@ -88,6 +88,22 @@ def resolve_segment_dirs(index_dirs) -> "list[str]":
         if load_manifest(d) is not None:
             out.append(d)
             continue
+        groups = os.path.join(d, "groups.json")
+        if os.path.exists(groups):
+            # group-managed root (build/groups.py): serve every segment of
+            # every non-expired group — read inline (groups.py imports us)
+            with open(groups) as f:
+                gst = json.load(f)
+            segs = sorted(
+                s for g in gst["groups"].values() for s in g["segment_dirs"]
+            )
+            missing = [s for s in segs if load_manifest(s) is None]
+            if missing:
+                raise FileNotFoundError(
+                    f"groups.json in {d} lists segments without manifests: {missing[:3]}"
+                )
+            out.extend(segs)
+            continue
         waves = os.path.join(d, "waves.json")
         if os.path.exists(waves):
             with open(waves) as f:

@@ -163,6 +163,32 @@ def cmd_build(args):
     print(json.dumps({k: manifest[k] for k in ("n_docs", "avgdl", "build_seconds", "complete")}))
 
 
+def cmd_group(args):
+    """Ingest-group lifecycle (IIngestor.h:158-176 analog; build/groups.py):
+    `group ROOT open ID` / `close` / `expire ID` / `status` /
+    `ingest CORPUS [--gram --buckets]`.  Expiry removes the group's
+    segments; serving any engine on ROOT sees only non-expired groups."""
+    from bitfunnel_ray.build import groups as grp
+
+    if args.action == "open":
+        grp.open_group(args.root, args.id)
+        print(json.dumps({"opened": args.id}))
+    elif args.action == "close":
+        grp.close_group(args.root)
+        print(json.dumps({"closed": True}))
+    elif args.action == "expire":
+        n = grp.expire_group(args.root, args.id)
+        print(json.dumps({"expired": args.id, "segments_removed": n}))
+    elif args.action == "ingest":
+        from bitfunnel_ray.config import EngineConfig
+
+        cfg = EngineConfig(max_gram=args.gram, num_buckets=args.buckets)
+        man = grp.ingest(args.root, _load_corpus(args.id), cfg)
+        print(json.dumps({k: man[k] for k in ("n_docs", "avgdl", "complete")}))
+    else:
+        print(json.dumps(grp.status(args.root)))
+
+
 def cmd_filter(args):
     from bitfunnel_ray.config import EngineConfig
     from bitfunnel_ray.stages import filters
@@ -805,6 +831,15 @@ def main(argv=None):
     s.add_argument("chunks")
     s.add_argument("out")
     s.set_defaults(fn=cmd_chunks_import, needs_ray=True)
+
+    s = sub.add_parser("group")
+    s.add_argument("root")
+    s.add_argument("action", choices=["open", "close", "expire", "ingest", "status"])
+    s.add_argument("id", nargs="?", default=None,
+                   help="group id (open/expire) or corpus path (ingest)")
+    s.add_argument("--gram", type=int, default=2)
+    s.add_argument("--buckets", type=int, default=16)
+    s.set_defaults(fn=cmd_group, needs_ray=True)
 
     s = sub.add_parser("pretrain")
     s.add_argument("corpus")

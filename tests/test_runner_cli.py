@@ -303,3 +303,34 @@ def test_repl_execute_show_term_df_matches_search(tmp_path):
     total_line = [l for l in out.splitlines() if "TOTAL" in l][0]
     df = int(total_line.split("df=")[1].split()[0])
     assert df == eng.match_count("table")
+
+
+def test_cli_group_lifecycle(tmp_path):
+    """open → ingest → close → status → expire from the command line
+    (cli group; build/groups.py)."""
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root", "RAY_GRAFT_CPUS": "4"}
+    root = str(tmp_path / "grp_root")
+
+    def run(*args, timeout=300):
+        r = subprocess.run(
+            [sys.executable, "-m", "bitfunnel_ray.cli", "group", root, *args],
+            capture_output=True, text=True, env=env, timeout=timeout,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    assert run("open", "day1") == {"opened": "day1"}
+    out = run("ingest", "/root/testdata/sf0.001", "--buckets", "4")
+    assert out["n_docs"] == 500 and out["complete"]
+    run("close")
+    st = run("status")
+    assert st["groups"]["day1"] == {"state": "closed", "n_segments": 1, "n_docs": 500}
+    # the root serves as an index locator while the group is live
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "query", root, "spark join", "-k", "3"],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r.returncode == 0 and "doc_id" in r.stdout
+    out = run("expire", "day1")
+    assert out["segments_removed"] == 1
+    assert run("status")["groups"]["day1"]["state"] == "expired"
