@@ -3296,7 +3296,123 @@ GROUP BY w2 ORDER BY "count" DESC, next_word LIMIT 10
 """
 
 
+def _demo_edges(sf_dir):
+    """Deterministic link graph over the documents table: doc i emits
+    1 + i%3 edges, dst_j = (i*31 + j*j + 7) % N — multi-edges and
+    self-loops possible and kept (edge multiplicity = weight), mirrored
+    exactly by the oracle's UNNEST(generate_series) CTE."""
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def gen(t: pa.Table) -> pa.Table:
+        i = t["doc_id"].to_numpy().astype(np.int64)
+        deg = 1 + (i % 3)
+        src = np.repeat(i, deg)
+        ends = np.cumsum(deg)
+        j = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(ends - deg, deg) + 1
+        dst = (src * 31 + j * j + 7) % n_docs
+        return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        gen, batch_format="pyarrow"
+    )
+
+
+SQL_DEMO_EDGES = """
+p0 AS (SELECT COUNT(*) AS n FROM documents),
+e AS (SELECT d.doc_id AS src, (d.doc_id*31 + t.j*t.j + 7) % p0.n AS dst
+      FROM documents d CROSS JOIN p0,
+           UNNEST(generate_series(1, 1 + d.doc_id % 3)) AS t(j))
+"""
+
+
+def q_pagerank(sf_dir):
+    """Distributed integer fixed-point PageRank, 3 iterations, over the
+    deterministic demo link graph.  Integer sums are order-independent,
+    so the distributed result is bit-identical to the oracle's unrolled
+    CTE iterations (ops/graph.py docstring for the exact update rule)."""
+    from bitfunnel_ray.ops.graph import pagerank
+
+    return pagerank(_demo_edges(sf_dir), n_iter=3)
+
+
+def _pagerank_iter_cte(i: int) -> str:
+    return f"""
+d{i} AS (SELECT COALESCE(SUM(rank),0) AS dang FROM r{i-1} WHERE outdeg = 0),
+c{i} AS (SELECT e.dst AS node, SUM(r.rank // r.outdeg) AS inflow
+         FROM e JOIN r{i-1} r ON r.node = e.src GROUP BY e.dst),
+r{i} AS (SELECT nd.node, nd.outdeg,
+          (1000000000000 * 3) // 20 // p.n
+        + (d{i}.dang * 17) // 20 // p.n
+        + (COALESCE(c{i}.inflow, 0) * 17) // 20 AS rank
+        FROM nd CROSS JOIN p CROSS JOIN d{i} LEFT JOIN c{i} USING(node))"""
+
+
+SQL_PAGERANK = (
+    "WITH "
+    + SQL_DEMO_EDGES.strip().rstrip()
+    + """,
+deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nd AS (SELECT nodes.node, COALESCE(deg.outdeg, 0) AS outdeg FROM nodes LEFT JOIN deg USING(node)),
+p AS (SELECT COUNT(*) AS n FROM nd),
+r0 AS (SELECT nd.node, nd.outdeg, 1000000000000 // p.n AS rank FROM nd CROSS JOIN p),"""
+    + ",".join(_pagerank_iter_cte(i) for i in (1, 2, 3))
+    + "\nSELECT node, rank FROM r3"
+)
+
+
+def q_link_extract(sf_dir):
+    """href extraction over constructed link-bearing pages: each doc's
+    html wraps its text plus two <a href> links derived from doc_id; the
+    vectorized RE2 extractor (ops/graph.py) must recover exactly the
+    planted hrefs — the oracle constructs the ground-truth strings
+    directly (engine-independent)."""
+    from bitfunnel_ray.ops.graph import extract_links
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def make_html(t: pa.Table) -> pa.Table:
+        i = t["doc_id"].to_numpy().astype(np.int64)
+        a1 = (i + 1) % n_docs
+        a2 = (i * 7 + 3) % n_docs
+        html = pc.binary_join_element_wise(
+            "<html><body>",
+            pc.cast(t["text"], pa.string()),
+            '<a href="https://example.org/doc/',
+            pa.array([f"{v:08d}" for v in a1.tolist()]),
+            '">n</a><a href="https://example.org/doc/',
+            pa.array([f"{v:08d}" for v in a2.tolist()]),
+            '">m</a></body></html>',
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()), "html": html})
+
+    pages = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(make_html, batch_format="pyarrow")
+    return extract_links(pages, html_col="html", src_col="doc_id")
+
+
+SQL_LINK_EXTRACT = """
+WITH p0 AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id, href FROM (
+  SELECT d.doc_id,
+         'https://example.org/doc/' || lpad(CAST((d.doc_id + 1) % p0.n AS VARCHAR), 8, '0') AS href
+  FROM documents d CROSS JOIN p0
+  UNION ALL
+  SELECT d.doc_id,
+         'https://example.org/doc/' || lpad(CAST((d.doc_id * 7 + 3) % p0.n AS VARCHAR), 8, '0') AS href
+  FROM documents d CROSS JOIN p0
+)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "pagerank": (q_pagerank, SQL_PAGERANK),
+    "link_extract": (q_link_extract, SQL_LINK_EXTRACT),
     "next_word": (q_next_word, SQL_NEXT_WORD),
     "score_explain": (q_score_explain, SQL_SCORE_EXPLAIN),
     "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),

@@ -1,0 +1,119 @@
+"""Link-graph operators (bitfunnel_ray/ops/graph.py): the distributed
+integer fixed-point PageRank must be BIT-IDENTICAL to a dense
+single-process implementation of the same update rule (integer sums are
+order-independent — that's the design), track float PageRank at the
+same iteration count, and the href extractor must handle the classic
+html edge cases."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from bitfunnel_ray.ops.graph import extract_links, pagerank
+
+SCALE = 10**12
+
+
+def dense_fixed_pr(src, dst, n, n_iter=3, scale=SCALE, num=17, den=20):
+    outdeg = np.bincount(src, minlength=n).astype(np.int64)
+    r = np.full(n, scale // n, np.int64)
+    base = (scale * (den - num)) // den // n
+    for _ in range(n_iter):
+        dang = (int(r[outdeg == 0].sum()) * num) // den // n
+        contrib = np.where(outdeg > 0, r // np.maximum(outdeg, 1), 0)
+        inflow = np.zeros(n, np.int64)
+        np.add.at(inflow, dst, contrib[src])
+        r = base + dang + (inflow * num) // den
+    return r
+
+
+def dense_float_pr(src, dst, n, n_iter=3, a=0.85):
+    outdeg = np.bincount(src, minlength=n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dang = r[outdeg == 0].sum()
+        c = np.where(outdeg > 0, r / np.maximum(outdeg, 1), 0.0)
+        inflow = np.zeros(n)
+        np.add.at(inflow, dst, c[src])
+        r = (1 - a) / n + a * dang / n + a * inflow
+    return r
+
+
+@pytest.fixture(scope="module")
+def graph(ray_session):
+    # deterministic scale-free-ish graph with dangling nodes, self-loops
+    # and multi-edges: node i emits i%4 edges (so ~1/4 of nodes dangle)
+    n = 500
+    i = np.arange(n, dtype=np.int64)
+    deg = i % 4
+    src = np.repeat(i, deg)
+    ends = np.cumsum(deg)
+    j = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(ends - deg, deg) + 1
+    dst = (src * src + 13 * j + 5) % n  # collisions → multi-edges; i==dst → self-loops
+    return src, dst, n
+
+
+def test_pagerank_bit_identical(graph):
+    # the op's node universe = nodes appearing in the edge set (same as
+    # the SQL oracle's DISTINCT src UNION dst) — relabel to a compact
+    # range so the dense oracle runs over the identical universe
+    src, dst, n = graph
+    universe = np.union1d(np.unique(src), np.unique(dst))
+    assert len(universe) < n  # fixture really does leave orphan nodes out
+    csrc = np.searchsorted(universe, src)
+    cdst = np.searchsorted(universe, dst)
+    edges = rd.from_arrow(
+        pa.table({"src": src, "dst": dst})
+    ).repartition(num_blocks=7)  # odd layout on purpose: result must not care
+    out = (
+        pagerank(edges, n_iter=3)
+        .to_pandas()
+        .set_index("node")["rank"]
+        .reindex(universe)
+        .to_numpy()
+    )
+    ref = dense_fixed_pr(csrc, cdst, len(universe))
+    assert (out == ref).all()
+
+
+def test_pagerank_tracks_float(graph):
+    src, dst, n = graph
+    ref = dense_fixed_pr(src, dst, n).astype(np.float64) / SCALE
+    flt = dense_float_pr(src, dst, n)
+    # fixed-point truncation loses < den units per int op at scale 1e12
+    assert np.abs(ref - flt).max() < 1e-9
+    # total mass conserved up to truncation
+    assert 0.999 < ref.sum() <= 1.0 + 1e-12
+
+
+def test_pagerank_ranks_sinks_and_hubs(graph):
+    src, dst, n = graph
+    r = dense_fixed_pr(src, dst, n)
+    # a node every source multi-targets must outrank the global median
+    indeg = np.bincount(dst, minlength=n)
+    assert r[np.argmax(indeg)] > np.median(r)
+
+
+def test_extract_links_edge_cases(ray_session):
+    html = pa.array(
+        [
+            b'<a href="http://a/1">x</a> text <a href="http://a/2">y</a>',
+            b"no links at all",
+            None,
+            b'broken href="unterminated',
+            b'empty href="" and plain text href="http://c/3" outside a tag',
+        ],
+        pa.binary(),
+    )
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()), "html": html})
+    out = extract_links(rd.from_arrow(t)).to_pandas()
+    got = list(zip(out["doc_id"], out["href"]))
+    # regexp-oracle semantics: every href="..." with a closing quote,
+    # tag or not; unterminated ones dropped
+    assert got == [
+        (1, "http://a/1"),
+        (1, "http://a/2"),
+        (5, ""),
+        (5, "http://c/3"),
+    ]
