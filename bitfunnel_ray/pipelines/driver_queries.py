@@ -3363,16 +3363,17 @@ r0 AS (SELECT nd.node, nd.outdeg, 1000000000000 // p.n AS rank FROM nd CROSS JOI
 )
 
 
-def q_link_extract(sf_dir):
-    """href extraction over constructed link-bearing pages: each doc's
-    html wraps its text plus two <a href> links derived from doc_id; the
-    vectorized RE2 extractor (ops/graph.py) must recover exactly the
-    planted hrefs — the oracle constructs the ground-truth strings
-    directly (engine-independent)."""
-    from bitfunnel_ray.ops.graph import extract_links
+def _demo_pages(sf_dir):
+    """Link-bearing pages over the documents table: doc i's html wraps
+    its text plus two <a> links to l1=(i+1)%N and l2=(i*7+3)%N, each
+    with anchor text ``s<i%5> t<target%7>`` — src-derived and
+    target-derived tokens so anchor aggregation/search is non-trivial.
+    Fully vectorized (digit-table lookups, no per-row python except the
+    zero-padded id strings, fixture-only)."""
     import pyarrow.parquet as _pq
 
     n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    digits = np.array([str(d) for d in range(10)])
 
     def make_html(t: pa.Table) -> pa.Table:
         i = t["doc_id"].to_numpy().astype(np.int64)
@@ -3383,17 +3384,34 @@ def q_link_extract(sf_dir):
             pc.cast(t["text"], pa.string()),
             '<a href="https://example.org/doc/',
             pa.array([f"{v:08d}" for v in a1.tolist()]),
-            '">n</a><a href="https://example.org/doc/',
+            '">s',
+            pa.array(digits[i % 5]),
+            " t",
+            pa.array(digits[a1 % 7]),
+            '</a><a href="https://example.org/doc/',
             pa.array([f"{v:08d}" for v in a2.tolist()]),
-            '">m</a></body></html>',
+            '">s',
+            pa.array(digits[i % 5]),
+            " t",
+            pa.array(digits[a2 % 7]),
+            "</a></body></html>",
             "",
         )
         return pa.table({"doc_id": t["doc_id"].cast(pa.int64()), "html": html})
 
-    pages = rd.read_parquet(
+    return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(make_html, batch_format="pyarrow")
-    return extract_links(pages, html_col="html", src_col="doc_id")
+
+
+def q_link_extract(sf_dir):
+    """href extraction over constructed link-bearing pages: the
+    vectorized RE2 extractor (ops/graph.py) must recover exactly the
+    planted hrefs — the oracle constructs the ground-truth strings
+    directly (engine-independent)."""
+    from bitfunnel_ray.ops.graph import extract_links
+
+    return extract_links(_demo_pages(sf_dir), html_col="html", src_col="doc_id")
 
 
 SQL_LINK_EXTRACT = """
@@ -3410,9 +3428,143 @@ SELECT doc_id, href FROM (
 """
 
 
+# (src, dst, anchor) rows of the demo pages' link set — mirrors
+# _demo_pages exactly; shared by the three anchor oracles below
+SQL_DEMO_ANCHORS = """
+p0 AS (SELECT COUNT(*) AS n FROM documents),
+ea AS (
+  SELECT d.doc_id AS src, (d.doc_id + 1) % p0.n AS dst,
+         's' || CAST(d.doc_id % 5 AS VARCHAR) || ' t' ||
+         CAST(((d.doc_id + 1) % p0.n) % 7 AS VARCHAR) AS anchor
+  FROM documents d CROSS JOIN p0
+  UNION ALL
+  SELECT d.doc_id, (d.doc_id * 7 + 3) % p0.n,
+         's' || CAST(d.doc_id % 5 AS VARCHAR) || ' t' ||
+         CAST(((d.doc_id * 7 + 3) % p0.n) % 7 AS VARCHAR)
+  FROM documents d CROSS JOIN p0
+)
+"""
+
+
+def q_anchor_extract(sf_dir):
+    """(src, href, anchor) triples from the demo pages — the vectorized
+    two-regex extractor (ops/anchors.py) must recover both the planted
+    href and the anchor text between the tag's > and the next <."""
+    from bitfunnel_ray.ops.anchors import extract_anchors
+
+    return extract_anchors(_demo_pages(sf_dir), html_col="html", src_col="doc_id")
+
+
+SQL_ANCHOR_EXTRACT = (
+    "WITH "
+    + SQL_DEMO_ANCHORS.strip()
+    + """
+SELECT src AS doc_id,
+       'https://example.org/doc/' || lpad(CAST(dst AS VARCHAR), 8, '0') AS href,
+       anchor
+FROM ea
+"""
+)
+
+
+def _demo_anchor_table(sf_dir):
+    """Dataset(doc_id, anchor_text): incoming anchors aggregated per
+    target, targets parsed from the planted href id suffix."""
+    from bitfunnel_ray.ops.anchors import aggregate_anchor_text, extract_anchors
+
+    links = extract_anchors(_demo_pages(sf_dir), html_col="html", src_col="doc_id")
+
+    def parse_target(t: pa.Table) -> pa.Table:
+        tgt = pc.cast(
+            pc.struct_field(pc.extract_regex(t["href"], "(?P<d>[0-9]{8})$"), "d"),
+            pa.int64(),
+        )
+        return pa.table({"doc_id": tgt, "anchor": t["anchor"]})
+
+    return aggregate_anchor_text(
+        links.map_batches(parse_target, batch_format="pyarrow"),
+        target_col="doc_id",
+        anchor_col="anchor",
+    )
+
+
+def q_anchor_agg(sf_dir):
+    """Per-target incoming anchor text (lexicographic order, space
+    joined) — one hash exchange + per-block Arrow group/list/join kernel
+    (ops/anchors.py aggregate_anchor_text)."""
+    return _demo_anchor_table(sf_dir)
+
+
+SQL_ANCHOR_AGG = (
+    "WITH "
+    + SQL_DEMO_ANCHORS.strip()
+    + """
+SELECT dst AS doc_id, string_agg(anchor, ' ' ORDER BY anchor) AS anchor_text
+FROM ea GROUP BY dst
+"""
+)
+
+
+_ANCHOR_ENGINES: dict[str, SearchEngine] = {}
+
+
+def get_anchor_engine(sf_dir: str) -> SearchEngine:
+    """Index with the aggregated anchor text as a second STREAM
+    (StreamConfiguration analog — the anchor corpus is the classic use
+    of per-document auxiliary streams): body on stream 0, incoming
+    anchors on stream 1, joined to the corpus by a distributed
+    left-outer hash join (ops/anchors.py anchor_corpus)."""
+    eng = _ANCHOR_ENGINES.get(sf_dir)
+    if eng is None:
+        import shutil as _sh
+
+        from bitfunnel_ray.ops.anchors import anchor_corpus
+
+        tag = sf_dir.strip("/").replace("/", "_")
+        idx_dir = f"/tmp/bfr_idx_cache/{tag}_anchors"
+        _sh.rmtree(idx_dir, ignore_errors=True)
+        os.makedirs("/tmp/bfr_idx_cache", exist_ok=True)
+        joined = anchor_corpus(
+            corpus_from_documents(sf_dir), _demo_anchor_table(sf_dir)
+        )
+        cfg = EngineConfig(
+            max_gram=1,
+            num_buckets=8,
+            streams=(("body", "text", 0), ("anchor", "anchor_text", 1)),
+        )
+        build_index(joined, idx_dir, cfg)
+        eng = SearchEngine(idx_dir, load_urls=False)
+        _ANCHOR_ENGINES[sf_dir] = eng
+    return eng
+
+
+def q_anchor_search(sf_dir):
+    """Boolean search mixing the anchor stream with body terms:
+    ``anchor:s2 table`` = docs linked-to by some page with doc_id%5==2
+    whose own body contains 'table'."""
+    eng = get_anchor_engine(sf_dir)
+    docs = eng.eval(parse_query("anchor:s2 table", eng.stream_map))
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64), pa.int64())})
+
+
+SQL_ANCHOR_SEARCH = (
+    "WITH "
+    + SQL_DEMO_ANCHORS.strip()
+    + """
+SELECT DISTINCT d.doc_id
+FROM documents d JOIN ea ON ea.dst = d.doc_id
+WHERE list_contains(string_split(ea.anchor, ' '), 's2')
+  AND list_contains(string_split(d.text, ' '), 'table')
+"""
+)
+
+
 REGISTRY: dict[str, tuple] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "link_extract": (q_link_extract, SQL_LINK_EXTRACT),
+    "anchor_extract": (q_anchor_extract, SQL_ANCHOR_EXTRACT),
+    "anchor_agg": (q_anchor_agg, SQL_ANCHOR_AGG),
+    "anchor_search": (q_anchor_search, SQL_ANCHOR_SEARCH),
     "next_word": (q_next_word, SQL_NEXT_WORD),
     "score_explain": (q_score_explain, SQL_SCORE_EXPLAIN),
     "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
