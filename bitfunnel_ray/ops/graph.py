@@ -224,6 +224,193 @@ def _update_block(t: pa.Table, *, base: int, dang: int, num: int, den: int) -> p
     )
 
 
+def _prop_contrib_block(t: pa.Table) -> pa.Table:
+    """Tag-union block → (dst, contrib) rows: every edge emits its key's
+    state value toward ``dst``; every state row emits a zero self row so
+    the node universe survives the reduce."""
+    if len(t) == 0:
+        return _CONTRIB_SCHEMA.empty_table()
+    key = t["key"].to_numpy(zero_copy_only=False)
+    val = t["rank"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    is_state = t["is_state"].to_numpy(zero_copy_only=False)
+    sidx = np.flatnonzero(is_state == 1)
+    order = np.argsort(key[sidx], kind="stable")
+    skeys = key[sidx][order]
+    svals = val[sidx][order]
+    eidx = np.flatnonzero(is_state == 0)
+    pos = np.searchsorted(skeys, key[eidx])
+    if len(eidx) and not (
+        (pos < len(skeys)).all() and (skeys[np.minimum(pos, len(skeys) - 1)] == key[eidx]).all()
+    ):
+        raise ValueError("propagate: edge endpoint not in node state (key routing broke)")
+    n_e, n_s = len(eidx), len(sidx)
+    return pa.table(
+        {
+            "dst": pa.array(np.concatenate([dst[eidx], key[sidx]]), pa.int64()),
+            "contrib": pa.array(
+                np.concatenate([svals[pos], np.zeros(n_s, np.int64)]), pa.int64()
+            ),
+            "outdeg": pa.array(np.zeros(n_e + n_s, np.int64)),
+            "is_state": pa.array(
+                np.concatenate([np.zeros(n_e, np.int8), np.ones(n_s, np.int8)])
+            ),
+        },
+        schema=_CONTRIB_SCHEMA,
+    )
+
+
+def _prop_sum_block(t: pa.Table) -> pa.Table:
+    if len(t) == 0:
+        return _STATE_SCHEMA.empty_table()
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    contrib = t["contrib"].to_numpy(zero_copy_only=False)
+    is_state = t["is_state"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(dst, kind="stable")
+    d = dst[order]
+    starts = np.flatnonzero(np.diff(d, prepend=d[0] - 1))
+    inflow = np.add.reduceat(contrib[order], starts)
+    n_state = np.add.reduceat(is_state[order], starts)
+    if not (n_state == 1).all():
+        raise ValueError("propagate: node missing or duplicated in state stream")
+    return pa.table(
+        {
+            "node": pa.array(d[starts], pa.int64()),
+            "rank": pa.array(inflow, pa.int64()),
+            "outdeg": pa.array(np.zeros(len(starts), np.int64)),
+        },
+        schema=_STATE_SCHEMA,
+    )
+
+
+def _propagate(state, edges, *, reverse: bool, n_parts: int):
+    """One distributed value propagation along (or against) the edges:
+    Dataset(node, rank) → Dataset(node, rank=sum of incoming values).
+    The node universe is preserved (zero rows for nodes with no inflow).
+    Two hash exchanges, same layout contract as pagerank."""
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        a, b = ("dst", "src") if reverse else ("src", "dst")
+        z = np.zeros(len(t), np.int64)
+        return pa.table(
+            {
+                "key": t[a].cast(pa.int64()),
+                "dst": t[b].cast(pa.int64()),
+                "rank": pa.array(z, pa.int64()),
+                "outdeg": pa.array(z, pa.int64()),
+                "is_state": pa.array(np.zeros(len(t), np.int8)),
+            },
+            schema=_UNION_SCHEMA,
+        )
+
+    stream = (
+        state.map_batches(_tag_state, batch_format="pyarrow")
+        .union(edges.map_batches(tag_edges, batch_format="pyarrow"))
+        .repartition(num_blocks=n_parts, keys=["key"])
+    )
+    return (
+        stream.map_batches(_prop_contrib_block, batch_size=None, batch_format="pyarrow")
+        .repartition(num_blocks=n_parts, keys=["dst"])
+        .map_batches(_prop_sum_block, batch_size=None, batch_format="pyarrow")
+    )
+
+
+def hits(edges, *, n_iter: int = 2, scale: int = 10**6):
+    """Dataset(src, dst) → Dataset(node, hub, authority) — Kleinberg's
+    HITS after ``n_iter`` synchronous iterations, integer fixed-point.
+
+    Update rule (all int64; ``//`` = floor; each normalization divides
+    by a SCALAR total, so every step is order-independent and the
+    distributed result is bit-exact under any block layout):
+
+        a_raw[v] = sum_{u->v} h[u];  a[v] = a_raw[v]*scale // sum(a_raw)
+        h_raw[u] = sum_{u->v} a[v];  h[u] = h_raw[u]*scale // sum(h_raw)
+
+    starting from h = scale per node.  Multi-edges contribute multiply.
+    Overflow bound: ``a_raw*scale <= sum(a_raw)*scale ~ scale^2 *
+    avg_outdeg`` must stay < 2^63 — the default scale=1e6 is safe to
+    average degree ~9e6.  Per iteration: 2 propagations x 2 exchanges +
+    2 scalar aggregates; edges never collected.
+    """
+    node_col = (
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            t["src"].cast(pa.int64()).combine_chunks(),
+                            t["dst"].cast(pa.int64()).combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .count()
+    )
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    n_parts = tune_hash_shuffle(edges.context)
+    z64 = lambda t: pa.array(np.zeros(len(t), np.int64))  # noqa: E731
+    h = node_col.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"].cast(pa.int64()),
+                "rank": pa.array(np.full(len(t), scale, np.int64)),
+                "outdeg": z64(t),
+            },
+            schema=_STATE_SCHEMA,
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if h.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "hub": pa.array([], pa.int64()),
+                    "authority": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def normalize(raw):
+        raw = raw.materialize()
+        total = int(raw.sum("rank") or 0)
+        if total <= 0:
+            return raw
+        return raw.map_batches(
+            lambda t: t.set_column(
+                1,
+                "rank",
+                pc.divide(
+                    pc.multiply(t["rank"].cast(pa.int64()), pa.scalar(scale, pa.int64())),
+                    pa.scalar(total, pa.int64()),
+                ),
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    a = None
+    for _ in range(n_iter):
+        a = normalize(_propagate(h, edges, reverse=False, n_parts=n_parts))
+        h = normalize(_propagate(a, edges, reverse=True, n_parts=n_parts))
+
+    hub = h.map_batches(
+        lambda t: pa.table({"node": t["node"], "hub": t["rank"]}),
+        batch_format="pyarrow",
+    )
+    auth = a.map_batches(
+        lambda t: pa.table({"node": t["node"], "authority": t["rank"]}),
+        batch_format="pyarrow",
+    )
+    n_j = max(2, n_parts // 2)
+    return hub.join(auth, "inner", num_partitions=n_j, on=("node",))
+
+
 def pagerank(
     edges,
     *,

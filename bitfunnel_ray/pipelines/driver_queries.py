@@ -3428,6 +3428,44 @@ SELECT doc_id, href FROM (
 """
 
 
+def q_hits(sf_dir):
+    """Distributed integer fixed-point HITS (2 iterations) over the demo
+    link graph — scalar-total normalization keeps every step
+    order-independent, so the result is bit-identical to the oracle's
+    unrolled CTE iterations (ops/graph.py hits docstring)."""
+    from bitfunnel_ray.ops.graph import hits
+
+    return hits(_demo_edges(sf_dir), n_iter=2)
+
+
+def _hits_iter_cte(i: int) -> str:
+    s = 10**6
+    return f"""
+ar{i} AS (SELECT n.node, COALESCE(s.v, 0) AS v FROM nodes n LEFT JOIN
+          (SELECT e.dst AS node, SUM(h{i-1}.v) AS v FROM e
+           JOIN h{i-1} ON h{i-1}.node = e.src GROUP BY e.dst) s USING(node)),
+at{i} AS (SELECT SUM(v) AS t FROM ar{i}),
+a{i} AS (SELECT node, CASE WHEN at{i}.t > 0 THEN (v * {s}) // at{i}.t ELSE v END AS v
+         FROM ar{i} CROSS JOIN at{i}),
+hr{i} AS (SELECT n.node, COALESCE(s.v, 0) AS v FROM nodes n LEFT JOIN
+          (SELECT e.src AS node, SUM(a{i}.v) AS v FROM e
+           JOIN a{i} ON a{i}.node = e.dst GROUP BY e.src) s USING(node)),
+ht{i} AS (SELECT SUM(v) AS t FROM hr{i}),
+h{i} AS (SELECT node, CASE WHEN ht{i}.t > 0 THEN (v * {s}) // ht{i}.t ELSE v END AS v
+         FROM hr{i} CROSS JOIN ht{i})"""
+
+
+SQL_HITS = (
+    "WITH "
+    + SQL_DEMO_EDGES.strip()
+    + """,
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v FROM nodes),"""
+    + ",".join(_hits_iter_cte(i) for i in (1, 2))
+    + "\nSELECT h2.node, h2.v AS hub, a2.v AS authority FROM h2 JOIN a2 USING(node)"
+)
+
+
 # (src, dst, anchor) rows of the demo pages' link set — mirrors
 # _demo_pages exactly; shared by the three anchor oracles below
 SQL_DEMO_ANCHORS = """
@@ -3561,6 +3599,7 @@ WHERE list_contains(string_split(ea.anchor, ' '), 's2')
 
 REGISTRY: dict[str, tuple] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "hits": (q_hits, SQL_HITS),
     "link_extract": (q_link_extract, SQL_LINK_EXTRACT),
     "anchor_extract": (q_anchor_extract, SQL_ANCHOR_EXTRACT),
     "anchor_agg": (q_anchor_agg, SQL_ANCHOR_AGG),

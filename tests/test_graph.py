@@ -10,7 +10,7 @@ import pyarrow as pa
 import pytest
 import ray.data as rd
 
-from bitfunnel_ray.ops.graph import extract_links, pagerank
+from bitfunnel_ray.ops.graph import extract_links, hits, pagerank
 
 SCALE = 10**12
 
@@ -93,6 +93,51 @@ def test_pagerank_ranks_sinks_and_hubs(graph):
     # a node every source multi-targets must outrank the global median
     indeg = np.bincount(dst, minlength=n)
     assert r[np.argmax(indeg)] > np.median(r)
+
+
+def dense_fixed_hits(src, dst, universe, n_iter=2, scale=10**6):
+    # universe = sorted node ids appearing in the edge set
+    idx = {v: k for k, v in enumerate(universe)}
+    cs = np.array([idx[v] for v in src])
+    cd = np.array([idx[v] for v in dst])
+    n = len(universe)
+    h = np.full(n, scale, np.int64)
+    a = np.zeros(n, np.int64)
+    for _ in range(n_iter):
+        a = np.zeros(n, np.int64)
+        np.add.at(a, cd, h[cs])
+        if a.sum() > 0:
+            a = (a * scale) // int(a.sum())
+        h = np.zeros(n, np.int64)
+        np.add.at(h, cs, a[cd])
+        if h.sum() > 0:
+            h = (h * scale) // int(h.sum())
+    return h, a
+
+
+def test_hits_bit_identical(graph):
+    src, dst, n = graph
+    universe = np.union1d(np.unique(src), np.unique(dst))
+    edges = rd.from_arrow(
+        pa.table({"src": src, "dst": dst})
+    ).repartition(num_blocks=5)
+    out = hits(edges, n_iter=2).to_pandas().set_index("node").sort_index()
+    href, aref = dense_fixed_hits(src, dst, universe)
+    assert (out.index.to_numpy() == universe).all()
+    assert (out["hub"].to_numpy() == href).all()
+    assert (out["authority"].to_numpy() == aref).all()
+    # pure sinks (appear only as dst) are hubs of weight 0 but still present
+    sinks = np.setdiff1d(universe, np.unique(src))
+    if len(sinks):
+        assert (out.loc[sinks, "hub"] == 0).all()
+
+
+def test_hits_authority_tracks_indegree(graph):
+    src, dst, n = graph
+    universe = np.union1d(np.unique(src), np.unique(dst))
+    _, aref = dense_fixed_hits(src, dst, universe)
+    indeg = np.bincount(dst, minlength=n)[universe]
+    assert aref[np.argmax(indeg)] > np.median(aref)
 
 
 def test_extract_links_edge_cases(ray_session):
