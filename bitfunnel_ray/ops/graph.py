@@ -113,6 +113,55 @@ def extract_links(corpus, *, html_col: str = "html", src_col: str = "doc_id"):
     )
 
 
+_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<h>[^/?#]+)"
+
+
+def host_graph(links, *, src_host_col: str = "src_host", href_col: str = "href"):
+    """Dataset(src_host, href, ...) → Dataset(src_host, dst_host, weight):
+    the page-level link set rolled up to a host-level graph.  The
+    destination host is parsed from the href (``scheme://host/...``;
+    rows without a parseable host are dropped); each block emits
+    PARTIAL (src_host, dst_host, count) rows (map-side combine), so the
+    one groupby exchange moves at most |distinct host pairs| rows per
+    block — tiny next to the edge set, which is what makes host-graph
+    rollups tractable where the page graph is not."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("src_host", pa.string()), ("dst_host", pa.string()), ("weight", pa.int64())]
+        )
+        if len(t) == 0:
+            return out_schema.empty_table()
+        dst = pc.struct_field(
+            pc.extract_regex(pc.cast(t[href_col], pa.string()), _HOST_RE), "h"
+        )
+        pairs = pa.table(
+            {"src_host": pc.cast(t[src_host_col], pa.string()), "dst_host": dst}
+        ).filter(pc.is_valid(dst))
+        g = pairs.group_by(["src_host", "dst_host"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "src_host": g["src_host"],
+                "dst_host": g["dst_host"],
+                "weight": g["count_all"].cast(pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        links.select_columns([src_host_col, href_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .sum("weight")
+        .map_batches(
+            lambda t: t.rename_columns(["src_host", "dst_host", "weight"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
 # --- PageRank --------------------------------------------------------------
 
 

@@ -3365,11 +3365,12 @@ r0 AS (SELECT nd.node, nd.outdeg, 1000000000000 // p.n AS rank FROM nd CROSS JOI
 
 def _demo_pages(sf_dir):
     """Link-bearing pages over the documents table: doc i's html wraps
-    its text plus two <a> links to l1=(i+1)%N and l2=(i*7+3)%N, each
-    with anchor text ``s<i%5> t<target%7>`` — src-derived and
-    target-derived tokens so anchor aggregation/search is non-trivial.
-    Fully vectorized (digit-table lookups, no per-row python except the
-    zero-padded id strings, fixture-only)."""
+    its text plus two <a> links to l1=(i+1)%N and l2=(i*7+3)%N on host
+    ``h<target%4>.example.org``, each with anchor text
+    ``s<i%5> t<target%7>`` — src-derived and target-derived tokens so
+    anchor aggregation/search is non-trivial and hosts vary for the
+    host-graph rollup.  Fully vectorized (digit-table lookups, no
+    per-row python except the zero-padded id strings, fixture-only)."""
     import pyarrow.parquet as _pq
 
     n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
@@ -3382,13 +3383,17 @@ def _demo_pages(sf_dir):
         html = pc.binary_join_element_wise(
             "<html><body>",
             pc.cast(t["text"], pa.string()),
-            '<a href="https://example.org/doc/',
+            '<a href="https://h',
+            pa.array(digits[a1 % 4]),
+            ".example.org/doc/",
             pa.array([f"{v:08d}" for v in a1.tolist()]),
             '">s',
             pa.array(digits[i % 5]),
             " t",
             pa.array(digits[a1 % 7]),
-            '</a><a href="https://example.org/doc/',
+            '</a><a href="https://h',
+            pa.array(digits[a2 % 4]),
+            ".example.org/doc/",
             pa.array([f"{v:08d}" for v in a2.tolist()]),
             '">s',
             pa.array(digits[i % 5]),
@@ -3418,14 +3423,70 @@ SQL_LINK_EXTRACT = """
 WITH p0 AS (SELECT COUNT(*) AS n FROM documents)
 SELECT doc_id, href FROM (
   SELECT d.doc_id,
-         'https://example.org/doc/' || lpad(CAST((d.doc_id + 1) % p0.n AS VARCHAR), 8, '0') AS href
+         'https://h' || CAST(((d.doc_id + 1) % p0.n) % 4 AS VARCHAR) || '.example.org/doc/'
+           || lpad(CAST((d.doc_id + 1) % p0.n AS VARCHAR), 8, '0') AS href
   FROM documents d CROSS JOIN p0
   UNION ALL
   SELECT d.doc_id,
-         'https://example.org/doc/' || lpad(CAST((d.doc_id * 7 + 3) % p0.n AS VARCHAR), 8, '0') AS href
+         'https://h' || CAST(((d.doc_id * 7 + 3) % p0.n) % 4 AS VARCHAR) || '.example.org/doc/'
+           || lpad(CAST((d.doc_id * 7 + 3) % p0.n AS VARCHAR), 8, '0') AS href
   FROM documents d CROSS JOIN p0
 )
 """
+
+
+# (src, dst, anchor) rows of the demo pages' link set — mirrors
+# _demo_pages exactly; shared by the three anchor oracles below
+SQL_DEMO_ANCHORS = """
+p0 AS (SELECT COUNT(*) AS n FROM documents),
+ea AS (
+  SELECT d.doc_id AS src, (d.doc_id + 1) % p0.n AS dst,
+         's' || CAST(d.doc_id % 5 AS VARCHAR) || ' t' ||
+         CAST(((d.doc_id + 1) % p0.n) % 7 AS VARCHAR) AS anchor
+  FROM documents d CROSS JOIN p0
+  UNION ALL
+  SELECT d.doc_id, (d.doc_id * 7 + 3) % p0.n,
+         's' || CAST(d.doc_id % 5 AS VARCHAR) || ' t' ||
+         CAST(((d.doc_id * 7 + 3) % p0.n) % 7 AS VARCHAR)
+  FROM documents d CROSS JOIN p0
+)
+"""
+
+
+def q_host_graph(sf_dir):
+    """Page links rolled up to the host-level graph: src host assigned
+    by the fixture convention h<doc%4>.example.org, dst host PARSED from
+    each href — map-side partial counts, one small groupby exchange
+    (ops/graph.py host_graph)."""
+    from bitfunnel_ray.ops.graph import extract_links, host_graph
+
+    digits = np.array([str(d) for d in range(10)])
+
+    def add_src_host(t: pa.Table) -> pa.Table:
+        i = t["doc_id"].to_numpy().astype(np.int64)
+        host = pc.binary_join_element_wise(
+            "h", pa.array(digits[i % 4]), ".example.org", ""
+        )
+        return t.append_column("src_host", host)
+
+    links = extract_links(_demo_pages(sf_dir), html_col="html", src_col="doc_id")
+    return host_graph(
+        links.map_batches(add_src_host, batch_format="pyarrow"),
+        src_host_col="src_host",
+        href_col="href",
+    )
+
+
+SQL_HOST_GRAPH = (
+    "WITH "
+    + SQL_DEMO_ANCHORS.strip()
+    + """
+SELECT 'h' || CAST(src % 4 AS VARCHAR) || '.example.org' AS src_host,
+       'h' || CAST(dst % 4 AS VARCHAR) || '.example.org' AS dst_host,
+       COUNT(*) AS weight
+FROM ea GROUP BY 1, 2
+"""
+)
 
 
 def q_hits(sf_dir):
@@ -3466,24 +3527,6 @@ h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v FROM nodes),"""
 )
 
 
-# (src, dst, anchor) rows of the demo pages' link set — mirrors
-# _demo_pages exactly; shared by the three anchor oracles below
-SQL_DEMO_ANCHORS = """
-p0 AS (SELECT COUNT(*) AS n FROM documents),
-ea AS (
-  SELECT d.doc_id AS src, (d.doc_id + 1) % p0.n AS dst,
-         's' || CAST(d.doc_id % 5 AS VARCHAR) || ' t' ||
-         CAST(((d.doc_id + 1) % p0.n) % 7 AS VARCHAR) AS anchor
-  FROM documents d CROSS JOIN p0
-  UNION ALL
-  SELECT d.doc_id, (d.doc_id * 7 + 3) % p0.n,
-         's' || CAST(d.doc_id % 5 AS VARCHAR) || ' t' ||
-         CAST(((d.doc_id * 7 + 3) % p0.n) % 7 AS VARCHAR)
-  FROM documents d CROSS JOIN p0
-)
-"""
-
-
 def q_anchor_extract(sf_dir):
     """(src, href, anchor) triples from the demo pages — the vectorized
     two-regex extractor (ops/anchors.py) must recover both the planted
@@ -3498,7 +3541,8 @@ SQL_ANCHOR_EXTRACT = (
     + SQL_DEMO_ANCHORS.strip()
     + """
 SELECT src AS doc_id,
-       'https://example.org/doc/' || lpad(CAST(dst AS VARCHAR), 8, '0') AS href,
+       'https://h' || CAST(dst % 4 AS VARCHAR) || '.example.org/doc/'
+         || lpad(CAST(dst AS VARCHAR), 8, '0') AS href,
        anchor
 FROM ea
 """
@@ -3600,6 +3644,7 @@ WHERE list_contains(string_split(ea.anchor, ' '), 's2')
 REGISTRY: dict[str, tuple] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "hits": (q_hits, SQL_HITS),
+    "host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "link_extract": (q_link_extract, SQL_LINK_EXTRACT),
     "anchor_extract": (q_anchor_extract, SQL_ANCHOR_EXTRACT),
     "anchor_agg": (q_anchor_agg, SQL_ANCHOR_AGG),

@@ -10,7 +10,7 @@ import pyarrow as pa
 import pytest
 import ray.data as rd
 
-from bitfunnel_ray.ops.graph import extract_links, hits, pagerank
+from bitfunnel_ray.ops.graph import extract_links, hits, host_graph, pagerank
 
 SCALE = 10**12
 
@@ -138,6 +138,32 @@ def test_hits_authority_tracks_indegree(graph):
     _, aref = dense_fixed_hits(src, dst, universe)
     indeg = np.bincount(dst, minlength=n)[universe]
     assert aref[np.argmax(indeg)] > np.median(aref)
+
+
+def test_host_graph_rollup(ray_session):
+    t = pa.table(
+        {
+            "src_host": ["a.org", "a.org", "a.org", "b.org", "b.org"],
+            "href": [
+                "https://x.org/1",
+                "https://x.org/2?q=1",  # query string not part of host
+                "http://y.org",  # no path at all
+                "https://x.org:8080/z",  # port stays in the host
+                "/relative/no/host",  # unparseable → dropped
+            ],
+        }
+    )
+    out = (
+        host_graph(rd.from_arrow(t).repartition(num_blocks=3))
+        .to_pandas()
+        .sort_values(["src_host", "dst_host"])
+    )
+    got = list(zip(out["src_host"], out["dst_host"], out["weight"]))
+    assert got == [
+        ("a.org", "x.org", 2),
+        ("a.org", "y.org", 1),
+        ("b.org", "x.org:8080", 1),
+    ]
 
 
 def test_extract_links_edge_cases(ray_session):
