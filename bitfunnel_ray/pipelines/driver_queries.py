@@ -3489,6 +3489,36 @@ FROM ea GROUP BY 1, 2
 )
 
 
+def q_resolve_redirects(sf_dir):
+    """Redirect chains planted in blocks of 8 (doc i with i%8<7
+    redirects to i+1): the pointer-doubling resolver (ops/graph.py,
+    3 distributed join rounds for chains ≤ 7 hops) must land every src
+    on its block terminal — the oracle is the closed form
+    ``i - i%8 + 7``, engine-independent."""
+    from bitfunnel_ray.ops.graph import resolve_redirects
+
+    def gen(t: pa.Table) -> pa.Table:
+        i = t["doc_id"].to_numpy().astype(np.int64)
+        src = i[i % 8 != 7]
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(src + 1, pa.int64())}
+        )
+
+    redirects = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(gen, batch_format="pyarrow")
+    return resolve_redirects(redirects)
+
+
+SQL_RESOLVE_REDIRECTS = """
+WITH p0 AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id AS src,
+       LEAST(doc_id - (doc_id % 8) + 7, p0.n) AS final,  -- last block truncates at N
+       TRUE AS resolved
+FROM documents CROSS JOIN p0 WHERE doc_id % 8 <> 7
+"""
+
+
 def q_hits(sf_dir):
     """Distributed integer fixed-point HITS (2 iterations) over the demo
     link graph — scalar-total normalization keeps every step
@@ -3645,6 +3675,7 @@ REGISTRY: dict[str, tuple] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "hits": (q_hits, SQL_HITS),
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),
+    "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
     "link_extract": (q_link_extract, SQL_LINK_EXTRACT),
     "anchor_extract": (q_anchor_extract, SQL_ANCHOR_EXTRACT),
     "anchor_agg": (q_anchor_agg, SQL_ANCHOR_AGG),

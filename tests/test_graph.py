@@ -10,7 +10,13 @@ import pyarrow as pa
 import pytest
 import ray.data as rd
 
-from bitfunnel_ray.ops.graph import extract_links, hits, host_graph, pagerank
+from bitfunnel_ray.ops.graph import (
+    extract_links,
+    hits,
+    host_graph,
+    pagerank,
+    resolve_redirects,
+)
 
 SCALE = 10**12
 
@@ -164,6 +170,61 @@ def test_host_graph_rollup(ray_session):
         ("a.org", "y.org", 1),
         ("b.org", "x.org:8080", 1),
     ]
+
+
+def _redirects(pairs):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.int64()),
+                "dst": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    ).repartition(num_blocks=3)
+
+
+def test_resolve_redirects_long_chain(ray_session):
+    # one 64-hop chain 0→1→…→64: needs 6 doubling rounds, not 64 steps
+    out = (
+        resolve_redirects(_redirects([(i, i + 1) for i in range(64)]), max_rounds=7)
+        .to_pandas()
+        .sort_values("src")
+    )
+    assert (out["final"] == 64).all()
+    assert out["resolved"].all()
+
+
+def test_resolve_redirects_cycle_flagged(ray_session):
+    # 3-cycle plus a chain feeding into it: nothing terminates
+    out = (
+        resolve_redirects(_redirects([(1, 2), (2, 3), (3, 1), (9, 1)]), max_rounds=8)
+        .to_pandas()
+        .sort_values("src")
+    )
+    assert not out["resolved"].any()
+    # every final is still a redirect source (stuck inside the cycle)
+    assert set(out["final"]).issubset({1, 2, 3})
+
+
+def test_resolve_redirects_mixed_forest(ray_session):
+    # two chains to different terminals + an isolated self-contained pair
+    pairs = [(0, 1), (1, 2), (2, 100), (10, 11), (11, 200), (30, 300)]
+    out = (
+        resolve_redirects(_redirects(pairs))
+        .to_pandas()
+        .set_index("src")["final"]
+        .to_dict()
+    )
+    assert out == {0: 100, 1: 100, 2: 100, 10: 200, 11: 200, 30: 300}
+
+
+def test_resolve_redirects_duplicate_src_raises(ray_session):
+    import pytest as _pytest
+
+    # 5 chains through the duplicated key → fan-out detected
+    pairs = [(1, 2), (2, 3), (2, 4)] + [(10 + i, 1) for i in range(5)]
+    with _pytest.raises(Exception, match="duplicate src"):
+        resolve_redirects(_redirects(pairs)).to_pandas()
 
 
 def test_extract_links_edge_cases(ray_session):
