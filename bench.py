@@ -321,6 +321,42 @@ def run_bench() -> dict:
             curve[str(npb)] = round(float(np.mean(rec)) if rec else 0.0, 4)
         extras["ivf_recall_at_10_by_nprobe"] = curve
 
+    if want("graph"):
+        # link-graph machinery at bench scale (extras-only: the headline
+        # total keeps its round-2 stage composition).  Deterministic
+        # ~2.1M-edge graph over the 600k synthetic docs; 3 fixed-point
+        # iterations = 6 hash exchanges + 3 scalar aggregates.
+        from bitfunnel_ray.ops.graph import pagerank
+
+        t0 = time.perf_counter()
+        n_nodes = n_corpus
+
+        def gen_edges(t):
+            import pyarrow as pa
+
+            i = t["doc_id"].to_numpy().astype(np.int64)
+            deg = 1 + (i % 5)
+            src = np.repeat(i, deg)
+            ends = np.cumsum(deg)
+            j = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(ends - deg, deg) + 1
+            dst = (src * 31 + j * j + 7) % n_nodes
+            return pa.table(
+                {
+                    "src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64()),
+                }
+            )
+
+        edges = rd.read_parquet(
+            parquet_files, columns=["doc_id"]
+        ).map_batches(gen_edges, batch_format="pyarrow")
+        pr = pagerank(edges, n_iter=3)
+        n_ranked = pr.count()
+        dt = time.perf_counter() - t0
+        extras["pagerank_sec"] = round(dt, 3)
+        extras["pagerank_nodes"] = int(n_ranked)
+        extras["pagerank_node_iters_per_sec"] = round(3 * n_ranked / dt, 1)
+
     ray.shutdown()
 
     total = round(sum(timings.values()), 3)

@@ -3489,6 +3489,70 @@ FROM ea GROUP BY 1, 2
 )
 
 
+def q_graph_degrees(sf_dir):
+    """Per-node out/in degree over the demo link graph — map-side
+    partial counts, one node-sized exchange (ops/graph.py degree_table)."""
+    from bitfunnel_ray.ops.graph import degree_table
+
+    return degree_table(_demo_edges(sf_dir))
+
+
+SQL_GRAPH_DEGREES = (
+    "WITH "
+    + SQL_DEMO_EDGES.strip()
+    + """,
+o AS (SELECT src AS node, COUNT(*) AS c FROM e GROUP BY 1),
+i AS (SELECT dst AS node, COUNT(*) AS c FROM e GROUP BY 1),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))
+SELECT n.node, COALESCE(o.c, 0) AS outdeg, COALESCE(i.c, 0) AS indeg
+FROM nodes n LEFT JOIN o USING(node) LEFT JOIN i USING(node)
+"""
+)
+
+
+def q_frontier_per_host(sf_dir):
+    """Crawl-frontier shaping: PageRank over the demo graph, nodes
+    bucketed by their host (h<node%4>.example.org), top-2 per host by
+    rank — the per-host politeness-budgeted frontier a crawler feeds its
+    fetchers.  Composition: integer fixed-point pagerank (bit-exact) →
+    vectorized host tag → map-side-pruned grouped top-k."""
+    from bitfunnel_ray.ops.graph import pagerank
+    from bitfunnel_ray.ops.grouped import top_k_per_group
+
+    digits = np.array([str(d) for d in range(10)])
+
+    def add_host(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy().astype(np.int64)
+        host = pc.binary_join_element_wise(
+            "h", pa.array(digits[n % 4]), ".example.org", ""
+        )
+        return t.append_column("host", host)
+
+    pr = pagerank(_demo_edges(sf_dir), n_iter=3).map_batches(
+        add_host, batch_format="pyarrow"
+    )
+    top = top_k_per_group(
+        pr, group_col="host", order_col="rank", k=2, descending=True,
+        tiebreak_col="node",
+    )
+    return top.select_columns(["host", "node", "rank"])
+
+
+SQL_FRONTIER_PER_HOST = (
+    "WITH pr AS ("
+    + SQL_PAGERANK
+    + """)
+SELECT host, node, rank FROM (
+  SELECT host, node, rank,
+         row_number() OVER (PARTITION BY host ORDER BY rank DESC, node) AS rn
+  FROM (SELECT node, rank,
+               'h' || CAST(node % 4 AS VARCHAR) || '.example.org' AS host
+        FROM pr)
+) WHERE rn <= 2
+"""
+)
+
+
 def q_resolve_redirects(sf_dir):
     """Redirect chains planted in blocks of 8 (doc i with i%8<7
     redirects to i+1): the pointer-doubling resolver (ops/graph.py,
@@ -3636,13 +3700,31 @@ def get_anchor_engine(sf_dir: str) -> SearchEngine:
         idx_dir = f"/tmp/bfr_idx_cache/{tag}_anchors"
         _sh.rmtree(idx_dir, ignore_errors=True)
         os.makedirs("/tmp/bfr_idx_cache", exist_ok=True)
+        digits = np.array([str(d) for d in range(10)])
+
+        def add_host(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            host = pc.binary_join_element_wise(
+                "h", pa.array(digits[ids % 4]), ".example.org", ""
+            )
+            return t.append_column("host", host)
+
         joined = anchor_corpus(
-            corpus_from_documents(sf_dir), _demo_anchor_table(sf_dir)
+            corpus_from_documents(sf_dir).map_batches(
+                add_host, batch_format="pyarrow"
+            ),
+            _demo_anchor_table(sf_dir),
         )
         cfg = EngineConfig(
             max_gram=1,
             num_buckets=8,
-            streams=(("body", "text", 0), ("anchor", "anchor_text", 1)),
+            streams=(
+                ("body", "text", 0),
+                ("anchor", "anchor_text", 1),
+                # site: filtering — each doc's host (fixture convention
+                # h<doc%4>.example.org) indexed as a one-token stream
+                ("site", "host", 2),
+            ),
         )
         build_index(joined, idx_dir, cfg)
         eng = SearchEngine(idx_dir, load_urls=False)
@@ -3657,6 +3739,21 @@ def q_anchor_search(sf_dir):
     eng = get_anchor_engine(sf_dir)
     docs = eng.eval(parse_query("anchor:s2 table", eng.stream_map))
     return pa.table({"doc_id": pa.array(docs.astype(np.int64), pa.int64())})
+
+
+def q_site_search(sf_dir):
+    """`site:` filtering through the stream machinery — the classic web
+    search operator: restrict a body query to one host.  Same index as
+    anchor_search (three streams: body / anchor / site)."""
+    eng = get_anchor_engine(sf_dir)
+    docs = eng.eval(parse_query("site:h2.example.org join", eng.stream_map))
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64), pa.int64())})
+
+
+SQL_SITE_SEARCH = """
+SELECT doc_id FROM documents
+WHERE doc_id % 4 = 2 AND list_contains(string_split(text, ' '), 'join')
+"""
 
 
 SQL_ANCHOR_SEARCH = (
@@ -3676,6 +3773,9 @@ REGISTRY: dict[str, tuple] = {
     "hits": (q_hits, SQL_HITS),
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
+    "graph_degrees": (q_graph_degrees, SQL_GRAPH_DEGREES),
+    "frontier_per_host": (q_frontier_per_host, SQL_FRONTIER_PER_HOST),
+    "site_search": (q_site_search, SQL_SITE_SEARCH),
     "link_extract": (q_link_extract, SQL_LINK_EXTRACT),
     "anchor_extract": (q_anchor_extract, SQL_ANCHOR_EXTRACT),
     "anchor_agg": (q_anchor_agg, SQL_ANCHOR_AGG),
