@@ -547,11 +547,29 @@ def hits(edges, *, n_iter: int = 2, scale: int = 10**6):
 
     n_parts = tune_hash_shuffle(edges.context)
 
+    # tag + materialize the forward stream ONCE; the reverse stream and
+    # the node universe both derive from it (upstream executes once)
+    fwd = _tag_edges_directed(edges, reverse=False).materialize()
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["dst"],
+                "dst": t["key"],
+                "rank": t["rank"],
+                "outdeg": t["outdeg"],
+                "is_state": t["is_state"],
+            },
+            schema=_UNION_SCHEMA,
+        )
+
+    rev = fwd.map_batches(swap, batch_format="pyarrow").materialize()
+
     def uniq_block(t: pa.Table) -> pa.Table:
         vals = np.concatenate(
             [
-                t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
-                t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["key"].to_numpy(zero_copy_only=False),
+                t["dst"].to_numpy(zero_copy_only=False),
             ]
         ) if len(t) else np.array([], np.int64)
         return pa.table({"node": pa.array(np.unique(vals), pa.int64())})
@@ -562,7 +580,7 @@ def hits(edges, *, n_iter: int = 2, scale: int = 10**6):
         )
 
     node_col = (
-        edges.map_batches(uniq_block, batch_format="pyarrow")
+        fwd.map_batches(uniq_block, batch_format="pyarrow")
         .repartition(num_blocks=n_parts, keys=["node"])
         .map_batches(uniq_finish, batch_size=None, batch_format="pyarrow")
     )
@@ -590,9 +608,6 @@ def hits(edges, *, n_iter: int = 2, scale: int = 10**6):
                 }
             )
         )
-
-    fwd = _tag_edges_directed(edges, reverse=False).materialize()
-    rev = _tag_edges_directed(edges, reverse=True).materialize()
 
     def normalize(raw):
         raw = raw.materialize()
@@ -693,8 +708,28 @@ def pagerank(
     from bitfunnel_ray.build.builder import tune_hash_shuffle
 
     n_parts = tune_hash_shuffle(edges.context)
+    # tag + materialize the edge stream ONCE and derive everything else
+    # from it (degrees, every iteration's shuffle input) — the upstream
+    # edge pipeline executes exactly once per pagerank call
+    tagged_edges = edges.map_batches(_tag_edges, batch_format="pyarrow").materialize()
+
+    def deg_partials_tagged(t: pa.Table) -> pa.Table:
+        src = t["key"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(src, return_counts=True)
+        v = np.unique(dst)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([u, v]), pa.int64()),
+                "deg": pa.array(
+                    np.concatenate([c.astype(np.int64), np.zeros(len(v), np.int64)]),
+                    pa.int64(),
+                ),
+            }
+        )
+
     deg = (
-        edges.map_batches(_degree_partials, batch_format="pyarrow")
+        tagged_edges.map_batches(deg_partials_tagged, batch_format="pyarrow")
         .repartition(num_blocks=n_parts, keys=["node"])
         .map_batches(_seg_sum_by("node", ("deg",)), batch_size=None, batch_format="pyarrow")
     )
@@ -721,10 +756,6 @@ def pagerank(
         batch_format="pyarrow",
     ).materialize()
     base = (scale * (damping_den - damping_num)) // damping_den // n_nodes
-
-    # tag + materialize the edge stream ONCE: each iteration re-shuffles
-    # it (inherent to the union design) but never re-derives it
-    tagged_edges = edges.map_batches(_tag_edges, batch_format="pyarrow").materialize()
 
     for _ in range(n_iter):
         dangling = _scalar_sum_where_zero_outdeg(state)

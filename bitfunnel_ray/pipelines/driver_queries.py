@@ -3553,6 +3553,74 @@ SELECT host, node, rank FROM (
 )
 
 
+def q_static_rank_topk(sf_dir):
+    """Static-rank blending — what production web ranking actually does:
+    text relevance (BM25, bit-exact float recipe) × a query-independent
+    link prior (integer fixed-point PageRank over the demo graph).
+    blended = round(bm25, 6) * pagerank_rank: one IEEE multiply of two
+    exactly-reproducible quantities, so the result hash-compares against
+    the SQL oracle.  Top-10 by blended desc, doc_id asc."""
+    from bitfunnel_ray.ops.graph import pagerank
+
+    eng = get_engine(sf_dir)
+    t = eng.search(" ".join(_BM25_TERMS), k=1_000_000)  # all matches, scored
+    scores = {
+        int(d): round(float(s), 6)
+        for d, s in zip(t["doc_id"].to_pylist(), t["score"].to_pylist())
+    }
+    match_ids = np.array(sorted(scores), dtype=np.int64)
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        node = tbl["node"].to_numpy()
+        keep = np.isin(node, match_ids)
+        return tbl.filter(pa.array(keep))
+
+    pr = (
+        pagerank(_demo_edges(sf_dir), n_iter=3)
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    bm = np.array([scores[int(n)] for n in pr["node"]], dtype=np.float64)
+    blended = bm * pr["rank"].to_numpy().astype(np.float64)
+    order = np.lexsort((pr["node"].to_numpy(), -blended))[:10]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "doc_id": pa.array(pr["node"].to_numpy()[order], pa.int64()),
+            "blended": pa.array(blended[order], pa.float64()),
+        }
+    )
+
+
+SQL_STATIC_RANK_TOPK = (
+    "WITH pr AS ("
+    + SQL_PAGERANK
+    + f"""),
+toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join') GROUP BY term),
+matches AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+blend AS (SELECT s.doc_id, round(s.score, 6) * CAST(pr.rank AS DOUBLE) AS blended
+          FROM scores s JOIN pr ON pr.node = s.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY blended DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, blended
+FROM blend ORDER BY blended DESC, doc_id LIMIT 10
+"""
+)
+
+
 def q_resolve_redirects(sf_dir):
     """Redirect chains planted in blocks of 8 (doc i with i%8<7
     redirects to i+1): the pointer-doubling resolver (ops/graph.py,
@@ -3774,6 +3842,7 @@ REGISTRY: dict[str, tuple] = {
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
     "graph_degrees": (q_graph_degrees, SQL_GRAPH_DEGREES),
+    "static_rank_topk": (q_static_rank_topk, SQL_STATIC_RANK_TOPK),
     "frontier_per_host": (q_frontier_per_host, SQL_FRONTIER_PER_HOST),
     "site_search": (q_site_search, SQL_SITE_SEARCH),
     "link_extract": (q_link_extract, SQL_LINK_EXTRACT),
