@@ -400,6 +400,38 @@ def repl_execute(eng, line: str, *, _depth: int = 0) -> str:
         return f"error: {e}"
 
 
+def cmd_links(args):
+    """Extract href links (optionally with anchor text) from an html
+    column into a (src, href[, anchor]) parquet — the crawl-side feed
+    for the graph and anchor pipelines."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(args.pages)
+    if args.anchors:
+        from bitfunnel_ray.ops.anchors import extract_anchors
+
+        out = extract_anchors(ds, html_col=args.html_col, src_col=args.src_col)
+    else:
+        from bitfunnel_ray.ops.graph import extract_links
+
+        out = extract_links(ds, html_col=args.html_col, src_col=args.src_col)
+    out.write_parquet(args.out)
+    print(f"links written to {args.out}")
+
+
+def cmd_pagerank(args):
+    """Integer fixed-point PageRank over a (src, dst) edge parquet;
+    writes (node, rank) parquet.  Deterministic: same edges → bit-equal
+    ranks under any layout."""
+    import ray.data as rd
+
+    from bitfunnel_ray.ops.graph import pagerank
+
+    edges = rd.read_parquet(args.edges, columns=["src", "dst"])
+    pagerank(edges, n_iter=args.iters).write_parquet(args.out)
+    print(f"pagerank({args.iters} iters) written to {args.out}")
+
+
 def cmd_repl(args):
     """Interactive command REPL — the ``BitFunnel repl`` analog
     (tools/BitFunnel/src/REPL.cpp + Environment.cpp command registry).
@@ -724,6 +756,17 @@ def main(argv=None):
     s.add_argument("corpus"); s.add_argument("index")
     s.add_argument("--gram", type=int, default=2); s.add_argument("--buckets", type=int, default=16)
     s.set_defaults(fn=cmd_build, needs_ray=True)
+
+    s = sub.add_parser("links")
+    s.add_argument("pages"); s.add_argument("out")
+    s.add_argument("--html-col", default="html"); s.add_argument("--src-col", default="doc_id")
+    s.add_argument("--anchors", action="store_true")
+    s.set_defaults(fn=cmd_links, needs_ray=True)
+
+    s = sub.add_parser("pagerank")
+    s.add_argument("edges"); s.add_argument("out")
+    s.add_argument("--iters", type=int, default=3)
+    s.set_defaults(fn=cmd_pagerank, needs_ray=True)
 
     s = sub.add_parser("filter")
     s.add_argument("corpus"); s.add_argument("out")

@@ -227,6 +227,59 @@ def test_resolve_redirects_duplicate_src_raises(ray_session):
         resolve_redirects(_redirects(pairs)).to_pandas()
 
 
+def test_cli_links_pagerank(tmp_path):
+    """cli links → cli pagerank over a tiny planted page set: the two
+    commands chain through parquet on disk (the crawl-side tool flow)."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_GRAFT_CPUS": "4"}
+    pages = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "html": [
+                '<a href="1">to one</a>',
+                '<a href="2">to two</a>',
+                '<a href="0">to zero</a>',
+            ],
+        }
+    )
+    pq.write_table(pages, tmp_path / "pages.parquet")
+    links = str(tmp_path / "links")
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "links",
+         str(tmp_path / "pages.parquet"), links, "--anchors"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ldf = pd.concat([pq.read_table(f"{links}/{f}").to_pandas()
+                     for f in __import__("os").listdir(links)])
+    assert sorted(ldf["anchor"]) == ["to one", "to two", "to zero"]
+    # href column is the dst id here; rewrite to (src, dst) edges
+    edges = pa.table(
+        {
+            "src": pa.array(ldf["doc_id"].to_numpy(), pa.int64()),
+            "dst": pa.array(ldf["href"].astype("int64").to_numpy(), pa.int64()),
+        }
+    )
+    pq.write_table(edges, tmp_path / "edges.parquet")
+    out = str(tmp_path / "pr")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "pagerank",
+         str(tmp_path / "edges.parquet"), out, "--iters", "2"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    pdf = pd.concat([pq.read_table(f"{out}/{f}").to_pandas()
+                     for f in __import__("os").listdir(out)])
+    # a 3-cycle is symmetric: every node ends with the same rank
+    assert len(pdf) == 3 and pdf["rank"].nunique() == 1
+
+
 def test_extract_links_edge_cases(ray_session):
     html = pa.array(
         [
