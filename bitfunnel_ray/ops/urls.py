@@ -112,3 +112,29 @@ def url_dedup(
     return slim.repartition(num_blocks=n_blocks, keys=["canon_url"]).map_batches(
         keep_min, batch_format="pyarrow", batch_size=None
     )
+
+
+def filter_url_prefixes(
+    ds: "ray.data.Dataset",
+    url_col: str,
+    blocked_prefixes: "tuple[str, ...] | list[str]",
+    keep: bool = False,
+) -> "ray.data.Dataset":
+    """robots.txt-style Disallow filtering: drop (or with ``keep=True``,
+    retain) rows whose URL starts with ANY blocked prefix.  Map-only —
+    one anchored RE2 alternation per block, the prefix list compiled
+    once at pipeline build time (it is driver-small, like a parsed
+    robots rule set); no per-row python, no shuffle."""
+    import re as _re
+
+    if not blocked_prefixes:
+        return ds if not keep else ds.limit(0)
+    pat = "^(?:" + "|".join(_re.escape(p) for p in blocked_prefixes) + ")"
+
+    def block(t: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(
+            pc.cast(pc.fill_null(t[url_col], ""), pa.string()), pat
+        )
+        return t.filter(hit if keep else pc.invert(hit))
+
+    return ds.map_batches(block, batch_format="pyarrow")

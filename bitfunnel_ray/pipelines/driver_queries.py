@@ -2977,6 +2977,91 @@ FROM documents
 """
 
 
+def q_diversified_topk(sf_dir):
+    """SERP host collapsing: BM25 matches capped at 2 results per host
+    (fixture convention h<doc%4>.example.org) before the global top-10 —
+    the diversity rule every production result page applies.  The
+    collapse runs over the scored match list (vectorized numpy; the
+    match set is driver-small after scoring, as in a real serving tier)."""
+    eng = get_engine(sf_dir)
+    t = eng.search(" ".join(_BM25_TERMS), k=1_000_000)
+    doc = t["doc_id"].to_numpy().astype(np.int64)
+    score = np.round(t["score"].to_numpy(), 6)
+    order = np.lexsort((doc, -score))
+    doc, score = doc[order], score[order]
+    host = doc % 4
+    # nth occurrence of each host in score order
+    occ = np.zeros(len(doc), np.int64)
+    counts = np.zeros(4, np.int64)
+    for i, h in enumerate(host):  # match list is driver-small (serving tier)
+        occ[i] = counts[h]
+        counts[h] += 1
+    keep = occ < 2
+    doc, score, host = doc[keep][:10], score[keep][:10], host[keep][:10]
+    digits = np.array([str(d) for d in range(10)])
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(doc) + 1), pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "host": pc.binary_join_element_wise(
+                "h", pa.array(digits[host]), ".example.org", ""
+            ),
+            "score": pa.array(score, pa.float64()),
+        }
+    )
+
+
+SQL_DIVERSIFIED_TOPK = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join') GROUP BY term),
+matches AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+sel AS (SELECT doc_id, round(score, 6) AS score,
+               'h' || CAST(doc_id % 4 AS VARCHAR) || '.example.org' AS host
+        FROM scores),
+div AS (SELECT *, row_number() OVER (PARTITION BY host ORDER BY score DESC, doc_id) AS rn
+        FROM sel)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, host, score
+FROM div WHERE rn <= 2 ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_robots_filter(sf_dir):
+    """robots.txt-style Disallow filtering over the messy-URL fixture:
+    drop every URL under the www. host alias and the :443 explicit-port
+    form (two Disallow prefixes) — anchored RE2 alternation compiled
+    once, map-only (ops/urls.py filter_url_prefixes)."""
+    from bitfunnel_ray.ops.urls import filter_url_prefixes
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(_variant_urls_batch, batch_format="pyarrow")
+    return filter_url_prefixes(
+        ds, "url", ("https://www.example.org/", "https://example.org:443/")
+    )
+
+
+SQL_ROBOTS_FILTER = f"""
+WITH u AS ({_SQL_VARIANT_URLS})
+SELECT doc_id, url FROM u
+WHERE NOT (url LIKE 'https://www.example.org/%'
+        OR url LIKE 'https://example.org:443/%')
+"""
+
+
 def q_url_canonicalize(sf_dir):
     """URL canonicalization (fragment/query strip, scheme+host lowercase,
     default-port and www. drop, trailing-slash strip) over a planted
@@ -3843,6 +3928,8 @@ REGISTRY: dict[str, tuple] = {
     "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
     "graph_degrees": (q_graph_degrees, SQL_GRAPH_DEGREES),
     "static_rank_topk": (q_static_rank_topk, SQL_STATIC_RANK_TOPK),
+    "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
+    "diversified_topk": (q_diversified_topk, SQL_DIVERSIFIED_TOPK),
     "frontier_per_host": (q_frontier_per_host, SQL_FRONTIER_PER_HOST),
     "site_search": (q_site_search, SQL_SITE_SEARCH),
     "link_extract": (q_link_extract, SQL_LINK_EXTRACT),
