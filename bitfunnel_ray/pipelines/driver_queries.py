@@ -3706,6 +3706,51 @@ FROM blend ORDER BY blended DESC, doc_id LIMIT 10
 )
 
 
+def q_web_index_search(sf_dir):
+    """End-to-end web indexing (pipelines/webindex.py): demo pages with
+    real URLs → robots filter → text + anchor extraction →
+    canonical-URL link resolution → PageRank sidecar → two-stream index
+    → BLENDED top-10 for 'spark join'.  Rows-only entry: every
+    component is separately oracle-checked (extract_text, robots_filter,
+    anchor_*, pagerank, static_rank_topk); the composition is covered by
+    tests/test_webindex.py's closed-form corpus."""
+    import shutil as _sh
+
+    from bitfunnel_ray.pipelines.webindex import (
+        blended_search,
+        build_web_index,
+        load_static_rank,
+    )
+
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    digits = np.array([str(d) for d in range(10)])
+
+    def add_url(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        url = pc.binary_join_element_wise(
+            "https://h",
+            pa.array(digits[ids % 4]),
+            ".example.org/doc/",
+            pa.array([f"{v:08d}" for v in ids.tolist()]),
+            "",
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()), "url": url, "html": t["html"]}
+        )
+
+    pages = _demo_pages(sf_dir).map_batches(add_url, batch_format="pyarrow")
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/bfr_idx_cache/{tag}_webidx"
+    _sh.rmtree(out, ignore_errors=True)
+    _sh.rmtree(f"{out}_rank", ignore_errors=True)
+    os.makedirs("/tmp/bfr_idx_cache", exist_ok=True)
+    manifest, rank_path = build_web_index(pages, out, pagerank_iters=2)
+    eng = SearchEngine(out, load_urls=False)
+    return blended_search(eng, load_static_rank(rank_path), "spark join", k=10)
+
+
 def q_resolve_redirects(sf_dir):
     """Redirect chains planted in blocks of 8 (doc i with i%8<7
     redirects to i+1): the pointer-doubling resolver (ops/graph.py,
@@ -3930,6 +3975,7 @@ REGISTRY: dict[str, tuple] = {
     "static_rank_topk": (q_static_rank_topk, SQL_STATIC_RANK_TOPK),
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "diversified_topk": (q_diversified_topk, SQL_DIVERSIFIED_TOPK),
+    "web_index_search": (q_web_index_search, None),
     "frontier_per_host": (q_frontier_per_host, SQL_FRONTIER_PER_HOST),
     "site_search": (q_site_search, SQL_SITE_SEARCH),
     "link_extract": (q_link_extract, SQL_LINK_EXTRACT),

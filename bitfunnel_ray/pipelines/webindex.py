@@ -1,0 +1,187 @@
+"""End-to-end web indexing: raw pages → queryable multi-stream index
+with a link-derived static rank.
+
+This is the composition a web-scale user actually runs, wired from the
+repo's own oracle-checked parts — every stage is the distributed shape
+documented in its module:
+
+    pages (doc_id, url, html)
+      ├─ robots filter            (ops/urls.filter_url_prefixes, map-only)
+      ├─ text extraction          (stages/extract.extract_text, map-only)
+      ├─ (href, anchor) extraction(ops/anchors.extract_anchors, map-only)
+      │    └─ href → doc_id       (resolve_links: canonicalize both
+      │         resolution          sides + ONE distributed hash join)
+      ├─ PageRank over the edges  (ops/graph.pagerank — integer
+      │    → static-rank parquet    fixed-point, bit-exact)
+      ├─ anchor aggregation       (ops/anchors.aggregate_anchor_text,
+      │    → corpus join            one exchange + distributed join)
+      └─ build_index with streams body=0, anchor=1
+           (build/builder — fused spill, salted heads, resumable)
+
+Serving: ``blended_search`` = BM25 over body+anchor × the PageRank
+prior (same one-multiply recipe as the ``static_rank_topk`` oracle).
+
+The reference has no crawl-side tooling at all (it ingests
+pre-extracted chunks, src/Chunks/src/ChunkReader.cpp) — this module is
+the upstream pipeline its users run elsewhere, expressed Ray-Data-first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def resolve_links(links, pages_urls, *, href_col: str = "href",
+                  url_col: str = "url", id_col: str = "doc_id",
+                  num_partitions: int | None = None):
+    """(src, href) × (doc_id, url) → (src, dst) edges: canonicalize BOTH
+    sides with the same recipe (ops/urls), then one distributed inner
+    hash join on the canonical string.  Hrefs pointing outside the
+    corpus simply don't join (dropped) — exactly what a crawler's
+    frontier/dedup layer does with out-of-scope links."""
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+    from bitfunnel_ray.ops.urls import canonicalize_url_array
+
+    n_parts = num_partitions or tune_hash_shuffle(links.context)
+
+    def canon_links(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t[id_col].cast(pa.int64()),
+                "curl": canonicalize_url_array(t[href_col]),
+            }
+        )
+
+    def canon_pages(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dst": t[id_col].cast(pa.int64()),
+                "curl": canonicalize_url_array(t[url_col]),
+            }
+        )
+
+    left = links.select_columns([id_col, href_col]).map_batches(
+        canon_links, batch_format="pyarrow"
+    )
+    right = pages_urls.select_columns([id_col, url_col]).map_batches(
+        canon_pages, batch_format="pyarrow"
+    )
+    joined = left.join(right, "inner", num_partitions=n_parts, on=("curl",))
+    return joined.select_columns(["src", "dst"])
+
+
+def build_web_index(
+    pages,
+    out_dir: str,
+    *,
+    cfg=None,
+    blocked_prefixes: tuple = (),
+    pagerank_iters: int = 3,
+):
+    """pages Dataset(doc_id, url, html) → index segment at ``out_dir``
+    (body + anchor streams) plus ``{out_dir}_rank/`` static-rank parquet.
+    Returns (manifest, rank_path)."""
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.ops.anchors import (
+        aggregate_anchor_text,
+        anchor_corpus,
+        extract_anchors,
+    )
+    from bitfunnel_ray.ops.graph import pagerank
+    from bitfunnel_ray.ops.urls import filter_url_prefixes
+    from bitfunnel_ray.stages.extract import extract_text
+
+    if blocked_prefixes:
+        pages = filter_url_prefixes(pages, "url", tuple(blocked_prefixes))
+    # one materialization point: every downstream arm (text, links,
+    # url-resolution right side) reads the filtered pages
+    pages = pages.materialize()
+
+    links = extract_anchors(pages, html_col="html", src_col="doc_id")
+    edges = resolve_links(
+        links, pages.select_columns(["doc_id", "url"])
+    ).materialize()
+
+    rank_path = f"{out_dir}_rank"
+    pagerank(edges, n_iter=pagerank_iters).write_parquet(rank_path)
+
+    anchors = _resolve_anchor_targets(links, pages)
+    anchor_table = aggregate_anchor_text(
+        anchors, target_col="doc_id", anchor_col="anchor"
+    )
+
+    corpus = extract_text(pages, html_col="html", out_col="text", normalize_ws=True)
+    joined = anchor_corpus(corpus, anchor_table)
+
+    cfg = cfg or EngineConfig(
+        max_gram=1,
+        num_buckets=8,
+        streams=(("body", "text", 0), ("anchor", "anchor_text", 1)),
+    )
+    manifest = build_index(joined, out_dir, cfg)
+    return manifest, rank_path
+
+
+def _resolve_anchor_targets(links, pages, *, num_partitions: int | None = None):
+    """(src, href, anchor) × pages(doc_id, url) → (doc_id=target, anchor):
+    same canonical-url join as resolve_links, carrying the anchor text."""
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+    from bitfunnel_ray.ops.urls import canonicalize_url_array
+
+    n_parts = num_partitions or tune_hash_shuffle(links.context)
+
+    def canon_l(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"curl": canonicalize_url_array(t["href"]), "anchor": t["anchor"]}
+        )
+
+    def canon_p(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"tgt": t["doc_id"].cast(pa.int64()), "curl": canonicalize_url_array(t["url"])}
+        )
+
+    joined = links.map_batches(canon_l, batch_format="pyarrow").join(
+        pages.select_columns(["doc_id", "url"]).map_batches(
+            canon_p, batch_format="pyarrow"
+        ),
+        "inner",
+        num_partitions=n_parts,
+        on=("curl",),
+    )
+    return joined.map_batches(
+        lambda t: pa.table({"doc_id": t["tgt"], "anchor": t["anchor"]}),
+        batch_format="pyarrow",
+    )
+
+
+def load_static_rank(rank_path: str) -> dict:
+    """Static-rank parquet → {doc_id: rank} (node-count sized — the
+    rank table is O(corpus docs), served from memory like the doc map)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(rank_path)
+    return dict(zip(t["node"].to_pylist(), t["rank"].to_pylist()))
+
+
+def blended_search(eng, ranks: dict, query: str, k: int = 10) -> pa.Table:
+    """BM25 over the index's streams × the PageRank prior:
+    blended = round(bm25, 6) * rank (one IEEE multiply, same recipe the
+    static_rank_topk oracle hash-checks).  Docs absent from the rank
+    table (no in/out links survived) get prior 1 so pure-text relevance
+    still surfaces them."""
+    t = eng.search(query, k=1_000_000)
+    doc = t["doc_id"].to_numpy().astype(np.int64)
+    score = np.round(t["score"].to_numpy(), 6)
+    prior = np.array([ranks.get(int(d), 1) for d in doc], dtype=np.float64)
+    blended = score * prior
+    order = np.lexsort((doc, -blended))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "doc_id": pa.array(doc[order], pa.int64()),
+            "blended": pa.array(blended[order], pa.float64()),
+        }
+    )

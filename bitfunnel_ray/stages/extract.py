@@ -54,12 +54,15 @@ def extract_text_batch(
     ``normalize_ws=False`` (default) preserves the source's whitespace
     exactly — required for the byte-identical invariant against
     reference-extracted text; ``True`` collapses runs to single spaces
-    and trims (the form a tokenizer-bound pipeline usually wants)."""
+    and trims (the form a tokenizer-bound pipeline usually wants) and
+    treats every stripped tag as a token separator, so ``x</p><p>y``
+    yields ``x y`` rather than fusing into ``xy``."""
+    gap = " " if normalize_ws else ""
     s = pc.cast(pc.fill_null(html, b""), pa.string())
-    s = pc.replace_substring_regex(s, _SCRIPT_RE, "")
-    s = pc.replace_substring_regex(s, _STYLE_RE, "")
-    s = pc.replace_substring_regex(s, _COMMENT_RE, "")
-    s = pc.replace_substring_regex(s, _TAG_RE, "")
+    s = pc.replace_substring_regex(s, _SCRIPT_RE, gap)
+    s = pc.replace_substring_regex(s, _STYLE_RE, gap)
+    s = pc.replace_substring_regex(s, _COMMENT_RE, gap)
+    s = pc.replace_substring_regex(s, _TAG_RE, gap)
     if decode_entities:
         for ent, ch in _ENTITIES:
             s = pc.replace_substring(s, ent, ch)

@@ -1,0 +1,133 @@
+"""End-to-end web indexing (pipelines/webindex.py): raw pages with real
+URLs and cross-links → robots filter → text + anchor extraction →
+canonical-URL link resolution → PageRank sidecar → two-stream index →
+blended serving.  Planted corpus with closed-form expectations."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from bitfunnel_ray.pipelines.webindex import (
+    blended_search,
+    build_web_index,
+    load_static_rank,
+    resolve_links,
+)
+from bitfunnel_ray.query.engine import SearchEngine
+
+N = 120  # docs 0..119; doc i links to (i+1)%N and (i*7+3)%N
+
+
+def _pages():
+    i = np.arange(N, dtype=np.int64)
+    a1 = (i + 1) % N
+    a2 = (i * 7 + 3) % N
+    urls = [f"https://h{v % 4}.example.org/doc/{v}" for v in i.tolist()]
+    # doc 0..9 live under the /blocked/ path → robots-dropped
+    urls = [
+        u.replace(f"/doc/{k}", f"/blocked/{k}") if k < 10 else u
+        for k, u in enumerate(urls)
+    ]
+    body = [
+        ("spark join alpha" if v % 3 == 0 else "spark join beta") + f" tok{v}"
+        for v in i.tolist()
+    ]
+    html = [
+        f"<html><body><p>{body[k]}</p>"
+        f'<a href="{urls[a1[k]]}">anchor one</a>'
+        f'<a href="{urls[a2[k]]}">deep {a2[k] % 7}</a></body></html>'
+        for k in range(N)
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(i, pa.int64()),
+            "url": pa.array(urls),
+            "html": pa.array([h.encode() for h in html], pa.binary()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def webidx(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("webidx") / "seg")
+    pages = rd.from_arrow(_pages()).repartition(num_blocks=4)
+    manifest, rank_path = build_web_index(
+        pages,
+        out,
+        blocked_prefixes=(
+            "https://h0.example.org/blocked/",
+            "https://h1.example.org/blocked/",
+            "https://h2.example.org/blocked/",
+            "https://h3.example.org/blocked/",
+        ),
+        pagerank_iters=2,
+    )
+    return SearchEngine(out, load_urls=False), rank_path
+
+
+def test_robots_dropped_docs_absent(webidx):
+    eng, _ = webidx
+    # tok5 exists only in blocked doc 5 → zero hits
+    assert eng.search("tok5", k=5).num_rows == 0
+    # tok42 survives
+    t = eng.search("tok42", k=5)
+    assert t["doc_id"].to_pylist() == [42]
+
+
+def test_anchor_stream_queryable(webidx):
+    eng, _ = webidx
+    from bitfunnel_ray.query.parser import parse_query
+
+    # every indexed doc got "anchor one" from its predecessor unless the
+    # predecessor was robots-dropped; spot-check one known in-link:
+    # doc 43's in-link from 42 plants the anchor token "one"
+    got = set(eng.eval(parse_query("anchor:one", eng.stream_map)).tolist())
+    assert 43 in got
+    # docs whose ONLY in-links came from dropped srcs may miss it; docs
+    # 0..9 are dropped entirely so they never appear
+    assert not (got & set(range(10)))
+
+
+def test_static_rank_sidecar(webidx):
+    _, rank_path = webidx
+    ranks = load_static_rank(rank_path)
+    # rank table covers only surviving docs (and their link targets)
+    assert all(k >= 10 for k in ranks)
+    assert all(v > 0 for v in ranks.values())
+
+
+def test_blended_search_order(webidx):
+    eng, rank_path = webidx
+    ranks = load_static_rank(rank_path)
+    out = blended_search(eng, ranks, "spark join", k=10).to_pandas()
+    assert len(out) == 10
+    # blended = round(bm25,6) * prior, descending
+    assert (np.diff(out["blended"].to_numpy()) <= 0).all()
+    # every result is a surviving doc
+    assert (out["doc_id"] >= 10).all()
+
+
+def test_resolve_links_out_of_scope_dropped(ray_session):
+    links = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 1, 2], pa.int64()),
+                "href": [
+                    "https://h1.example.org/doc/2/",  # canonicalizes to doc 2's url
+                    "https://elsewhere.net/nope",  # out of corpus → dropped
+                    "HTTPS://H3.EXAMPLE.ORG/doc/3",  # case-insensitive host
+                ],
+            }
+        )
+    )
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([2, 3], pa.int64()),
+                "url": ["https://h1.example.org/doc/2", "https://h3.example.org/doc/3"],
+            }
+        )
+    )
+    out = resolve_links(links, pages).to_pandas().sort_values("src")
+    assert list(zip(out["src"], out["dst"])) == [(1, 2), (2, 3)]
