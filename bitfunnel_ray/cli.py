@@ -281,8 +281,31 @@ def cmd_query(args):
     from bitfunnel_ray.query.engine import SearchEngine
 
     eng = SearchEngine(args.index)
-    t = eng.search(args.query, k=args.k)
+    if getattr(args, "rank", None):
+        from bitfunnel_ray.pipelines.webindex import blended_search, load_static_rank
+
+        t = blended_search(eng, load_static_rank(args.rank), args.query, k=args.k)
+    else:
+        t = eng.search(args.query, k=args.k)
     print(t.to_pandas().to_string(index=False))
+
+
+def cmd_webindex(args):
+    """One-command web indexing: pages parquet (doc_id, url, html) →
+    two-stream index + static-rank sidecar (pipelines/webindex.py)."""
+    import json as _json
+
+    import ray.data as rd
+
+    from bitfunnel_ray.pipelines.webindex import build_web_index
+
+    pages = rd.read_parquet(args.pages)
+    blocked = tuple(args.disallow or ())
+    manifest, rank_path = build_web_index(
+        pages, args.index, blocked_prefixes=blocked, pagerank_iters=args.iters
+    )
+    print(_json.dumps({"n_docs": manifest.get("n_docs"), "index": args.index,
+                       "rank": rank_path, "complete": bool(manifest.get("complete", True))}))
 
 
 def cmd_explain(args):
@@ -792,7 +815,14 @@ def main(argv=None):
 
     s = sub.add_parser("query")
     s.add_argument("index"); s.add_argument("query"); s.add_argument("-k", type=int, default=10)
+    s.add_argument("--rank", help="static-rank parquet dir: blend BM25 x prior")
     s.set_defaults(fn=cmd_query, needs_ray=False)
+
+    s = sub.add_parser("webindex")
+    s.add_argument("pages"); s.add_argument("index")
+    s.add_argument("--disallow", action="append", help="robots Disallow URL prefix (repeatable)")
+    s.add_argument("--iters", type=int, default=3)
+    s.set_defaults(fn=cmd_webindex, needs_ray=True)
 
     s = sub.add_parser("explain")
     s.add_argument("index")

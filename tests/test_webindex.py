@@ -108,6 +108,39 @@ def test_blended_search_order(webidx):
     assert (out["doc_id"] >= 10).all()
 
 
+def test_cli_webindex_and_blended_query(tmp_path):
+    """cli webindex → cli query --rank: the one-command tool flow over
+    the planted page set, blended serving straight from the sidecar."""
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_GRAFT_CPUS": "4"}
+    pq.write_table(_pages(), tmp_path / "pages.parquet")
+    idx = str(tmp_path / "webidx")
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "webindex",
+         str(tmp_path / "pages.parquet"), idx,
+         "--disallow", "https://h0.example.org/blocked/",
+         "--iters", "2"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json
+
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["rank"] == idx + "_rank"
+    r2 = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "query", idx,
+         "spark join", "-k", "5", "--rank", idx + "_rank"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "blended" in r2.stdout and "doc_id" in r2.stdout
+
+
 def test_resolve_links_out_of_scope_dropped(ray_session):
     links = rd.from_arrow(
         pa.table(
