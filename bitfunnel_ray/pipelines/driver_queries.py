@@ -3706,6 +3706,52 @@ FROM blend ORDER BY blended DESC, doc_id LIMIT 10
 )
 
 
+def q_canonical_by_rank(sf_dir):
+    """Rank-aware canonical selection: within each canonical-URL
+    duplicate cluster (messy-URL fixture, bases pair up via doc_id//2),
+    keep the member with the HIGHEST PageRank (tie → lower doc_id) —
+    what a search index actually keeps, vs url_dedup's min-id rule.
+    Composition: canonicalize (RE2 recipe) → distributed join with the
+    integer pagerank → grouped top-1 (map-side-pruned exchange)."""
+    from bitfunnel_ray.ops.graph import pagerank
+    from bitfunnel_ray.ops.grouped import top_k_per_group
+    from bitfunnel_ray.ops.urls import canonicalize_urls
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    urls = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(_variant_urls_batch, batch_format="pyarrow")
+    canon = canonicalize_urls(urls).select_columns(["doc_id", "canon_url"])
+    pr = pagerank(_demo_edges(sf_dir), n_iter=3).map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "rank": t["rank"]}),
+        batch_format="pyarrow",
+    )
+    n_parts = tune_hash_shuffle(canon.context)
+    joined = canon.join(pr, "inner", num_partitions=n_parts, on=("doc_id",))
+    best = top_k_per_group(
+        joined, group_col="canon_url", order_col="rank", k=1,
+        descending=True, tiebreak_col="doc_id",
+    )
+    return best.select_columns(["canon_url", "doc_id", "rank"])
+
+
+from bitfunnel_ray.ops.urls import canonical_sql as _canon_sql_expr
+
+SQL_CANONICAL_BY_RANK = (
+    "WITH pr AS ("
+    + SQL_PAGERANK
+    + f"""),
+u AS ({_SQL_VARIANT_URLS}),
+canon AS (SELECT doc_id, {_canon_sql_expr('url')} AS canon_url FROM u),
+j AS (SELECT c.canon_url, c.doc_id, pr.rank FROM canon c JOIN pr ON pr.node = c.doc_id)
+SELECT canon_url, doc_id, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY canon_url ORDER BY rank DESC, doc_id) AS rn
+  FROM j
+) WHERE rn = 1
+"""
+)
+
+
 def q_web_index_search(sf_dir):
     """End-to-end web indexing (pipelines/webindex.py): demo pages with
     real URLs → robots filter → text + anchor extraction →
@@ -3976,6 +4022,7 @@ REGISTRY: dict[str, tuple] = {
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "diversified_topk": (q_diversified_topk, SQL_DIVERSIFIED_TOPK),
     "web_index_search": (q_web_index_search, None),
+    "canonical_by_rank": (q_canonical_by_rank, SQL_CANONICAL_BY_RANK),
     "frontier_per_host": (q_frontier_per_host, SQL_FRONTIER_PER_HOST),
     "site_search": (q_site_search, SQL_SITE_SEARCH),
     "link_extract": (q_link_extract, SQL_LINK_EXTRACT),
