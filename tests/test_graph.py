@@ -227,6 +227,46 @@ def test_resolve_redirects_duplicate_src_raises(ray_session):
         resolve_redirects(_redirects(pairs)).to_pandas()
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_pagerank_random_graphs_bit_identical(ray_session, data):
+    """Property: on arbitrary random multigraphs (self-loops, multi-edges,
+    dangling nodes, any block layout) the distributed integer PageRank
+    equals the dense oracle bit-for-bit."""
+    n_edges = data.draw(st.integers(1, 60))
+    hi = data.draw(st.integers(1, 40))
+    src = np.array(
+        data.draw(st.lists(st.integers(0, hi), min_size=n_edges, max_size=n_edges)),
+        np.int64,
+    )
+    dst = np.array(
+        data.draw(st.lists(st.integers(0, hi), min_size=n_edges, max_size=n_edges)),
+        np.int64,
+    )
+    n_blocks = data.draw(st.integers(1, 4))
+    n_iter = data.draw(st.integers(1, 3))
+    universe = np.union1d(np.unique(src), np.unique(dst))
+    csrc = np.searchsorted(universe, src)
+    cdst = np.searchsorted(universe, dst)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(
+        num_blocks=n_blocks
+    )
+    out = (
+        pagerank(edges, n_iter=n_iter)
+        .to_pandas()
+        .set_index("node")["rank"]
+        .reindex(universe)
+        .to_numpy()
+    )
+    ref = dense_fixed_pr(csrc, cdst, len(universe), n_iter=n_iter)
+    assert (out == ref).all()
+
+
 def test_cli_links_pagerank(tmp_path):
     """cli links → cli pagerank over a tiny planted page set: the two
     commands chain through parquet on disk (the crawl-side tool flow)."""
