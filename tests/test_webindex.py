@@ -141,6 +141,37 @@ def test_cli_webindex_and_blended_query(tmp_path):
     assert "blended" in r2.stdout and "doc_id" in r2.stdout
 
 
+def test_webindex_serves_sharded(webidx):
+    """Multi-stream queries (anchor: and body mixed) must serve through
+    the term-sharded server identically to the local engine — the stored
+    hash folds the stream id, so stream terms shard like any other."""
+    from bitfunnel_ray.query.parser import parse_query
+    from bitfunnel_ray.query.sharded import ShardedServer
+
+    eng, _ = webidx
+    seg_dir = eng.segments[0].dir
+    srv = ShardedServer([seg_dir], n_shards=2, num_cpus_per_shard=0.25)
+    try:
+        qlog = pa.table(
+            {
+                "query_id": pa.array([0, 1], pa.uint32()),
+                "query": ["anchor:one spark", "spark join"],
+            }
+        )
+        res = srv.run(qlog, k=10, concurrency=1, batch_size=8).to_pandas()
+        assert (res["error"] == "").all()
+        for qid, q in [(0, "anchor:one spark"), (1, "spark join")]:
+            want = eng.search(q, k=10)["doc_id"].to_pylist()
+            got = (
+                res[res["query_id"] == qid]
+                .sort_values("rank")["doc_id"]
+                .tolist()
+            )
+            assert got == want, f"sharded mismatch for {q!r}"
+    finally:
+        srv.shutdown()
+
+
 def test_resolve_links_out_of_scope_dropped(ray_session):
     links = rd.from_arrow(
         pa.table(
