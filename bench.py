@@ -357,6 +357,44 @@ def run_bench() -> dict:
         extras["pagerank_nodes"] = int(n_ranked)
         extras["pagerank_node_iters_per_sec"] = round(3 * n_ranked / dt, 1)
 
+        # anchor pipeline at bench scale: per-target aggregation (one
+        # exchange) + the distributed left-outer corpus join — the hash
+        # join is a code path no headline stage exercises
+        from bitfunnel_ray.ops.anchors import aggregate_anchor_text, anchor_corpus
+
+        t0 = time.perf_counter()
+        digits = np.array([str(d) for d in range(10)])
+
+        def gen_anchors(t):
+            import pyarrow as pa
+
+            i = t["doc_id"].to_numpy().astype(np.int64)
+            deg = 1 + (i % 3)
+            src = np.repeat(i, deg)
+            ends = np.cumsum(deg)
+            j = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(ends - deg, deg) + 1
+            tgt = (src * 31 + j * j + 7) % n_nodes
+            import pyarrow.compute as pc
+
+            anchor = pc.binary_join_element_wise(
+                "s", pa.array(digits[src % 5]), " t", pa.array(digits[tgt % 7]), ""
+            )
+            return pa.table(
+                {"doc_id": pa.array(tgt, pa.int64()), "anchor": anchor}
+            )
+
+        anchors = rd.read_parquet(parquet_files, columns=["doc_id"]).map_batches(
+            gen_anchors, batch_format="pyarrow"
+        )
+        at = aggregate_anchor_text(anchors)
+        joined = anchor_corpus(
+            rd.read_parquet(parquet_files, columns=["doc_id", "text"]), at
+        )
+        n_joined = joined.count()
+        dt = time.perf_counter() - t0
+        extras["anchor_join_sec"] = round(dt, 3)
+        extras["anchor_join_rows"] = int(n_joined)
+
     ray.shutdown()
 
     total = round(sum(timings.values()), 3)
