@@ -3706,6 +3706,57 @@ FROM blend ORDER BY blended DESC, doc_id LIMIT 10
 )
 
 
+# Full oracle for the end-to-end web index: the extracted body text is
+# the original text plus the page's own OUTGOING anchor tokens (they are
+# visible text once tags are stripped, 4 extra tokens per doc), the link
+# graph is exactly the ea edge set (hrefs canonical-join to their
+# targets), and the blend is round(bm25,6) × the 2-iteration integer
+# pagerank — every piece exactly reproducible in SQL.
+SQL_WEB_INDEX_SEARCH = (
+    "WITH "
+    + SQL_DEMO_ANCHORS.strip()
+    + """,
+e AS (SELECT src, dst FROM ea),
+deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nd AS (SELECT nodes.node, COALESCE(deg.outdeg, 0) AS outdeg FROM nodes LEFT JOIN deg USING(node)),
+p AS (SELECT COUNT(*) AS n FROM nd),
+r0 AS (SELECT nd.node, nd.outdeg, 1000000000000 // p.n AS rank FROM nd CROSS JOIN p),"""
+    + ",".join(_pagerank_iter_cte(i) for i in (1, 2))
+    + """,
+pr AS (SELECT node, rank FROM r2),
+docs2 AS (SELECT d.doc_id,
+    d.text || ' s' || CAST(d.doc_id % 5 AS VARCHAR)
+           || ' t' || CAST(((d.doc_id + 1) % p0.n) % 7 AS VARCHAR)
+           || ' s' || CAST(d.doc_id % 5 AS VARCHAR)
+           || ' t' || CAST(((d.doc_id * 7 + 3) % p0.n) % 7 AS VARCHAR) AS text
+  FROM documents d CROSS JOIN p0),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join') GROUP BY term),
+matches AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+blend AS (SELECT s.doc_id,
+                 round(s.score, 6) * CAST(COALESCE(pr.rank, 1) AS DOUBLE) AS blended
+          FROM scores s LEFT JOIN pr ON pr.node = s.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY blended DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, blended
+FROM blend ORDER BY blended DESC, doc_id LIMIT 10
+"""
+)
+
+
 def q_canonical_by_rank(sf_dir):
     """Rank-aware canonical selection: within each canonical-URL
     duplicate cluster (messy-URL fixture, bases pair up via doc_id//2),
@@ -3756,10 +3807,10 @@ def q_web_index_search(sf_dir):
     """End-to-end web indexing (pipelines/webindex.py): demo pages with
     real URLs → robots filter → text + anchor extraction →
     canonical-URL link resolution → PageRank sidecar → two-stream index
-    → BLENDED top-10 for 'spark join'.  Rows-only entry: every
-    component is separately oracle-checked (extract_text, robots_filter,
-    anchor_*, pagerank, static_rank_topk); the composition is covered by
-    tests/test_webindex.py's closed-form corpus."""
+    → BLENDED top-10 for 'spark join'.  Fully hash-checked: the oracle
+    reconstructs the extracted body text (original text + the page's own
+    outgoing anchor tokens), the resolved edge set, the 2-iteration
+    integer pagerank, and the one-multiply blend entirely in SQL."""
     import shutil as _sh
 
     from bitfunnel_ray.pipelines.webindex import (
@@ -4021,7 +4072,7 @@ REGISTRY: dict[str, tuple] = {
     "static_rank_topk": (q_static_rank_topk, SQL_STATIC_RANK_TOPK),
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "diversified_topk": (q_diversified_topk, SQL_DIVERSIFIED_TOPK),
-    "web_index_search": (q_web_index_search, None),
+    "web_index_search": (q_web_index_search, SQL_WEB_INDEX_SEARCH),
     "canonical_by_rank": (q_canonical_by_rank, SQL_CANONICAL_BY_RANK),
     "frontier_per_host": (q_frontier_per_host, SQL_FRONTIER_PER_HOST),
     "site_search": (q_site_search, SQL_SITE_SEARCH),
