@@ -198,6 +198,79 @@ def degree_table(edges):
     )
 
 
+def inlink_concentration(links, *, src_host_col: str = "src_host",
+                         dst_col: str = "dst"):
+    """Dataset(src_host, dst) → Dataset(doc_id, n_inlinks,
+    top_host_share): for every link target, how concentrated its
+    in-links are in a single source host — the classic nepotistic-link
+    (spam farm) signal: organically popular pages draw links from many
+    hosts, farms from one.
+
+    Map-side (dst, host) partial counts per block, ONE hash exchange on
+    the target, then a two-level segmented reduce (re-aggregate split
+    partials by (dst, host), then per-dst max and sum).  The share is a
+    single IEEE division of two exact ints, so results hash-compare."""
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_inlinks", pa.int64()),
+            ("top_host_share", pa.float64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "dst": t[dst_col].cast(pa.int64()),
+                    "host": pc.cast(t[src_host_col], pa.string()),
+                }
+            )
+            .group_by(["dst", "host"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"dst": g["dst"], "host": g["host"], "c": g["count_all"].cast(pa.int64())}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        host = t["host"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        # re-aggregate split partials: sort by (dst, host), sum runs
+        order = np.lexsort((host, dst))
+        dst, host, c = dst[order], host[order], c[order]
+        new_pair = np.ones(len(dst), bool)
+        new_pair[1:] = (dst[1:] != dst[:-1]) | (host[1:] != host[:-1])
+        starts = np.flatnonzero(new_pair)
+        pdst = dst[starts]
+        pc_ = np.add.reduceat(c, starts)
+        # per-dst: total and max over the (now unique) host counts
+        dstarts = np.flatnonzero(np.diff(pdst, prepend=pdst[0] - 1))
+        total = np.add.reduceat(pc_, dstarts)
+        mx = np.maximum.reduceat(pc_, dstarts)
+        return pa.table(
+            {
+                "doc_id": pa.array(pdst[dstarts], pa.int64()),
+                "n_inlinks": pa.array(total, pa.int64()),
+                "top_host_share": pa.array(mx / total.astype(np.float64), pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    n_parts = tune_hash_shuffle(links.context)
+    return (
+        links.select_columns([src_host_col, dst_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .repartition(num_blocks=n_parts, keys=["dst"])
+        .map_batches(finish, batch_size=None, batch_format="pyarrow")
+    )
+
+
 def resolve_redirects(redirects, *, max_rounds: int = 16):
     """Dataset(src, dst) — a redirect map, each ``src`` exactly one
     target — → Dataset(src, final, resolved) following chains to their

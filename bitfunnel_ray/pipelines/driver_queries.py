@@ -3574,6 +3574,40 @@ FROM ea GROUP BY 1, 2
 )
 
 
+def q_link_spam_score(sf_dir):
+    """In-link host concentration per target (nepotistic-link signal):
+    map-side (dst, host) partial counts, one exchange, two-level
+    segmented reduce; share = one IEEE division of exact ints
+    (ops/graph.py inlink_concentration)."""
+    from bitfunnel_ray.ops.graph import inlink_concentration
+
+    digits = np.array([str(d) for d in range(10)])
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy().astype(np.int64)
+        host = pc.binary_join_element_wise(
+            "h", pa.array(digits[s % 4]), ".example.org", ""
+        )
+        return pa.table({"src_host": host, "dst": t["dst"]})
+
+    links = _demo_edges(sf_dir).map_batches(tag, batch_format="pyarrow")
+    return inlink_concentration(links)
+
+
+SQL_LINK_SPAM_SCORE = (
+    "WITH "
+    + SQL_DEMO_EDGES.strip()
+    + """,
+hc AS (SELECT dst, 'h' || CAST(src % 4 AS VARCHAR) || '.example.org' AS host,
+              COUNT(*) AS c
+       FROM e GROUP BY 1, 2)
+SELECT dst AS doc_id, CAST(SUM(c) AS BIGINT) AS n_inlinks,
+       MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_host_share
+FROM hc GROUP BY dst
+"""
+)
+
+
 def q_graph_degrees(sf_dir):
     """Per-node out/in degree over the demo link graph — map-side
     partial counts, one node-sized exchange (ops/graph.py degree_table)."""
@@ -4069,6 +4103,7 @@ REGISTRY: dict[str, tuple] = {
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
     "graph_degrees": (q_graph_degrees, SQL_GRAPH_DEGREES),
+    "link_spam_score": (q_link_spam_score, SQL_LINK_SPAM_SCORE),
     "static_rank_topk": (q_static_rank_topk, SQL_STATIC_RANK_TOPK),
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "diversified_topk": (q_diversified_topk, SQL_DIVERSIFIED_TOPK),

@@ -146,6 +146,28 @@ def test_hits_authority_tracks_indegree(graph):
     assert aref[np.argmax(indeg)] > np.median(aref)
 
 
+def test_inlink_concentration_flags_farms(ray_session):
+    from bitfunnel_ray.ops.graph import inlink_concentration
+
+    # target 100: 9 links from farm.net + 1 from a.org (farm, share 0.9)
+    # target 200: one link each from 4 distinct hosts (organic, share .25)
+    rows = [("farm.net", 100)] * 9 + [("a.org", 100)]
+    rows += [(h, 200) for h in ("a.org", "b.org", "c.org", "d.org")]
+    t = pa.table(
+        {
+            "src_host": [r[0] for r in rows],
+            "dst": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    out = (
+        inlink_concentration(rd.from_arrow(t).repartition(num_blocks=4))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[100, "n_inlinks"] == 10 and out.loc[100, "top_host_share"] == 0.9
+    assert out.loc[200, "n_inlinks"] == 4 and out.loc[200, "top_host_share"] == 0.25
+
+
 def test_host_graph_rollup(ray_session):
     t = pa.table(
         {
