@@ -599,6 +599,130 @@ def _propagate(state, tagged_edges, *, n_parts: int):
     )
 
 
+def trustrank(
+    edges,
+    seed_mod: int,
+    *,
+    n_iter: int = 3,
+    scale: int = 10**12,
+    damping_num: int = 17,
+    damping_den: int = 20,
+):
+    """Seed-personalized PageRank (TrustRank, Gyöngyi et al. VLDB 2004):
+    teleportation mass goes ONLY to trusted seed pages, so trust decays
+    with link distance from the seed set and spam farms — however
+    densely self-linked — accumulate little.  Integer fixed-point like
+    ``pagerank`` (bit-exact under any layout).
+
+    Seeds are the nodes with ``node % seed_mod == 0`` — a vectorized
+    PREDICATE rather than a broadcast id set, so the update kernel
+    recomputes membership per block with zero shipped state; swap in a
+    different predicate (or a broadcast sorted array + searchsorted) for
+    arbitrary seed sets, the kernels don't change.
+
+    Update rule (seeds = S, |S| = count of seed NODES in the universe):
+
+        rank_{t+1}[d] = [d∈S]·( (scale·(den-num))//den//|S|
+                               + (dang_t·num)//den//|S| )
+                        + (sum_{s→d} rank_t[s]//outdeg(s))·num//den
+
+    starting from rank_0 = scale//|S| on seeds, 0 elsewhere."""
+    from functools import partial
+
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    n_parts = tune_hash_shuffle(edges.context)
+    tagged_edges = edges.map_batches(_tag_edges, batch_format="pyarrow").materialize()
+
+    def deg_partials_tagged(t: pa.Table) -> pa.Table:
+        src = t["key"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(src, return_counts=True)
+        v = np.unique(dst)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([u, v]), pa.int64()),
+                "deg": pa.array(
+                    np.concatenate([c.astype(np.int64), np.zeros(len(v), np.int64)]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    deg = (
+        tagged_edges.map_batches(deg_partials_tagged, batch_format="pyarrow")
+        .repartition(num_blocks=n_parts, keys=["node"])
+        .map_batches(_seg_sum_by("node", ("deg",)), batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+    n_seeds = int(
+        sum(
+            r["s"]
+            for r in deg.map_batches(
+                lambda t: pa.table(
+                    {
+                        "s": pa.array(
+                            [int((t["node"].to_numpy(zero_copy_only=False) % seed_mod == 0).sum())],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_size=None,
+                batch_format="pyarrow",
+            ).take_all()
+        )
+    )
+    if n_seeds == 0:
+        raise ValueError("trustrank: no seed nodes in the graph universe")
+    r0 = scale // n_seeds
+    state = deg.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "rank": pa.array(
+                    np.where(
+                        t["node"].to_numpy(zero_copy_only=False) % seed_mod == 0, r0, 0
+                    ).astype(np.int64)
+                ),
+                "outdeg": t["deg"],
+            },
+            schema=_STATE_SCHEMA,
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    base = (scale * (damping_den - damping_num)) // damping_den // n_seeds
+
+    def update_trust(t: pa.Table, *, base: int, dang: int, num: int, den: int) -> pa.Table:
+        out = _update_block(t, base=0, dang=0, num=num, den=den)
+        node = out["node"].to_numpy(zero_copy_only=False)
+        seed = (node % seed_mod == 0).astype(np.int64)
+        rank = out["rank"].to_numpy(zero_copy_only=False) + seed * (base + dang)
+        return out.set_column(1, "rank", pa.array(rank, pa.int64()))
+
+    for _ in range(n_iter):
+        dangling = _scalar_sum_where_zero_outdeg(state)
+        dang = (dangling * damping_num) // damping_den // n_seeds
+        stream = (
+            state.map_batches(_tag_state, batch_format="pyarrow")
+            .union(tagged_edges)
+            .repartition(num_blocks=n_parts, keys=["key"])
+        )
+        contribs = stream.map_batches(
+            _contrib_block, batch_size=None, batch_format="pyarrow"
+        )
+        state = (
+            contribs.repartition(num_blocks=n_parts, keys=["dst"])
+            .map_batches(
+                partial(update_trust, base=base, dang=dang,
+                        num=damping_num, den=damping_den),
+                batch_size=None,
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return state.select_columns(["node", "rank"])
+
+
 def hits(edges, *, n_iter: int = 2, scale: int = 10**6):
     """Dataset(src, dst) → Dataset(node, hub, authority) — Kleinberg's
     HITS after ``n_iter`` synchronous iterations, integer fixed-point.

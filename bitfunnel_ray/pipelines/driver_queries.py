@@ -3912,6 +3912,44 @@ FROM documents CROSS JOIN p0 WHERE doc_id % 8 <> 7
 """
 
 
+def q_trustrank(sf_dir):
+    """Seed-personalized PageRank (TrustRank): teleport mass only to the
+    seed set (node%7==0); 3 integer fixed-point iterations, bit-exact
+    against the unrolled-CTE oracle (ops/graph.py trustrank)."""
+    from bitfunnel_ray.ops.graph import trustrank
+
+    return trustrank(_demo_edges(sf_dir), seed_mod=7, n_iter=3)
+
+
+def _trust_iter_cte(i: int) -> str:
+    return f"""
+d{i} AS (SELECT COALESCE(SUM(rank),0) AS dang FROM r{i-1} WHERE outdeg = 0),
+c{i} AS (SELECT e.dst AS node, SUM(r.rank // r.outdeg) AS inflow
+         FROM e JOIN r{i-1} r ON r.node = e.src GROUP BY e.dst),
+r{i} AS (SELECT nd.node, nd.outdeg,
+          CASE WHEN nd.node % 7 = 0
+               THEN (1000000000000 * 3) // 20 // ns.k + (d{i}.dang * 17) // 20 // ns.k
+               ELSE 0 END
+        + (COALESCE(c{i}.inflow, 0) * 17) // 20 AS rank
+        FROM nd CROSS JOIN ns CROSS JOIN d{i} LEFT JOIN c{i} USING(node))"""
+
+
+SQL_TRUSTRANK = (
+    "WITH "
+    + SQL_DEMO_EDGES.strip().rstrip()
+    + """,
+deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nd AS (SELECT nodes.node, COALESCE(deg.outdeg, 0) AS outdeg FROM nodes LEFT JOIN deg USING(node)),
+ns AS (SELECT COUNT(*) AS k FROM nd WHERE node % 7 = 0),
+r0 AS (SELECT nd.node, nd.outdeg,
+              CASE WHEN nd.node % 7 = 0 THEN 1000000000000 // ns.k ELSE 0 END AS rank
+       FROM nd CROSS JOIN ns),"""
+    + ",".join(_trust_iter_cte(i) for i in (1, 2, 3))
+    + "\nSELECT node, rank FROM r3"
+)
+
+
 def q_hits(sf_dir):
     """Distributed integer fixed-point HITS (2 iterations) over the demo
     link graph — scalar-total normalization keeps every step
@@ -4100,6 +4138,7 @@ WHERE list_contains(string_split(ea.anchor, ' '), 's2')
 REGISTRY: dict[str, tuple] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "hits": (q_hits, SQL_HITS),
+    "trustrank": (q_trustrank, SQL_TRUSTRANK),
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
     "graph_degrees": (q_graph_degrees, SQL_GRAPH_DEGREES),

@@ -146,6 +146,50 @@ def test_hits_authority_tracks_indegree(graph):
     assert aref[np.argmax(indeg)] > np.median(aref)
 
 
+def dense_fixed_trustrank(src, dst, universe, seed_mod, n_iter=3,
+                          scale=10**12, num=17, den=20):
+    idx = {v: k for k, v in enumerate(universe)}
+    cs = np.array([idx[v] for v in src])
+    cd = np.array([idx[v] for v in dst])
+    n = len(universe)
+    outdeg = np.bincount(cs, minlength=n).astype(np.int64)
+    seed = (universe % seed_mod == 0).astype(np.int64)
+    n_seeds = int(seed.sum())
+    r = seed * (scale // n_seeds)
+    base = (scale * (den - num)) // den // n_seeds
+    for _ in range(n_iter):
+        dang = (int(r[outdeg == 0].sum()) * num) // den // n_seeds
+        contrib = np.where(outdeg > 0, r // np.maximum(outdeg, 1), 0)
+        inflow = np.zeros(n, np.int64)
+        np.add.at(inflow, cd, contrib[cs])
+        r = seed * (base + dang) + (inflow * num) // den
+    return r
+
+
+def test_trustrank_bit_identical_and_decays(graph):
+    from bitfunnel_ray.ops.graph import trustrank
+
+    src, dst, n = graph
+    universe = np.union1d(np.unique(src), np.unique(dst))
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(
+        num_blocks=6
+    )
+    out = (
+        trustrank(edges, seed_mod=7, n_iter=3)
+        .to_pandas()
+        .set_index("node")["rank"]
+        .reindex(universe)
+        .to_numpy()
+    )
+    ref = dense_fixed_trustrank(src, dst, universe, seed_mod=7)
+    assert (out == ref).all()
+    # trust is concentrated: seeds hold more mass per node than non-seeds
+    seed_mask = universe % 7 == 0
+    assert ref[seed_mask].mean() > ref[~seed_mask].mean()
+    # and some far-from-seed nodes hold zero trust while seeds never do
+    assert (ref[seed_mask] > 0).all()
+
+
 def test_inlink_concentration_flags_farms(ray_session):
     from bitfunnel_ray.ops.graph import inlink_concentration
 
