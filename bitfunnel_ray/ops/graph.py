@@ -198,6 +198,84 @@ def degree_table(edges):
     )
 
 
+def reciprocal_links(edges):
+    """Dataset(src, dst) → Dataset(a, b, n_ab, n_ba) for unordered pairs
+    (a<b) linked in BOTH directions — the link-exchange signal (mutual
+    linking rings are the oldest ranking manipulation; organic webs are
+    overwhelmingly asymmetric).  Self-loops excluded; multi-edges count.
+
+    Map-side partial counts keyed on the unordered pair, ONE hash
+    exchange on (a, b), segmented finish keeps pairs with both
+    directions present."""
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()),
+         ("n_ab", pa.int64()), ("n_ba", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        fwd = (src < dst).astype(np.int64)
+        tbl = pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "n_ab": pa.array(fwd, pa.int64()),
+                "n_ba": pa.array(1 - fwd, pa.int64()),
+            }
+        )
+        g = tbl.group_by(["a", "b"], use_threads=False).aggregate(
+            [("n_ab", "sum"), ("n_ba", "sum")]
+        )
+        return pa.table(
+            {
+                "a": g["a"],
+                "b": g["b"],
+                "n_ab": g["n_ab_sum"].cast(pa.int64()),
+                "n_ba": g["n_ba_sum"].cast(pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        ab = t["n_ab"].to_numpy(zero_copy_only=False)
+        ba = t["n_ba"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, ab, ba = a[order], b[order], ab[order], ba[order]
+        new = np.ones(len(a), bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        sab = np.add.reduceat(ab, starts)
+        sba = np.add.reduceat(ba, starts)
+        both = (sab > 0) & (sba > 0)
+        return pa.table(
+            {
+                "a": pa.array(a[starts][both], pa.int64()),
+                "b": pa.array(b[starts][both], pa.int64()),
+                "n_ab": pa.array(sab[both], pa.int64()),
+                "n_ba": pa.array(sba[both], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    n_parts = tune_hash_shuffle(edges.context)
+    return (
+        edges.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_blocks=n_parts, keys=["a", "b"])
+        .map_batches(finish, batch_size=None, batch_format="pyarrow")
+    )
+
+
 def inlink_concentration(links, *, src_host_col: str = "src_host",
                          dst_col: str = "dst"):
     """Dataset(src_host, dst) → Dataset(doc_id, n_inlinks,

@@ -3912,6 +3912,53 @@ FROM documents CROSS JOIN p0 WHERE doc_id % 8 <> 7
 """
 
 
+def q_reciprocal_links(sf_dir):
+    """Link-exchange detection: unordered pairs linked in BOTH
+    directions.  The organic demo graph has none (checked), so the
+    fixture plants a mutual ring — every doc with doc_id%50==0
+    exchanges links with doc_id+5 — which the op must recover exactly
+    (ops/graph.py reciprocal_links)."""
+    from bitfunnel_ray.ops.graph import reciprocal_links
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def planted(t: pa.Table) -> pa.Table:
+        i = t["doc_id"].to_numpy().astype(np.int64)
+        s = i[i % 50 == 0]
+        p = (s + 5) % n_docs
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, p]), pa.int64()),
+                "dst": pa.array(np.concatenate([p, s]), pa.int64()),
+            }
+        )
+
+    ring = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(planted, batch_format="pyarrow")
+    return reciprocal_links(_demo_edges(sf_dir).union(ring))
+
+
+SQL_RECIPROCAL_LINKS = (
+    "WITH "
+    + SQL_DEMO_EDGES.strip()
+    + """,
+ring AS (SELECT d.doc_id AS src, (d.doc_id + 5) % p0.n AS dst
+         FROM documents d CROSS JOIN p0 WHERE d.doc_id % 50 = 0
+         UNION ALL
+         SELECT (d.doc_id + 5) % p0.n, d.doc_id
+         FROM documents d CROSS JOIN p0 WHERE d.doc_id % 50 = 0),
+e2 AS (SELECT * FROM e UNION ALL SELECT * FROM ring),
+c AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+             CAST(SUM(CASE WHEN src < dst THEN 1 ELSE 0 END) AS BIGINT) AS n_ab,
+             CAST(SUM(CASE WHEN src > dst THEN 1 ELSE 0 END) AS BIGINT) AS n_ba
+      FROM e2 WHERE src <> dst GROUP BY 1, 2)
+SELECT a, b, n_ab, n_ba FROM c WHERE n_ab > 0 AND n_ba > 0
+"""
+)
+
+
 def q_trustrank(sf_dir):
     """Seed-personalized PageRank (TrustRank): teleport mass only to the
     seed set (node%7==0); 3 integer fixed-point iterations, bit-exact
@@ -4139,6 +4186,7 @@ REGISTRY: dict[str, tuple] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "hits": (q_hits, SQL_HITS),
     "trustrank": (q_trustrank, SQL_TRUSTRANK),
+    "reciprocal_links": (q_reciprocal_links, SQL_RECIPROCAL_LINKS),
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
     "graph_degrees": (q_graph_degrees, SQL_GRAPH_DEGREES),
