@@ -198,6 +198,157 @@ def degree_table(edges):
     )
 
 
+_BFS_INF = 1 << 62
+
+
+def bfs_depth(edges, seed_mod: int, *, n_rounds: int = 8):
+    """Dataset(src, dst) → Dataset(node, depth): shortest link distance
+    from the seed set (node % seed_mod == 0) — crawl depth.  Synchronous
+    min-plus propagation: each round relaxes every edge once (depth[d] =
+    min(depth[d], depth[s]+1)), so after R rounds every node within R
+    hops is exact; the loop early-stops at the first fixpoint.  Nodes
+    unreached within ``n_rounds`` are omitted from the result.
+
+    Same two-exchange tag-union layout as pagerank, but a MIN-reduce
+    (min-plus semiring) instead of a sum — the kernels differ, the
+    shuffle shape doesn't.  Min is idempotent and commutative, so the
+    result is layout-independent and exact."""
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    n_parts = tune_hash_shuffle(edges.context)
+    tagged_edges = edges.map_batches(_tag_edges, batch_format="pyarrow").materialize()
+
+    def uniq_from_tagged(t: pa.Table) -> pa.Table:
+        vals = (
+            np.concatenate(
+                [
+                    t["key"].to_numpy(zero_copy_only=False),
+                    t["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+            if len(t)
+            else np.array([], np.int64)
+        )
+        return pa.table({"node": pa.array(np.unique(vals), pa.int64())})
+
+    def uniq_finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.array(np.unique(t["node"].to_numpy(zero_copy_only=False)), pa.int64())}
+        )
+
+    state = (
+        tagged_edges.map_batches(uniq_from_tagged, batch_format="pyarrow")
+        .repartition(num_blocks=n_parts, keys=["node"])
+        .map_batches(uniq_finish, batch_size=None, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "rank": pa.array(
+                        np.where(
+                            t["node"].to_numpy(zero_copy_only=False) % seed_mod == 0,
+                            0,
+                            _BFS_INF,
+                        ).astype(np.int64)
+                    ),
+                    "outdeg": pa.array(np.zeros(len(t), np.int64)),
+                },
+                schema=_STATE_SCHEMA,
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    relax_schema = pa.schema(
+        [("dst", pa.int64()), ("depth", pa.int64()), ("is_state", pa.int8())]
+    )
+
+    def relax_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return relax_schema.empty_table()
+        key = t["key"].to_numpy(zero_copy_only=False)
+        val = t["rank"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        is_state = t["is_state"].to_numpy(zero_copy_only=False)
+        sidx = np.flatnonzero(is_state == 1)
+        order = np.argsort(key[sidx], kind="stable")
+        skeys = key[sidx][order]
+        svals = val[sidx][order]
+        eidx = np.flatnonzero(is_state == 0)
+        pos = np.searchsorted(skeys, key[eidx])
+        if len(eidx) and not (
+            (pos < len(skeys)).all()
+            and (skeys[np.minimum(pos, len(skeys) - 1)] == key[eidx]).all()
+        ):
+            raise ValueError("bfs: edge src not in node state (key routing broke)")
+        hop = np.where(svals[pos] >= _BFS_INF, _BFS_INF, svals[pos] + 1)
+        return pa.table(
+            {
+                "dst": pa.array(np.concatenate([dst[eidx], key[sidx]]), pa.int64()),
+                "depth": pa.array(np.concatenate([hop, svals[order]]), pa.int64()),
+                "is_state": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(eidx), np.int8), np.ones(len(sidx), np.int8)]
+                    )
+                ),
+            },
+            schema=relax_schema,
+        )
+
+    def min_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("node", pa.int64()), ("rank", pa.int64()),
+                 ("outdeg", pa.int64()), ("changed", pa.int64())]
+            ).empty_table()
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        depth = t["depth"].to_numpy(zero_copy_only=False)
+        is_state = t["is_state"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(dst, kind="stable")
+        d = dst[order]
+        starts = np.flatnonzero(np.diff(d, prepend=d[0] - 1))
+        n_state = np.add.reduceat(is_state[order], starts)
+        if not (n_state == 1).all():
+            raise ValueError("bfs: node missing or duplicated in state stream")
+        newd = np.minimum.reduceat(depth[order], starts)
+        own = np.full(len(starts), _BFS_INF, np.int64)
+        so = np.flatnonzero(is_state[order] == 1)
+        own[np.searchsorted(starts, so, side="right") - 1] = depth[order][so]
+        return pa.table(
+            {
+                "node": pa.array(d[starts], pa.int64()),
+                "rank": pa.array(newd, pa.int64()),
+                "outdeg": pa.array(np.zeros(len(starts), np.int64)),
+                "changed": pa.array((newd < own).astype(np.int64), pa.int64()),
+            }
+        )
+
+    for _ in range(n_rounds):
+        stream = (
+            state.map_batches(_tag_state, batch_format="pyarrow")
+            .union(tagged_edges)
+            .repartition(num_blocks=n_parts, keys=["key"])
+        )
+        nxt = (
+            stream.map_batches(relax_block, batch_size=None, batch_format="pyarrow")
+            .repartition(num_blocks=n_parts, keys=["dst"])
+            .map_batches(min_block, batch_size=None, batch_format="pyarrow")
+            .materialize()
+        )
+        n_changed = _scalar_sum_col(nxt, "changed")
+        state = nxt.select_columns(["node", "rank", "outdeg"]).materialize()
+        if n_changed == 0:
+            break
+
+    return state.map_batches(
+        lambda t: pa.table(
+            {"node": t["node"], "depth": t["rank"]}
+        ).filter(pc.less(t["rank"], pa.scalar(_BFS_INF, pa.int64()))),
+        batch_format="pyarrow",
+    )
+
+
 def reciprocal_links(edges):
     """Dataset(src, dst) → Dataset(a, b, n_ab, n_ba) for unordered pairs
     (a<b) linked in BOTH directions — the link-exchange signal (mutual

@@ -3912,6 +3912,32 @@ FROM documents CROSS JOIN p0 WHERE doc_id % 8 <> 7
 """
 
 
+def q_crawl_depth(sf_dir):
+    """Shortest link distance from the seed set (node%17==0) over the
+    demo graph — crawl depth via synchronous min-plus relaxation (same
+    two-exchange layout as pagerank, MIN-reduce kernels, early fixpoint
+    stop).  Unreached nodes omitted (ops/graph.py bfs_depth)."""
+    from bitfunnel_ray.ops.graph import bfs_depth
+
+    return bfs_depth(_demo_edges(sf_dir), seed_mod=17, n_rounds=64)
+
+
+SQL_CRAWL_DEPTH = (
+    "WITH RECURSIVE "
+    + SQL_DEMO_EDGES.strip()
+    + """,
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+walk AS (
+  SELECT node, 0 AS depth FROM nodes WHERE node % 17 = 0
+  UNION
+  SELECT e.dst AS node, walk.depth + 1 FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.depth < 64
+)
+SELECT node, CAST(MIN(depth) AS BIGINT) AS depth FROM walk GROUP BY node
+"""
+)
+
+
 def q_reciprocal_links(sf_dir):
     """Link-exchange detection: unordered pairs linked in BOTH
     directions.  The organic demo graph has none (checked), so the
@@ -4187,6 +4213,7 @@ REGISTRY: dict[str, tuple] = {
     "hits": (q_hits, SQL_HITS),
     "trustrank": (q_trustrank, SQL_TRUSTRANK),
     "reciprocal_links": (q_reciprocal_links, SQL_RECIPROCAL_LINKS),
+    "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
     "graph_degrees": (q_graph_degrees, SQL_GRAPH_DEGREES),

@@ -190,6 +190,57 @@ def test_trustrank_bit_identical_and_decays(graph):
     assert (ref[seed_mask] > 0).all()
 
 
+def test_bfs_depth_exact(graph):
+    from bitfunnel_ray.ops.graph import bfs_depth
+
+    src, dst, n = graph
+    universe = np.union1d(np.unique(src), np.unique(dst))
+    # dense BFS oracle from seeds (node % 17 == 0)
+    INF = 1 << 62
+    idx = {v: k for k, v in enumerate(universe)}
+    cs = np.array([idx[v] for v in src])
+    cd = np.array([idx[v] for v in dst])
+    d = np.where(universe % 17 == 0, 0, INF).astype(np.int64)
+    for _ in range(len(universe)):
+        nd = d.copy()
+        np.minimum.at(nd, cd, np.where(d[cs] >= INF, INF, d[cs] + 1))
+        if (nd == d).all():
+            break
+        d = nd
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(
+        num_blocks=5
+    )
+    out = (
+        bfs_depth(edges, seed_mod=17, n_rounds=32)
+        .to_pandas()
+        .set_index("node")["depth"]
+    )
+    reached = universe[d < INF]
+    assert sorted(out.index) == sorted(reached)
+    assert (out.reindex(reached).to_numpy() == d[d < INF]).all()
+
+
+def test_bfs_depth_disconnected_omitted(ray_session):
+    from bitfunnel_ray.ops.graph import bfs_depth
+
+    # seeds: node 0 (0 % 5 == 0); chain 0→1→2; island 7→8 (never reached)
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 7], pa.int64()),
+                "dst": pa.array([1, 2, 8], pa.int64()),
+            }
+        )
+    )
+    out = (
+        bfs_depth(edges, seed_mod=5, n_rounds=8)
+        .to_pandas()
+        .set_index("node")["depth"]
+        .to_dict()
+    )
+    assert out == {0: 0, 1: 1, 2: 2}
+
+
 def test_inlink_concentration_flags_farms(ray_session):
     from bitfunnel_ray.ops.graph import inlink_concentration
 
