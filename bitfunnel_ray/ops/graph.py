@@ -198,6 +198,188 @@ def degree_table(edges):
     )
 
 
+def label_propagation(edges, *, n_rounds: int = 4):
+    """Dataset(src, dst) → Dataset(node, label): synchronous label
+    propagation over the UNDIRECTED view of the link graph (community
+    detection, Raghavan et al. 2007).  Every node starts as its own
+    label; each round every node adopts the most frequent label among
+    its neighbours (ties → smallest label; isolated semantics: a node
+    with no neighbours keeps its label).  Synchronous updates + the
+    deterministic tie-break make the result LAYOUT-INDEPENDENT and
+    reproducible by an unrolled SQL oracle — unlike the usual
+    asynchronous formulation.
+
+    Per round: ONE hash exchange routes each edge endpoint's label to
+    the other endpoint, then a per-block (node, label) histogram argmax
+    — (node, label, count) never leaves the block unaggregated."""
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    n_parts = tune_hash_shuffle(edges.context)
+
+    def undirected(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([src, dst]), pa.int64()),
+                "dst": pa.array(np.concatenate([dst, src]), pa.int64()),
+                "rank": pa.array(np.zeros(2 * len(src), np.int64)),
+                "outdeg": pa.array(np.zeros(2 * len(src), np.int64)),
+                "is_state": pa.array(np.zeros(2 * len(src), np.int8)),
+            },
+            schema=_UNION_SCHEMA,
+        )
+
+    und = edges.map_batches(undirected, batch_format="pyarrow").materialize()
+
+    def uniq_block(t: pa.Table) -> pa.Table:
+        vals = (
+            np.unique(t["key"].to_numpy(zero_copy_only=False))
+            if len(t)
+            else np.array([], np.int64)
+        )
+        return pa.table({"node": pa.array(vals, pa.int64())})
+
+    def uniq_finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.array(np.unique(t["node"].to_numpy(zero_copy_only=False)), pa.int64())}
+        )
+
+    state = (
+        und.map_batches(uniq_block, batch_format="pyarrow")
+        .repartition(num_blocks=n_parts, keys=["node"])
+        .map_batches(uniq_finish, batch_size=None, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "rank": t["node"],  # label := own id
+                    "outdeg": pa.array(np.zeros(len(t), np.int64)),
+                },
+                schema=_STATE_SCHEMA,
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    vote_schema = pa.schema(
+        [("dst", pa.int64()), ("label", pa.int64()), ("n", pa.int64()),
+         ("is_state", pa.int8())]
+    )
+
+    def vote_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return vote_schema.empty_table()
+        key = t["key"].to_numpy(zero_copy_only=False)
+        val = t["rank"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        is_state = t["is_state"].to_numpy(zero_copy_only=False)
+        sidx = np.flatnonzero(is_state == 1)
+        order = np.argsort(key[sidx], kind="stable")
+        skeys = key[sidx][order]
+        svals = val[sidx][order]
+        eidx = np.flatnonzero(is_state == 0)
+        pos = np.searchsorted(skeys, key[eidx])
+        if len(eidx) and not (
+            (pos < len(skeys)).all()
+            and (skeys[np.minimum(pos, len(skeys) - 1)] == key[eidx]).all()
+        ):
+            raise ValueError("lpa: edge endpoint not in node state (key routing broke)")
+        # partial histogram: (dst, neighbour label) counts within block
+        ed, el = dst[eidx], svals[pos]
+        o2 = np.lexsort((el, ed))
+        ed, el = ed[o2], el[o2]
+        newg = np.ones(len(ed), bool)
+        if len(ed):
+            newg[1:] = (ed[1:] != ed[:-1]) | (el[1:] != el[:-1])
+        gs = np.flatnonzero(newg)
+        cnt = np.diff(np.append(gs, len(ed)))
+        return pa.table(
+            {
+                "dst": pa.array(np.concatenate([ed[gs], key[sidx]]), pa.int64()),
+                "label": pa.array(np.concatenate([el[gs], svals[order]]), pa.int64()),
+                "n": pa.array(
+                    np.concatenate([cnt.astype(np.int64), np.zeros(len(sidx), np.int64)]),
+                    pa.int64(),
+                ),
+                "is_state": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(gs), np.int8), np.ones(len(sidx), np.int8)]
+                    )
+                ),
+            },
+            schema=vote_schema,
+        )
+
+    def argmax_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _STATE_SCHEMA.empty_table()
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        label = t["label"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        is_state = t["is_state"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # merge split partials by (dst, label); keep each node's own
+        # label (is_state row, n=0) as the no-neighbour fallback
+        order = np.lexsort((label, dst))
+        dst, label, n, is_state = dst[order], label[order], n[order], is_state[order]
+        newp = np.ones(len(dst), bool)
+        newp[1:] = (dst[1:] != dst[:-1]) | (label[1:] != label[:-1])
+        ps = np.flatnonzero(newp)
+        pd, pl = dst[ps], label[ps]
+        pn = np.add.reduceat(n, ps)
+        pstate = np.add.reduceat(is_state, ps)
+        # per dst: argmax count with smallest-label tie-break — pairs are
+        # sorted by (dst, label asc), so the FIRST max wins
+        dstarts = np.flatnonzero(np.diff(pd, prepend=pd[0] - 1))
+        nstate = np.add.reduceat(pstate, dstarts)
+        if not (nstate == 1).all():
+            raise ValueError("lpa: node missing or duplicated in state stream")
+        grp = np.searchsorted(dstarts, np.arange(len(pd)), side="right") - 1
+        mx = np.maximum.reduceat(pn, dstarts)
+        is_max = pn == mx[grp]
+        # first max within each group (label asc), but a node with no
+        # neighbour votes (mx==0) keeps its OWN label, not min label
+        own = np.flatnonzero(pstate == 1)
+        fm_idx = np.flatnonzero(is_max)
+        # vectorized "first true per group": unique on grp of is_max rows
+        _, first_pos = np.unique(grp[fm_idx], return_index=True)
+        chosen = fm_idx[first_pos]
+        newl = np.empty(len(dstarts), np.int64)
+        newl[grp[chosen]] = pl[chosen]
+        no_votes = mx == 0
+        if no_votes.any():
+            newl[grp[own]] = np.where(
+                no_votes[grp[own]], pl[own], newl[grp[own]]
+            )
+        return pa.table(
+            {
+                "node": pa.array(pd[dstarts], pa.int64()),
+                "rank": pa.array(newl, pa.int64()),
+                "outdeg": pa.array(np.zeros(len(dstarts), np.int64)),
+            },
+            schema=_STATE_SCHEMA,
+        )
+
+    for _ in range(n_rounds):
+        stream = (
+            state.map_batches(_tag_state, batch_format="pyarrow")
+            .union(und)
+            .repartition(num_blocks=n_parts, keys=["key"])
+        )
+        state = (
+            stream.map_batches(vote_block, batch_size=None, batch_format="pyarrow")
+            .repartition(num_blocks=n_parts, keys=["dst"])
+            .map_batches(argmax_block, batch_size=None, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return state.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["rank"]}),
+        batch_format="pyarrow",
+    )
+
+
 _BFS_INF = 1 << 62
 
 

@@ -3912,6 +3912,40 @@ FROM documents CROSS JOIN p0 WHERE doc_id % 8 <> 7
 """
 
 
+def q_communities(sf_dir):
+    """Synchronous label propagation (community detection) over the
+    undirected demo graph, 3 rounds — deterministic min-label tie-break
+    makes the distributed result reproducible by the unrolled
+    window-argmax oracle (ops/graph.py label_propagation)."""
+    from bitfunnel_ray.ops.graph import label_propagation
+
+    return label_propagation(_demo_edges(sf_dir), n_rounds=3)
+
+
+def _lpa_iter_cte(i: int) -> str:
+    return f"""
+v{i} AS (SELECT u.dst AS node, l.label AS lab, COUNT(*) AS c
+         FROM u JOIN l{i-1} l ON l.node = u.src GROUP BY 1, 2),
+w{i} AS (SELECT node, lab FROM (
+           SELECT node, lab,
+                  row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+           FROM v{i}) WHERE rn = 1),
+l{i} AS (SELECT p.node, COALESCE(w{i}.lab, p.label) AS label
+         FROM l{i-1} p LEFT JOIN w{i} ON w{i}.node = p.node)"""
+
+
+SQL_COMMUNITIES = (
+    "WITH "
+    + SQL_DEMO_EDGES.strip()
+    + """,
+u AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+nodes AS (SELECT DISTINCT src AS node FROM u),
+l0 AS (SELECT node, node AS label FROM nodes),"""
+    + ",".join(_lpa_iter_cte(i) for i in (1, 2, 3))
+    + "\nSELECT node, label FROM l3"
+)
+
+
 def q_crawl_depth(sf_dir):
     """Shortest link distance from the seed set (node%17==0) over the
     demo graph — crawl depth via synchronous min-plus relaxation (same
@@ -4214,6 +4248,7 @@ REGISTRY: dict[str, tuple] = {
     "trustrank": (q_trustrank, SQL_TRUSTRANK),
     "reciprocal_links": (q_reciprocal_links, SQL_RECIPROCAL_LINKS),
     "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),
+    "communities": (q_communities, SQL_COMMUNITIES),
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
     "graph_degrees": (q_graph_degrees, SQL_GRAPH_DEGREES),

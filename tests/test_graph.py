@@ -190,6 +190,68 @@ def test_trustrank_bit_identical_and_decays(graph):
     assert (ref[seed_mask] > 0).all()
 
 
+def dense_lpa(src, dst, universe, n_rounds):
+    # synchronous, min-label tie-break, undirected; no-vote keeps own
+    idx = {v: k for k, v in enumerate(universe)}
+    cs = np.array([idx[v] for v in src]); cd = np.array([idx[v] for v in dst])
+    us = np.concatenate([cs, cd]); ud = np.concatenate([cd, cs])
+    n = len(universe)
+    lab = universe.copy()
+    for _ in range(n_rounds):
+        new = lab.copy()
+        for v in range(n):
+            neigh = lab[us[ud == v]]
+            if len(neigh):
+                vals, cnts = np.unique(neigh, return_counts=True)
+                new[v] = vals[np.argmax(cnts == cnts.max())]
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_dense(graph):
+    from bitfunnel_ray.ops.graph import label_propagation
+
+    src, dst, n = graph
+    universe = np.union1d(np.unique(src), np.unique(dst))
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(
+        num_blocks=5
+    )
+    out = (
+        label_propagation(edges, n_rounds=3)
+        .to_pandas()
+        .set_index("node")["label"]
+        .reindex(universe)
+        .to_numpy()
+    )
+    ref = dense_lpa(src, dst, universe, 3)
+    assert (out == ref).all()
+
+
+def test_label_propagation_two_cliques(ray_session):
+    from bitfunnel_ray.ops.graph import label_propagation
+
+    # two triangles joined by nothing: each collapses to its min label
+    tri = lambda base: [(base, base + 1), (base + 1, base + 2), (base + 2, base)]  # noqa: E731
+    pairs = tri(10) + tri(20)
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.int64()),
+                "dst": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+    out = (
+        label_propagation(edges, n_rounds=4)
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    assert len({out[v] for v in (10, 11, 12)}) == 1
+    assert len({out[v] for v in (20, 21, 22)}) == 1
+    assert out[10] != out[20]
+
+
 def test_bfs_depth_exact(graph):
     from bitfunnel_ray.ops.graph import bfs_depth
 
