@@ -480,6 +480,53 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_search_after_page(sf_dir):
+    """Cursor pagination (search_after): page 2 of the BM25 AND query.
+    Page 1's last row is the cursor — the engine returns the next 10
+    documents strictly later in (score desc, doc_id asc) order with a
+    k-sized heap, never an offset+k heap (the Elasticsearch
+    ``search_after`` deep-paging contract).  Exactness: the cursor floats
+    come from the engine's own page-1 output, so the comparison is on
+    identical doubles."""
+    eng = get_engine(sf_dir)
+    q = " ".join(_BM25_TERMS)
+    p1 = eng.search(q, k=10)
+    cursor = (p1["score"][-1].as_py(), p1["doc_id"][-1].as_py())
+    t = eng.search(q, k=10, after=cursor)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+# page 2 of SQL_BM25_TOPK: same scoring CTE, rows 11-20, rank restarting
+# at 1 (the rank is page-relative, as a cursor API reports it)
+SQL_SEARCH_AFTER_PAGE = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join') GROUP BY term),
+matches AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) - 10 AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10
+"""
+
+
 def q_fact_filter_search(sf_dir):
     """BM25 top-10 of 'spark join' restricted by the ``en_doc`` fact
     (lang == 'en'), queried through the boolean language as
@@ -4247,6 +4294,7 @@ REGISTRY: dict[str, tuple] = {
     "hits": (q_hits, SQL_HITS),
     "trustrank": (q_trustrank, SQL_TRUSTRANK),
     "reciprocal_links": (q_reciprocal_links, SQL_RECIPROCAL_LINKS),
+    "search_after_page": (q_search_after_page, SQL_SEARCH_AFTER_PAGE),
     "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),
     "communities": (q_communities, SQL_COMMUNITIES),
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),

@@ -439,11 +439,27 @@ class QueryAlgebra:
         )
 
     # --- top-k ------------------------------------------------------------
-    def search(self, query: str, k: int = 10) -> pa.Table:
-        """Parse → match → score → top-k (score desc, doc_id asc)."""
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+    ) -> pa.Table:
+        """Parse → match → score → top-k (score desc, doc_id asc).
+
+        ``after=(score, doc_id)`` is a search-after cursor (the last row of
+        the previous page): only documents STRICTLY later in the total
+        order (score desc, doc_id asc) are returned, so deep paging keeps a
+        k-sized working set instead of an offset+k heap.  Cursors are
+        copied from the engine's own output, so the float comparison is
+        exact (same doubles)."""
         node = parse_query(query, self.stream_map)
         matches = self.eval(node)
         scores = self.score(node, matches)
+        if after is not None:
+            s0, d0 = float(after[0]), np.uint64(after[1])
+            keep = (scores < s0) | ((scores == s0) & (matches > d0))
+            matches, scores = matches[keep], scores[keep]
         order = np.lexsort((matches, -scores))[:k]
         doc_ids = matches[order]
         cols = {
@@ -483,11 +499,24 @@ class QueryAlgebra:
             ub = np.maximum.reduceat(contrib, starts)
         return _TermCursor(p.doc_ids, contrib, last, ub)
 
-    def topk_or(self, terms: list[str], k: int = 10, use_wand: bool = True) -> pa.Table:
+    def topk_or(
+        self,
+        terms: list[str],
+        k: int = 10,
+        use_wand: bool = True,
+        after: tuple[float, int] | None = None,
+    ) -> pa.Table:
         """Exact top-k under disjunctive (sum over matching terms) BM25 —
         WAND skips blocks that cannot beat the running threshold; with
         ``use_wand=False`` scores the full union exhaustively (used by
         tests to prove WAND exactness).
+
+        ``after`` is the search-after cursor (see ``search``).  On the
+        WAND path it filters at heap-insert time — it must NOT seed the
+        skip threshold, since page-2 documents score BELOW the cursor and
+        a threshold of cursor-score would skip exactly the blocks that
+        hold them.  The efficiency win of a cursor is that the heap stays
+        k-sized at any page depth (offset paging needs offset+k).
 
         Tombstoned docs are excluded before ranking."""
         from bitfunnel_ray.query.wand import wand_topk
@@ -498,13 +527,17 @@ class QueryAlgebra:
             # canonical (hash) order so accumulation matches score() exactly
             uniq_sorted = sorted(uniq, key=murmur64a)
             cursors = [c for c in (self._term_cursor(t) for t in uniq_sorted) if c]
-            pairs = wand_topk(cursors, k)
+            pairs = wand_topk(cursors, k, after=after)
             doc_ids = np.array([d for _, d in pairs], dtype=np.uint64)
             scores = np.array([s for s, _ in pairs], dtype=np.float64)
         else:
             node = ast.Or(tuple(ast.Term(t) for t in uniq)) if len(uniq) > 1 else ast.Term(uniq[0])
             matches = self.eval(node)
             sc = self.score(node, matches)
+            if after is not None:
+                s0, d0 = float(after[0]), np.uint64(after[1])
+                keep = (sc < s0) | ((sc == s0) & (matches > d0))
+                matches, sc = matches[keep], sc[keep]
             order = np.lexsort((matches, -sc))[:k]
             doc_ids, scores = matches[order], sc[order]
         return pa.table(

@@ -59,10 +59,24 @@ class _TermCursor:
         return float(self.block_ub[min(b, len(self.block_ub) - 1)])
 
 
-def wand_topk(cursors: list[_TermCursor], k: int) -> list[tuple[float, int]]:
+def wand_topk(
+    cursors: list[_TermCursor],
+    k: int,
+    after: tuple[float, int] | None = None,
+) -> list[tuple[float, int]]:
     """Document-at-a-time block-max WAND.  Returns [(score, doc_id)] of the
-    exact top-k under (score desc, doc_id asc)."""
+    exact top-k under (score desc, doc_id asc).
+
+    ``after=(score, doc_id)`` — search-after cursor: only documents
+    strictly later in the total order are eligible.  Applied at
+    heap-insert time, NOT as the initial skip threshold: page-2 documents
+    score below the cursor, so seeding the threshold with the cursor
+    score would skip exactly the blocks that hold them.  The skip
+    threshold still rises normally once the heap holds k eligible docs,
+    so deep pages skip as aggressively as page 1 does — with a k-sized
+    heap instead of offset+k."""
     cursors = [c for c in cursors if c.n]
+    aft = None if after is None else (float(after[0]), int(after[1]))
     # pivot evaluation walks `cursors` in the order given — callers pass the
     # canonical (gram, hash) order so float accumulation matches the
     # exhaustive scorer bit-for-bit
@@ -111,6 +125,12 @@ def wand_topk(cursors: list[_TermCursor], k: int) -> list[tuple[float, int]]:
                 if c.pos < c.n and c.current() == pivot_doc:
                     score += float(c.contrib[c.pos])
                     c.pos += 1
+            # search-after: docs at-or-before the cursor in (score desc,
+            # doc_id asc) order were served on an earlier page
+            if aft is not None and (
+                score > aft[0] or (score == aft[0] and pivot_doc <= aft[1])
+            ):
+                continue
             item = (score, -pivot_doc)
             if len(heap) < k:
                 heapq.heappush(heap, item)

@@ -43,6 +43,47 @@ def test_wand_equals_exhaustive(engine, k):
         assert a["score"].to_pylist() == b["score"].to_pylist(), (terms, k)
 
 
+def test_search_after_pages_stitch(engine):
+    """Cursor paging: concatenating pages fetched via search_after equals
+    one deep top-k, bit-identically (scores AND ids); a cursor past the
+    last result yields an empty page."""
+    q = "spark | join | merge"
+    full = engine.search(q, k=40)
+    pages, cursor, got_rows = [], None, 0
+    while got_rows < len(full):
+        p = engine.search(q, k=10, after=cursor)
+        if len(p) == 0:
+            break
+        pages.append(p)
+        got_rows += len(p)
+        cursor = (p["score"][-1].as_py(), p["doc_id"][-1].as_py())
+    got = pa.concat_tables(pages)
+    n = min(len(full), len(got))
+    assert got["doc_id"].to_pylist()[:n] == full["doc_id"].to_pylist()[:n]
+    assert got["score"].to_pylist()[:n] == full["score"].to_pylist()[:n]
+    # exhausted cursor → empty page
+    everything = engine.search(q, k=10**6)
+    tail = (everything["score"][-1].as_py(), everything["doc_id"][-1].as_py())
+    assert len(engine.search(q, k=10, after=tail)) == 0
+
+
+@pytest.mark.parametrize("k", [3, 10])
+def test_wand_search_after_equals_exhaustive(engine, k):
+    """WAND with an after-cursor returns exactly the exhaustive page —
+    including score-tie boundaries (cursor placed mid-tie)."""
+    for terms in TERM_SETS:
+        p1 = engine.topk_or(terms, k, use_wand=False)
+        if len(p1) == 0:
+            continue
+        cursor = (p1["score"][-1].as_py(), int(p1["doc_id"][-1].as_py()))
+        a = engine.topk_or(terms, k, use_wand=True, after=cursor)
+        b = engine.topk_or(terms, k, use_wand=False, after=cursor)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (terms, k)
+        assert a["score"].to_pylist() == b["score"].to_pylist(), (terms, k)
+        # pages never overlap and never regress the order
+        assert set(a["doc_id"].to_pylist()).isdisjoint(p1["doc_id"].to_pylist())
+
+
 def test_wand_on_zipf_corpus_with_salting(tmp_path):
     """Zipf head terms + forced salting: stress ties and block skipping."""
     out = str(tmp_path / "zipf")
