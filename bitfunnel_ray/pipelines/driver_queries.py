@@ -4047,6 +4047,57 @@ def q_reciprocal_links(sf_dir):
     return reciprocal_links(_demo_edges(sf_dir).union(ring))
 
 
+def q_boilerplate(sf_dir):
+    """Per-source template detection (CCNet/C4-style de-boilerplating):
+    k=4 token shingles present in >=60% of a source's documents.  The
+    fixture prepends a site template ('visit <source> portal page
+    today') to ~5 of every 7 docs (doc_id mod 7 — 7 is coprime to the source stride, so every source gets ~5/7 coverage), which the op must recover — counting
+    runs on 64-bit shingle hashes (text never enters the exchange);
+    survivor text comes from a second broadcast-probe pass
+    (ops/boilerplate.py)."""
+    from bitfunnel_ray.ops.boilerplate import boilerplate_shingles
+
+    def plant(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tpl = pc.binary_join_element_wise(
+            pa.array(["visit"] * len(t)), t["source"], pa.array(["portal page today"] * len(t)), " "
+        )
+        aug = pc.binary_join_element_wise(tpl, t["text"], " ")
+        text = pc.if_else(pa.array(ids % 7 < 5), aug, t["text"])
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"], "text": text})
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).map_batches(plant, batch_format="pyarrow")
+    return boilerplate_shingles(docs, k=4, min_frac=0.6, min_docs=2)
+
+
+SQL_BOILERPLATE = """
+WITH aug AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 < 5
+              THEN 'visit ' || source || ' portal page today ' || text
+              ELSE text END AS text
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source, p[1]||' '||p[2]||' '||p[3]||' '||p[4] AS shingle
+  FROM (SELECT doc_id, source,
+               unnest(list_zip(a[1:-4], a[2:-3], a[3:-2], a[4:])) AS p
+        FROM (SELECT doc_id, source, string_split(text,' ') AS a FROM aug))
+),
+tot AS (SELECT source, COUNT(*) AS t FROM documents GROUP BY source),
+cnt AS (SELECT source, shingle, COUNT(*) AS n FROM sh GROUP BY source, shingle)
+SELECT c.source, c.shingle, CAST(n AS BIGINT) AS n_docs,
+       round(CAST(n AS DOUBLE) / t, 6) AS frac
+FROM cnt c JOIN tot USING (source)
+WHERE n >= 2 AND n >= 0.6 * t
+ORDER BY source, shingle
+"""
+
+
 SQL_RECIPROCAL_LINKS = (
     "WITH "
     + SQL_DEMO_EDGES.strip()
@@ -4295,6 +4346,7 @@ REGISTRY: dict[str, tuple] = {
     "trustrank": (q_trustrank, SQL_TRUSTRANK),
     "reciprocal_links": (q_reciprocal_links, SQL_RECIPROCAL_LINKS),
     "search_after_page": (q_search_after_page, SQL_SEARCH_AFTER_PAGE),
+    "boilerplate_shingles": (q_boilerplate, SQL_BOILERPLATE),
     "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),
     "communities": (q_communities, SQL_COMMUNITIES),
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),
