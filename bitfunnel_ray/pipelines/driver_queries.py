@@ -4047,6 +4047,49 @@ def q_reciprocal_links(sf_dir):
     return reciprocal_links(_demo_edges(sf_dir).union(ring))
 
 
+def q_search_synonyms(sf_dir):
+    """Query-time synonym expansion: 'spark join' with join→{join,merge}
+    matches spark AND (join OR merge) and scores each doc as the sum of
+    the BM25 contributions of whichever of the three terms it contains
+    (ast.expand_synonyms — member df stays per-term)."""
+    eng = get_engine(sf_dir)
+    t = eng.search("spark join", k=10, synonyms={"join": ("join", "merge")})
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+SQL_SEARCH_SYNONYMS = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join','merge') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join','merge') GROUP BY term),
+matches AS (
+  SELECT doc_id FROM tf GROUP BY doc_id
+  HAVING max(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) = 1
+     AND max(CASE WHEN term IN ('join','merge') THEN 1 ELSE 0 END) = 1
+),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def q_boilerplate(sf_dir):
     """Per-source template detection (CCNet/C4-style de-boilerplating):
     k=4 token shingles present in >=60% of a source's documents.  The
@@ -4347,6 +4390,7 @@ REGISTRY: dict[str, tuple] = {
     "reciprocal_links": (q_reciprocal_links, SQL_RECIPROCAL_LINKS),
     "search_after_page": (q_search_after_page, SQL_SEARCH_AFTER_PAGE),
     "boilerplate_shingles": (q_boilerplate, SQL_BOILERPLATE),
+    "search_synonyms": (q_search_synonyms, SQL_SEARCH_SYNONYMS),
     "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),
     "communities": (q_communities, SQL_COMMUNITIES),
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),

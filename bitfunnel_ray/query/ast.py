@@ -36,3 +36,42 @@ class Or(Node):
 @dataclass(frozen=True)
 class Not(Node):
     child: Node = None
+
+
+def expand_synonyms(node: Node, synonyms: dict[str, tuple[str, ...]]) -> Node:
+    """Query-time synonym expansion: every ``Term(t)`` whose text is a
+    key of ``synonyms`` becomes ``Or(Term(m) for m in synonyms[t])``
+    (the original term should be listed in its own group, conventionally
+    first).  Member duplicates are dropped order-preservingly.
+
+    Scope rules:
+    - only unigram ``Term`` nodes on the SAME stream expand; the member
+      terms inherit the stream;
+    - ``Phrase`` tokens are NOT expanded — positional synonymy changes
+      phrase semantics (a phrase slot spanning multiple surface forms
+      needs index-time synonym injection, not a query rewrite);
+    - expansion recurses under ``Not``: ``-join`` with join→{join,merge}
+      excludes documents containing ANY member.
+
+    Scoring: the expanded node goes through the ordinary Or scorer, so a
+    document matching several members sums their BM25 contributions
+    (df stays per-member; engines that want blended df do it at
+    treatment time)."""
+    if isinstance(node, Term):
+        group = synonyms.get(node.text)
+        if not group:
+            return node
+        seen: set[str] = set()
+        members = tuple(
+            Term(m, node.stream)
+            for m in group
+            if not (m in seen or seen.add(m))
+        )
+        return members[0] if len(members) == 1 else Or(members)
+    if isinstance(node, And):
+        return And(tuple(expand_synonyms(c, synonyms) for c in node.children))
+    if isinstance(node, Or):
+        return Or(tuple(expand_synonyms(c, synonyms) for c in node.children))
+    if isinstance(node, Not):
+        return Not(expand_synonyms(node.child, synonyms))
+    return node

@@ -444,6 +444,7 @@ class QueryAlgebra:
         query: str,
         k: int = 10,
         after: tuple[float, int] | None = None,
+        synonyms: dict[str, tuple[str, ...]] | None = None,
     ) -> pa.Table:
         """Parse → match → score → top-k (score desc, doc_id asc).
 
@@ -452,8 +453,14 @@ class QueryAlgebra:
         order (score desc, doc_id asc) are returned, so deep paging keeps a
         k-sized working set instead of an offset+k heap.  Cursors are
         copied from the engine's own output, so the float comparison is
-        exact (same doubles)."""
+        exact (same doubles).
+
+        ``synonyms`` maps a term to its expansion group (see
+        ``ast.expand_synonyms``): each matching unigram becomes an OR of
+        its group, scored as an ordinary disjunction."""
         node = parse_query(query, self.stream_map)
+        if synonyms:
+            node = ast.expand_synonyms(node, synonyms)
         matches = self.eval(node)
         scores = self.score(node, matches)
         if after is not None:
