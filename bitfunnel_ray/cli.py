@@ -767,6 +767,30 @@ def cmd_analyze(args):
     )
 
 
+def cmd_fsck(args):
+    """Index integrity audit: decode every posting chunk, verify doc-id
+    order, cf sums, block-max metadata (the WAND exactness contract),
+    bucket routing and manifest↔docmeta totals.  Exit 1 on corruption."""
+    from bitfunnel_ray.build.fsck import fsck_index
+
+    t = fsck_index(args.index)
+    pdt = t.to_pandas()
+    bad = pdt[~pdt["ok"]]
+    print(
+        json.dumps(
+            {
+                "segments": int(pdt["segment"].nunique()),
+                "buckets": int((pdt["bucket"] >= 0).sum()),
+                "terms": int(pdt["n_terms"].sum()),
+                "postings": int(pdt["n_postings"].sum()),
+                "ok": bad.empty,
+                "failures": bad.to_dict("records"),
+            }
+        )
+    )
+    return 0 if bad.empty else 1
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="bitfunnel_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -865,6 +889,10 @@ def main(argv=None):
     s.add_argument("--out", default=None)
     s.set_defaults(fn=cmd_analyze, needs_ray=True)
 
+    s = sub.add_parser("fsck")
+    s.add_argument("index")
+    s.set_defaults(fn=cmd_fsck, needs_ray=True)
+
     s = sub.add_parser("report")
     s.add_argument("corpus")
     s.add_argument("--out", default=None)
@@ -927,12 +955,14 @@ def main(argv=None):
     if args.needs_ray:
         _init_ray()
     try:
-        args.fn(args)
+        rc = args.fn(args)
     finally:
         if args.needs_ray:
             import ray
 
             ray.shutdown()
+    if rc:
+        raise SystemExit(rc)
 
 
 if __name__ == "__main__":

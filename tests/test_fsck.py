@@ -1,0 +1,85 @@
+"""Index fsck: healthy indexes pass; planted corruption is detected."""
+
+import json
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bitfunnel_ray.build.builder import build_index
+from bitfunnel_ray.build.fsck import fsck_index
+from bitfunnel_ray.config import EngineConfig
+from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+
+@pytest.fixture(scope="module")
+def seg(tmp_path_factory, ray_session):
+    out = str(tmp_path_factory.mktemp("fsck") / "seg")
+    build_index(
+        corpus_from_documents("/root/testdata/sf0.001"),
+        out,
+        EngineConfig(max_gram=2, num_buckets=6),
+    )
+    return out
+
+
+def test_healthy_index_passes(seg):
+    t = fsck_index(seg)
+    assert t.num_rows == 7  # 6 buckets + 1 docmeta row
+    assert all(t["ok"].to_pylist())
+    assert sum(t["n_terms"].to_pylist()) > 0
+
+
+def test_detects_corrupted_block_max(seg, tmp_path):
+    """Understating one block's max_tfn breaks the WAND exactness
+    contract — fsck must flag exactly that bucket."""
+    bad = str(tmp_path / "bad")
+    shutil.copytree(seg, bad)
+    p = f"{bad}/dict-00000.parquet"
+    t = pq.read_table(p)
+    mt = t["max_tfn"].to_pylist()
+    # understate the first nonempty chunk's first block
+    for i, lst in enumerate(mt):
+        if lst:
+            mt[i] = [lst[0] * 0.5] + lst[1:]
+            break
+    t = t.set_column(
+        t.schema.get_field_index("max_tfn"), "max_tfn", pa.array(mt, pa.list_(pa.float64()))
+    )
+    pq.write_table(t, p)
+    res = fsck_index(bad).to_pandas()
+    row = res[res["bucket"] == 0].iloc[0]
+    assert not row["ok"] and row["block_meta_errors"] == 1
+    assert res[res["bucket"] != 0]["ok"].all()
+
+
+def test_detects_truncated_payload_and_bad_cf(seg, tmp_path):
+    bad = str(tmp_path / "bad2")
+    shutil.copytree(seg, bad)
+    p = f"{bad}/dict-00001.parquet"
+    t = pq.read_table(p)
+    docs = t["docs_payload"].to_pylist()
+    docs[0] = docs[0][: max(0, len(docs[0]) - 1)]  # truncate → decode error
+    cf = t["cf"].to_pylist()
+    cf[1] = cf[1] + 7  # cf mismatch
+    t = t.set_column(t.schema.get_field_index("docs_payload"), "docs_payload",
+                     pa.array(docs, pa.large_binary()))
+    t = t.set_column(t.schema.get_field_index("cf"), "cf", pa.array(cf, pa.int64()))
+    pq.write_table(t, p)
+    res = fsck_index(bad).to_pandas()
+    row = res[res["bucket"] == 1].iloc[0]
+    assert not row["ok"]
+    assert row["decode_errors"] >= 1 and row["cf_mismatches"] >= 1
+
+
+def test_detects_docmeta_manifest_drift(seg, tmp_path):
+    bad = str(tmp_path / "bad3")
+    shutil.copytree(seg, bad)
+    m = json.load(open(f"{bad}/manifest.json"))
+    m["n_docs"] += 1
+    json.dump(m, open(f"{bad}/manifest.json", "w"))
+    res = fsck_index(bad).to_pandas()
+    row = res[res["bucket"] == -1].iloc[0]
+    assert not row["ok"]
