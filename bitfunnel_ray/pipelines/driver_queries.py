@@ -4047,6 +4047,79 @@ def q_reciprocal_links(sf_dir):
     return reciprocal_links(_demo_edges(sf_dir).union(ring))
 
 
+_EVAL_QUERIES = {
+    0: ("spark join", "spark"),
+    1: ("merge window", "merge"),
+    2: ("table batch", "batch"),
+}
+
+
+def q_eval_ndcg(sf_dir):
+    """Ranking-quality eval harness: NDCG@10 / recall@10 / MRR of the
+    engine's BM25 top-10 against graded relevance (tf of a grade term
+    over the query's match set) — the search-quality measurement loop
+    (query/eval.py; standard Järvelin-Kekäläinen linear-gain DCG)."""
+    from bitfunnel_ray.query.eval import rank_eval
+
+    return rank_eval(get_engine(sf_dir), _EVAL_QUERIES, k=10)
+
+
+def _eval_ndcg_sql() -> str:
+    parts = []
+    for qid, (qtext, grade) in _EVAL_QUERIES.items():
+        t1, t2 = qtext.split()
+        parts.append(f"""
+SELECT * FROM (
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('{t1}','{t2}') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('{t1}','{t2}') GROUP BY term),
+matches AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+),
+cand AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sum(c) DESC, doc_id) AS rnk
+  FROM contrib GROUP BY doc_id
+  ORDER BY sum(c) DESC, doc_id LIMIT 10
+),
+grade AS (SELECT doc_id, count(*) AS rel FROM toks
+          WHERE term = '{grade}' GROUP BY doc_id),
+mrel AS (SELECT m.doc_id, COALESCE(g.rel, 0) AS rel
+         FROM matches m LEFT JOIN grade g USING (doc_id)),
+crel AS (SELECT c.rnk, COALESCE(g.rel, 0) AS rel
+         FROM cand c LEFT JOIN grade g USING (doc_id)),
+ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC) AS rn FROM mrel),
+agg AS (
+  SELECT
+    (SELECT count(*) FROM mrel) AS n_matches,
+    (SELECT COALESCE(SUM(rel / log2(rnk + 1.0)), 0) FROM crel) AS dcg,
+    (SELECT COALESCE(SUM(rel / log2(rn + 1.0)), 0) FROM ideal WHERE rn <= 10) AS idcg,
+    (SELECT count(*) FROM crel WHERE rel > 0) AS n_hit,
+    (SELECT count(*) FROM mrel WHERE rel > 0) AS n_rel,
+    (SELECT MIN(rnk) FROM crel WHERE rel > 0) AS first_hit
+)
+SELECT CAST({qid} AS BIGINT) AS query_id,
+       CAST(n_matches AS BIGINT) AS n_matches,
+       round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 6) AS ndcg,
+       round(CASE WHEN n_rel > 0
+                  THEN CAST(n_hit AS DOUBLE) / LEAST(10, n_rel) ELSE 0 END, 6) AS recall,
+       round(COALESCE(1.0 / first_hit, 0), 6) AS mrr
+FROM agg
+)""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY query_id"
+
+
+SQL_EVAL_NDCG = _eval_ndcg_sql()
+
+
 def q_search_synonyms(sf_dir):
     """Query-time synonym expansion: 'spark join' with join→{join,merge}
     matches spark AND (join OR merge) and scores each doc as the sum of
@@ -4391,6 +4464,7 @@ REGISTRY: dict[str, tuple] = {
     "search_after_page": (q_search_after_page, SQL_SEARCH_AFTER_PAGE),
     "boilerplate_shingles": (q_boilerplate, SQL_BOILERPLATE),
     "search_synonyms": (q_search_synonyms, SQL_SEARCH_SYNONYMS),
+    "eval_ndcg": (q_eval_ndcg, SQL_EVAL_NDCG),
     "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),
     "communities": (q_communities, SQL_COMMUNITIES),
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),
