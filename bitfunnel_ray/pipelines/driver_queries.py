@@ -4047,6 +4047,69 @@ def q_reciprocal_links(sf_dir):
     return reciprocal_links(_demo_edges(sf_dir).union(ring))
 
 
+def q_prf_search(sf_dir):
+    """RM3-lite pseudo-relevance feedback: BM25-AND('spark join') top-10
+    as feedback docs → top-5 expansion terms by in-feedback count
+    (excluding the originals) → BM25-OR re-rank over the widened term
+    set (query/prf.py; Lavrenko-Croft / RM3 lineage, simplifications in
+    the module doc)."""
+    from bitfunnel_ray.query.prf import prf_search
+
+    eng = get_engine(sf_dir)
+    corpus = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = prf_search(eng, corpus, ["spark", "join"], k=10, k_docs=10, n_terms=5)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            "expansion": t["expansion"],
+        }
+    )
+
+
+SQL_PRF_SEARCH = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+fbtf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         WHERE term IN ('spark','join') GROUP BY doc_id, term),
+fbdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         WHERE term IN ('spark','join') GROUP BY term),
+fbmatch AS (SELECT doc_id FROM fbtf GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+fbcontrib AS (
+  SELECT t.doc_id,
+         ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM fbtf t JOIN fbdf d USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM fbmatch)
+),
+fbtop AS (SELECT doc_id FROM (SELECT doc_id, sum(c) AS score FROM fbcontrib GROUP BY doc_id)
+          ORDER BY score DESC, doc_id LIMIT 10),
+expn AS (SELECT term, count(*) AS cnt FROM toks
+         WHERE doc_id IN (SELECT doc_id FROM fbtop)
+           AND term NOT IN ('spark','join')
+         GROUP BY term ORDER BY cnt DESC, term LIMIT 5),
+qterms AS (SELECT term FROM expn UNION ALL SELECT unnest(['spark','join']) AS term),
+tf2 AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term),
+df2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+contrib2 AS (
+  SELECT t.doc_id,
+         ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf2 t JOIN df2 d USING (term) JOIN dl USING (doc_id), st
+),
+scores2 AS (SELECT doc_id, sum(c) AS score FROM contrib2 GROUP BY doc_id),
+expstr AS (SELECT string_agg(term, ' ' ORDER BY cnt DESC, term) AS expansion FROM expn)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score, expstr.expansion
+FROM scores2 CROSS JOIN expstr
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 _EVAL_QUERIES = {
     0: ("spark join", "spark"),
     1: ("merge window", "merge"),
@@ -4465,6 +4528,7 @@ REGISTRY: dict[str, tuple] = {
     "boilerplate_shingles": (q_boilerplate, SQL_BOILERPLATE),
     "search_synonyms": (q_search_synonyms, SQL_SEARCH_SYNONYMS),
     "eval_ndcg": (q_eval_ndcg, SQL_EVAL_NDCG),
+    "prf_search": (q_prf_search, SQL_PRF_SEARCH),
     "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),
     "communities": (q_communities, SQL_COMMUNITIES),
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),

@@ -80,6 +80,24 @@ def test_bm25_and_wand_identical(server, built):
     assert np.allclose(w1["score"], w2["score"])
 
 
+def test_cursor_and_synonyms_parity(server, built):
+    """search_after paging and synonym expansion ride the shared
+    QueryAlgebra path — the sharded front must page and expand
+    identically to the local engine."""
+    local = SearchEngine(built, load_urls=False)
+    eng = server.engine()
+    syn = {"join": ("join", "merge")}
+    p1l = local.search("spark join", k=5, synonyms=syn)
+    p1s = eng.search("spark join", k=5, synonyms=syn)
+    assert p1l["doc_id"].to_pylist() == p1s["doc_id"].to_pylist()
+    cur = (p1l["score"][-1].as_py(), p1l["doc_id"][-1].as_py())
+    p2l = local.search("spark join", k=5, synonyms=syn, after=cur)
+    p2s = eng.search("spark join", k=5, synonyms=syn, after=cur)
+    assert p2l["doc_id"].to_pylist() == p2s["doc_id"].to_pylist()
+    assert np.allclose(p2l["score"].to_numpy(), p2s["score"].to_numpy())
+    assert set(p2s["doc_id"].to_pylist()).isdisjoint(p1s["doc_id"].to_pylist())
+
+
 def test_actor_pool_serving(server):
     qlog = pa.table(
         {
