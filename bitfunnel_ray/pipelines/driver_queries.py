@@ -4047,6 +4047,87 @@ def q_reciprocal_links(sf_dir):
     return reciprocal_links(_demo_edges(sf_dir).union(ring))
 
 
+_TOPIC_CATEGORIES = {
+    "compute": ("spark", "batch", "vector"),
+    "query": ("join", "filter", "sort"),
+    "storage": ("table", "row", "column"),
+}
+
+_VOCAB_FIXTURE = (
+    "the", "a", "spark", "join", "table", "merge", "window",
+    "batch", "row", "data", "key", "sort",
+)
+
+
+def q_topic_assign(sf_dir):
+    """Keyword-dictionary domain bucketing (the mixture-weight first
+    pass of a pretraining pipeline): per-category keyword-token counts,
+    argmax assignment with name-asc tie-break, 'other' when nothing
+    hits (ops/topics.py — unique-vocab lookup per batch, map-only)."""
+    from bitfunnel_ray.ops.topics import assign_topics
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return assign_topics(docs, _TOPIC_CATEGORIES)
+
+
+def _topic_sql() -> str:
+    whens = "\n".join(
+        f"  WHEN term IN ({', '.join(repr(k) for k in kws)}) THEN '{name}'"
+        for name, kws in _TOPIC_CATEGORIES.items()
+    )
+    return f"""
+WITH toks AS ({_tokens_sql()}),
+h AS (SELECT doc_id, CASE
+{whens}
+  END AS topic FROM toks
+  WHERE CASE
+{whens}
+  END IS NOT NULL),
+cnt AS (SELECT doc_id, topic, count(*) AS hits FROM h GROUP BY doc_id, topic),
+best AS (SELECT doc_id, topic, hits,
+                row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, topic) AS rn
+         FROM cnt)
+SELECT d.doc_id, COALESCE(b.topic, 'other') AS topic,
+       CAST(COALESCE(b.hits, 0) AS BIGINT) AS hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+SQL_TOPIC_ASSIGN = _topic_sql()
+
+
+def q_vocab_coverage(sf_dir):
+    """Tokenizer-vocabulary coverage: per-doc in-vocab fraction + OOV
+    count against a broadcast vocabulary (ops/topics.py — one np.isin
+    over the batch's unique vocab, scattered by dictionary index)."""
+    import ray as _ray
+
+    from bitfunnel_ray.ops.topics import vocab_coverage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ref = _ray.put(np.asarray(_VOCAB_FIXTURE, dtype=object))
+    return vocab_coverage(docs, ref)
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH toks AS ({_tokens_sql()}),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         SUM(CASE WHEN term NOT IN ({", ".join(repr(v) for v in _VOCAB_FIXTURE)})
+                  THEN 1 ELSE 0 END) AS n_oov
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov,
+       round(CASE WHEN COALESCE(a.n_tokens, 0) > 0
+                  THEN 1.0 - CAST(a.n_oov AS DOUBLE) / a.n_tokens
+                  ELSE 1.0 END, 6) AS coverage
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_prf_search(sf_dir):
     """RM3-lite pseudo-relevance feedback: BM25-AND('spark join') top-10
     as feedback docs → top-5 expansion terms by in-feedback count
@@ -4529,6 +4610,8 @@ REGISTRY: dict[str, tuple] = {
     "search_synonyms": (q_search_synonyms, SQL_SEARCH_SYNONYMS),
     "eval_ndcg": (q_eval_ndcg, SQL_EVAL_NDCG),
     "prf_search": (q_prf_search, SQL_PRF_SEARCH),
+    "topic_assign": (q_topic_assign, SQL_TOPIC_ASSIGN),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),
     "communities": (q_communities, SQL_COMMUNITIES),
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),
