@@ -4047,6 +4047,46 @@ def q_reciprocal_links(sf_dir):
     return reciprocal_links(_demo_edges(sf_dir).union(ring))
 
 
+def q_search_boosted(sf_dir):
+    """Query-time term boosting (Lucene ^ syntax): 'spark^2 join' —
+    match semantics unchanged (AND), spark's BM25 contribution doubled
+    before the sum (query/parser.py boost grammar, engine
+    scoring_boosts; boost 1.0 is bit-exact identity)."""
+    eng = get_engine(sf_dir)
+    t = eng.search("spark^2 join", k=10)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+SQL_SEARCH_BOOSTED = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join') GROUP BY term),
+matches AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+contrib AS (
+  SELECT t.doc_id,
+         (ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)))
+         * (CASE WHEN t.term = 'spark' THEN 2.0 ELSE 1.0 END) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 _TOPIC_CATEGORIES = {
     "compute": ("spark", "batch", "vector"),
     "query": ("join", "filter", "sort"),
@@ -4611,6 +4651,7 @@ REGISTRY: dict[str, tuple] = {
     "eval_ndcg": (q_eval_ndcg, SQL_EVAL_NDCG),
     "prf_search": (q_prf_search, SQL_PRF_SEARCH),
     "topic_assign": (q_topic_assign, SQL_TOPIC_ASSIGN),
+    "search_boosted": (q_search_boosted, SQL_SEARCH_BOOSTED),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),
     "communities": (q_communities, SQL_COMMUNITIES),

@@ -15,12 +15,14 @@ class Node:
 class Term(Node):
     text: str
     stream: int = 0
+    boost: float = 1.0  # query-time score multiplier (term^2.5 syntax)
 
 
 @dataclass(frozen=True)
 class Phrase(Node):
     tokens: tuple[str, ...]
     stream: int = 0
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -63,7 +65,7 @@ def expand_synonyms(node: Node, synonyms: dict[str, tuple[str, ...]]) -> Node:
             return node
         seen: set[str] = set()
         members = tuple(
-            Term(m, node.stream)
+            Term(m, node.stream, node.boost)  # members inherit the boost
             for m in group
             if not (m in seen or seen.add(m))
         )

@@ -270,6 +270,38 @@ class QueryAlgebra:
             acc = {p for p in acc if p[0] not in self.fact_hashes}
         return sorted(acc, key=lambda p: (p[1], p[0]))
 
+    def scoring_boosts(self, node: ast.Node) -> dict[tuple[int, int], float]:
+        """(hash, gram) → query-time boost for every positive scoring
+        term.  A term occurring more than once takes the MAX boost (so
+        an unboosted duplicate stays the identity, matching the
+        dedupe in ``scoring_terms``); phrase boosts apply to every
+        constituent gram.  Empty dict when nothing is boosted — the
+        common case costs one AST walk and no score-path work."""
+        boosts: dict[tuple[int, int], float] = {}
+
+        def put(key, b):
+            if b != 1.0:
+                boosts[key] = max(boosts.get(key, 1.0), b)
+
+        def walk(n, negated: bool):
+            if isinstance(n, ast.Not):
+                walk(n.child, not negated)
+            elif isinstance(n, (ast.And, ast.Or)):
+                for c in n.children:
+                    walk(c, negated)
+            elif isinstance(n, ast.Term):
+                if not negated:
+                    put(((murmur64a(n.text) + n.stream) & 0xFFFFFFFFFFFFFFFF, 1),
+                        getattr(n, "boost", 1.0))
+            elif isinstance(n, ast.Phrase):
+                if not negated:
+                    b = getattr(n, "boost", 1.0)
+                    for key in self._phrase_grams(n.tokens, n.stream):
+                        put(key, b)
+
+        walk(node, False)
+        return boosts
+
     # --- boolean evaluation ----------------------------------------------
     def eval(self, node: ast.Node) -> np.ndarray:
         """Sorted unique doc_id array matching the node."""
@@ -346,6 +378,7 @@ class QueryAlgebra:
         if not len(matches):
             return scores
         k1, b = self.k1, self.b
+        boosts = self.scoring_boosts(node)
         for h, g in self.scoring_terms(node):
             p = self.postings(h, g)
             if not p.df:
@@ -360,7 +393,9 @@ class QueryAlgebra:
             df = self._df(h, g, p)
             idf = np.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
             tfn = tf / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
-            scores[present] += idf * (k1 + 1.0) * tfn
+            contrib = idf * (k1 + 1.0) * tfn
+            mult = boosts.get((h, g))
+            scores[present] += contrib * mult if mult is not None else contrib
         return scores
 
     # --- explain ----------------------------------------------------------
@@ -404,6 +439,7 @@ class QueryAlgebra:
         document's score."""
         node = parse_query(query, self.stream_map)
         labels = self.scoring_term_labels(node)
+        boosts = self.scoring_boosts(node)
         doc = np.uint64(doc_id)
         k1, b = self.k1, self.b
         terms, grams, tfs, dls, dfs, idfs, contribs = [], [], [], [], [], [], []
@@ -425,7 +461,9 @@ class QueryAlgebra:
             dls.append(int(dl))
             dfs.append(int(df))
             idfs.append(idf_v)
-            contribs.append(idf_v * (k1 + 1.0) * tfn)
+            c = idf_v * (k1 + 1.0) * tfn
+            mult = boosts.get((h, g))
+            contribs.append(c * mult if mult is not None else c)
         return pa.table(
             {
                 "term": pa.array(terms, pa.string()),

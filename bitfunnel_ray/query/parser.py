@@ -4,11 +4,11 @@ inc/BitFunnel/Plan/QueryParser.h:78-104, src/Plan/src/QueryParser.cpp:142-262):
     OR     := AND ('|' AND)*
     AND    := SIMPLE (['&'] SIMPLE)*          # whitespace is implicit AND
     SIMPLE := '-' SIMPLE | '(' OR ')' | TERM
-    TERM   := '"' token+ '"'                  # phrase, >= 2 tokens
+    TERM   := ('"' token+ '"'                 # phrase, >= 2 tokens
             | token ':' ('"' token+ '"' | token)   # stream-qualified
-            | token
+            | token) ['^' number]                  # optional boost (term^2.5)
     token  := chars until whitespace or one of  & | ( ) : - "
-              with backslash escapes of  space \t \f \v & | \\ ( ) " : -
+              with backslash escapes of  space \t \f \v & | \\ ( ) " : - ^
 
 Stream names resolve via a {name: id} map (StreamConfiguration analog,
 src/Common/Configuration/src/StreamConfiguration.cpp:52-143); fixtures use
@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from bitfunnel_ray.query.ast import And, Node, Not, Or, Phrase, Term
 
-_END_OF_TOKEN = set('&|():-"')
+_END_OF_TOKEN = set('&|():-"^')
 _SPACE = set(" \t\f\v\r\n")
 
 
@@ -107,15 +107,35 @@ class QueryParser:
     def _parse_term(self) -> Node:
         self._skip_white()
         if self._peek() == '"':
-            return self._parse_phrase(0)
+            return self._with_boost(self._parse_phrase(0))
         left = self._parse_token()
         if self._peek() == ":":
             self._get()
             stream = self._stream_id(left)
             if self._peek() == '"':
-                return self._parse_phrase(stream)
-            return Term(self._parse_token(), stream)
-        return Term(left, 0)
+                return self._with_boost(self._parse_phrase(stream))
+            return self._with_boost(Term(self._parse_token(), stream))
+        return self._with_boost(Term(left, 0))
+
+    def _with_boost(self, node: Node) -> Node:
+        """Optional ``^number`` suffix — the Lucene-style query-time
+        score multiplier.  Applies to terms and phrases; a boost of 1.0
+        is the identity (bit-exact with the unboosted path)."""
+        if self._peek() != "^":
+            return node
+        self._get()
+        start = self.pos
+        while self._peek().isdigit() or self._peek() == ".":
+            self.pos += 1
+        if self.pos == start:
+            raise ParseError("Expected number after ^", self.pos)
+        try:
+            boost = float(self.text[start : self.pos])
+        except ValueError:
+            raise ParseError("Bad boost value", start) from None
+        if isinstance(node, Term):
+            return Term(node.text, node.stream, boost)
+        return Phrase(node.tokens, node.stream, boost)
 
     def _parse_phrase(self, stream: int) -> Node:
         self._expect('"')

@@ -52,3 +52,15 @@ def test_errors():
     for bad in ["", "   ", "(a", "a )", "&", "|a"]:
         with pytest.raises(ParseError):
             parse_query(bad)
+
+
+def test_boost_syntax():
+    assert parse_query("cat^2") == Term("cat", 0, 2.0)
+    assert parse_query("cat^2.5 dog") == And((Term("cat", 0, 2.5), Term("dog")))
+    assert parse_query('"a b"^3') == Phrase(("a", "b"), 0, 3.0)
+    assert parse_query("body:cat^0.5") == Term("cat", 0, 0.5)
+    # escaped caret is a literal token char
+    assert parse_query(r"a\^b") == Term("a^b", 0)
+    for bad in ["cat^", "cat^x", "cat^1.2.3"]:
+        with pytest.raises(ParseError):
+            parse_query(bad)

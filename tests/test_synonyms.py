@@ -49,6 +49,24 @@ def test_engine_synonyms_equal_manual_expansion(engine):
     assert engine.search("spark join", k=10**6, synonyms=SYN).num_rows >= plain.num_rows
 
 
+def test_boost_scoring(engine):
+    """spark^2: spark's contribution doubles; boost 1.0 is bit-exact
+    identity; explain contributions still sum to the score."""
+    import numpy as np
+
+    plain = engine.search("spark join", k=10)
+    one = engine.search("spark^1 join", k=10)
+    assert plain["score"].to_pylist() == one["score"].to_pylist()
+    boosted = engine.search("spark^2 join", k=1000)
+    doc = int(boosted["doc_id"][0].as_py())
+    ex_p = engine.explain("spark join", doc).to_pandas().set_index("term")
+    ex_b = engine.explain("spark^2 join", doc).to_pandas().set_index("term")
+    assert ex_b.loc["spark", "contribution"] == 2.0 * ex_p.loc["spark", "contribution"]
+    assert ex_b.loc["join", "contribution"] == ex_p.loc["join", "contribution"]
+    row = boosted.to_pandas().set_index("doc_id").loc[doc]
+    assert np.isclose(ex_b["contribution"].sum(), row["score"], rtol=0, atol=0)
+
+
 def test_engine_synonyms_compose_with_cursor(engine):
     p1 = engine.search("spark join", k=5, synonyms=SYN)
     cur = (p1["score"][-1].as_py(), p1["doc_id"][-1].as_py())
