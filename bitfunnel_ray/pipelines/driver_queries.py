@@ -4047,6 +4047,64 @@ def q_reciprocal_links(sf_dir):
     return reciprocal_links(_demo_edges(sf_dir).union(ring))
 
 
+def q_recency_topk(sf_dir):
+    """Freshness-blended ranking: BM25-AND('spark join') top-100
+    candidate pool, re-ranked by round(bm25,6) * 2^(-age/half-life)
+    with now = 2024-03-01 and a 30-day half-life (ops/freshness.py —
+    timestamps fetched by ONE broadcast-filtered map pass)."""
+    from bitfunnel_ray.ops.freshness import recency_blend
+    from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+    eng = get_engine(sf_dir)
+    pool = eng.search("spark join", k=100)
+    results = pa.table(
+        {
+            "rank": pool["rank"].cast(pa.int64()),
+            "doc_id": pool["doc_id"].cast(pa.int64()),
+            "score": pool["score"],
+        }
+    )
+    now_s = 1709251200  # 2024-03-01T00:00:00Z
+    return recency_blend(
+        results, corpus_from_documents(sf_dir), now_s, half_life_days=30.0, k=10
+    )
+
+
+# warc_ts is fixture-deterministic (2024-01-01 + doc_id seconds,
+# sources/corpus.py); the oracle re-derives it the same way
+SQL_RECENCY_TOPK = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join') GROUP BY term),
+matches AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+),
+pool AS (SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id
+         ORDER BY sum(c) DESC, doc_id LIMIT 100),
+aged AS (
+  SELECT doc_id, score,
+         CAST(1709251200 - (1704067200 + doc_id) AS DOUBLE) AS age_s
+  FROM pool),
+blended AS (
+  SELECT doc_id,
+         round(score * power(2.0, -age_s / (30.0 * 86400.0)), 6) AS blended,
+         round(age_s / 86400.0, 6) AS age_days
+  FROM aged)
+SELECT CAST(row_number() OVER (ORDER BY blended DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, blended, age_days
+FROM blended ORDER BY blended DESC, doc_id LIMIT 10
+"""
+
+
 def q_search_boosted(sf_dir):
     """Query-time term boosting (Lucene ^ syntax): 'spark^2 join' —
     match semantics unchanged (AND), spark's BM25 contribution doubled
@@ -4652,6 +4710,7 @@ REGISTRY: dict[str, tuple] = {
     "prf_search": (q_prf_search, SQL_PRF_SEARCH),
     "topic_assign": (q_topic_assign, SQL_TOPIC_ASSIGN),
     "search_boosted": (q_search_boosted, SQL_SEARCH_BOOSTED),
+    "recency_topk": (q_recency_topk, SQL_RECENCY_TOPK),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),
     "communities": (q_communities, SQL_COMMUNITIES),
