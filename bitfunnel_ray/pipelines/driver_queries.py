@@ -4105,6 +4105,47 @@ FROM blended ORDER BY blended DESC, doc_id LIMIT 10
 """
 
 
+def q_search_msm(sf_dir):
+    """Minimum-should-match group (Lucene/ES minimum_should_match as
+    the ``(a b c)~2`` group suffix — beyond the reference's grammar):
+    docs matching >= 2 of {spark, join, merge}, BM25 summed over the
+    clauses that MATCHED (absent terms contribute zero, like a plain
+    disjunction), top-10."""
+    eng = get_engine(sf_dir)
+    t = eng.search("(spark join merge)~2", k=10)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+SQL_SEARCH_MSM = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join','merge') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join','merge') GROUP BY term),
+matches AS (SELECT doc_id FROM tf GROUP BY doc_id
+            HAVING count(DISTINCT term) >= 2),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def q_search_boosted(sf_dir):
     """Query-time term boosting (Lucene ^ syntax): 'spark^2 join' —
     match semantics unchanged (AND), spark's BM25 contribution doubled
@@ -4710,6 +4751,7 @@ REGISTRY: dict[str, tuple] = {
     "prf_search": (q_prf_search, SQL_PRF_SEARCH),
     "topic_assign": (q_topic_assign, SQL_TOPIC_ASSIGN),
     "search_boosted": (q_search_boosted, SQL_SEARCH_BOOSTED),
+    "search_msm": (q_search_msm, SQL_SEARCH_MSM),
     "recency_topk": (q_recency_topk, SQL_RECENCY_TOPK),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),

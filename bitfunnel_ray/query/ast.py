@@ -40,6 +40,18 @@ class Not(Node):
     child: Node = None
 
 
+@dataclass(frozen=True)
+class AtLeast(Node):
+    """Minimum-should-match group: a document matches when >= ``m`` of
+    the children match (the Lucene/Elasticsearch minimum_should_match
+    contract; query syntax ``(a b c)~2``).  ``m=1`` is Or, ``m=len``
+    is And; BM25 scores only the clauses that matched — absent terms
+    contribute zero, exactly as in a plain disjunction."""
+
+    m: int = 1
+    children: tuple[Node, ...] = field(default_factory=tuple)
+
+
 def expand_synonyms(node: Node, synonyms: dict[str, tuple[str, ...]]) -> Node:
     """Query-time synonym expansion: every ``Term(t)`` whose text is a
     key of ``synonyms`` becomes ``Or(Term(m) for m in synonyms[t])``
@@ -76,4 +88,8 @@ def expand_synonyms(node: Node, synonyms: dict[str, tuple[str, ...]]) -> Node:
         return Or(tuple(expand_synonyms(c, synonyms) for c in node.children))
     if isinstance(node, Not):
         return Not(expand_synonyms(node.child, synonyms))
+    if isinstance(node, AtLeast):
+        # the threshold counts CLAUSES, so it is unchanged: an expanded
+        # clause matches when any synonym member does
+        return AtLeast(node.m, tuple(expand_synonyms(c, synonyms) for c in node.children))
     return node

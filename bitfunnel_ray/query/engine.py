@@ -236,7 +236,7 @@ class QueryAlgebra:
         def walk(n):
             if isinstance(n, ast.Not):
                 walk(n.child)
-            elif isinstance(n, (ast.And, ast.Or)):
+            elif isinstance(n, (ast.And, ast.Or, ast.AtLeast)):
                 for c in n.children:
                     walk(c)
             elif isinstance(n, ast.Term):
@@ -255,7 +255,7 @@ class QueryAlgebra:
         def walk(n: ast.Node, negated: bool):
             if isinstance(n, ast.Not):
                 walk(n.child, not negated)
-            elif isinstance(n, (ast.And, ast.Or)):
+            elif isinstance(n, (ast.And, ast.Or, ast.AtLeast)):
                 for c in n.children:
                     walk(c, negated)
             elif isinstance(n, ast.Term):
@@ -286,7 +286,7 @@ class QueryAlgebra:
         def walk(n, negated: bool):
             if isinstance(n, ast.Not):
                 walk(n.child, not negated)
-            elif isinstance(n, (ast.And, ast.Or)):
+            elif isinstance(n, (ast.And, ast.Or, ast.AtLeast)):
                 for c in n.children:
                     walk(c, negated)
             elif isinstance(n, ast.Term):
@@ -357,6 +357,16 @@ class QueryAlgebra:
             return m
         if isinstance(node, ast.Not):
             return self._complement(self._eval(node.child))
+        if isinstance(node, ast.AtLeast):
+            # minimum-should-match: each child's eval is unique, so a
+            # doc's multiplicity across the concatenation IS its clause
+            # count — one unique(return_counts) does the whole group
+            lists = [self._eval(c) for c in node.children]
+            ids = np.concatenate(lists) if lists else np.empty(0, np.uint64)
+            if not len(ids):
+                return np.empty(0, dtype=np.uint64)
+            u, c = np.unique(ids, return_counts=True)
+            return u[c >= node.m]
         raise TypeError(f"unknown node {node!r}")
 
     # --- scoring ----------------------------------------------------------
@@ -407,7 +417,7 @@ class QueryAlgebra:
         def walk(n, negated: bool):
             if isinstance(n, ast.Not):
                 walk(n.child, not negated)
-            elif isinstance(n, (ast.And, ast.Or)):
+            elif isinstance(n, (ast.And, ast.Or, ast.AtLeast)):
                 for c in n.children:
                     walk(c, negated)
             elif isinstance(n, ast.Term):

@@ -3,7 +3,9 @@ inc/BitFunnel/Plan/QueryParser.h:78-104, src/Plan/src/QueryParser.cpp:142-262):
 
     OR     := AND ('|' AND)*
     AND    := SIMPLE (['&'] SIMPLE)*          # whitespace is implicit AND
-    SIMPLE := '-' SIMPLE | '(' OR ')' | TERM
+    SIMPLE := '-' SIMPLE | '(' OR ')' ['~' int] | TERM
+             # '(...)~m' = minimum-should-match group (beyond the
+             # reference's grammar: the Lucene/ES msm contract)
     TERM   := ('"' token+ '"'                 # phrase, >= 2 tokens
             | token ':' ('"' token+ '"' | token)   # stream-qualified
             | token) ['^' number]                  # optional boost (term^2.5)
@@ -17,7 +19,7 @@ the default stream 0 ("body").
 
 from __future__ import annotations
 
-from bitfunnel_ray.query.ast import And, Node, Not, Or, Phrase, Term
+from bitfunnel_ray.query.ast import And, AtLeast, Node, Not, Or, Phrase, Term
 
 _END_OF_TOKEN = set('&|():-"^')
 _SPACE = set(" \t\f\v\r\n")
@@ -101,8 +103,32 @@ class QueryParser:
             node = self._parse_or()
             self._skip_white()
             self._expect(")")
+            if self._peek() == "~":
+                return self._parse_min_should_match(node)
             return node
         return self._parse_term()
+
+    def _parse_min_should_match(self, node: Node) -> Node:
+        """``(a b c)~2`` — minimum-should-match group (the Lucene /
+        Elasticsearch minimum_should_match contract as a group suffix).
+        Applies to the group's direct children whatever the connective
+        inside: ``m=1`` degenerates to Or, ``m=len`` to And."""
+        self._expect("~")
+        start = self.pos
+        digits = ""
+        while self._peek().isdigit():
+            digits += self._get()
+        if not digits:
+            raise ParseError("Expected integer after '~'", start)
+        m = int(digits)
+        children = node.children if isinstance(node, (And, Or)) else (node,)
+        if m < 1 or m > len(children):
+            raise ParseError(
+                f"minimum-should-match {m} out of range 1..{len(children)}", start
+            )
+        if any(isinstance(c, Not) for c in children):
+            raise ParseError("negated clause inside a ~N group", start)
+        return AtLeast(m, tuple(children))
 
     def _parse_term(self) -> Node:
         self._skip_white()

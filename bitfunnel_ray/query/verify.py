@@ -39,7 +39,7 @@ def _query_term_hashes(node: ast.Node, max_gram: int) -> list[tuple[int, int]]:
             phrase_grams(n.tokens)
         elif isinstance(n, ast.Not):
             walk(n.child)
-        elif isinstance(n, (ast.And, ast.Or)):
+        elif isinstance(n, (ast.And, ast.Or, ast.AtLeast)):
             for c in n.children:
                 walk(c)
 
@@ -91,6 +91,11 @@ class BruteForceMatcher:
             return out
         if isinstance(node, ast.Not):
             return ~self._eval(node.child, pres)
+        if isinstance(node, ast.AtLeast):
+            counts = np.zeros(len(pres), dtype=np.int64)
+            for c in node.children:
+                counts += self._eval(c, pres)
+            return counts >= node.m
         raise TypeError(node)
 
     def __call__(self, t: pa.Table) -> pa.Table:

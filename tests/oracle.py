@@ -63,6 +63,8 @@ class OracleIndex:
             return any(self._matches(ch, doc) for ch in node.children)
         if isinstance(node, ast.Not):
             return not self._matches(node.child, doc)
+        if isinstance(node, ast.AtLeast):
+            return sum(self._matches(ch, doc) for ch in node.children) >= node.m
         raise TypeError(node)
 
     def _scoring_terms(self, node):
@@ -71,7 +73,7 @@ class OracleIndex:
         def walk(n, negated):
             if isinstance(n, ast.Not):
                 walk(n.child, not negated)
-            elif isinstance(n, (ast.And, ast.Or)):
+            elif isinstance(n, (ast.And, ast.Or, ast.AtLeast)):
                 for ch in n.children:
                     walk(ch, negated)
             elif isinstance(n, ast.Term):

@@ -27,6 +27,8 @@ QUERIES = [
     "table join merge sort",
     "-the",
     "spark | -join",
+    "(spark join merge)~2",
+    "(spark | join | merge)~2",
 ]
 
 

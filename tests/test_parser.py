@@ -64,3 +64,30 @@ def test_boost_syntax():
     for bad in ["cat^", "cat^x", "cat^1.2.3"]:
         with pytest.raises(ParseError):
             parse_query(bad)
+
+
+def test_min_should_match():
+    from bitfunnel_ray.query.ast import AtLeast
+
+    assert parse_query("(a b c)~2") == AtLeast(
+        2, (Term("a"), Term("b"), Term("c"))
+    )
+    assert parse_query("(a | b | c)~1") == AtLeast(
+        1, (Term("a"), Term("b"), Term("c"))
+    )
+    # single-child group degenerates to a 1-of-1 group
+    assert parse_query("(a)~1") == AtLeast(1, (Term("a"),))
+    # composes as a SIMPLE inside AND
+    q = parse_query("x (a b c)~2")
+    assert q == And((Term("x"), AtLeast(2, (Term("a"), Term("b"), Term("c")))))
+
+
+def test_min_should_match_errors():
+    with pytest.raises(ParseError):
+        parse_query("(a b)~")  # missing integer
+    with pytest.raises(ParseError):
+        parse_query("(a b)~3")  # m > children
+    with pytest.raises(ParseError):
+        parse_query("(a b)~0")  # m < 1
+    with pytest.raises(ParseError):
+        parse_query("(a -b)~1")  # negated clause in group

@@ -26,6 +26,7 @@ QUERIES = [
     "-table -join",
     "table | -join",
     "zzz_nonexistent_term",
+    "(spark join merge)~2",
 ]
 
 
