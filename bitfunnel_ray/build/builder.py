@@ -320,14 +320,20 @@ class TokenizeSpill:
         batch_tag = f"{int(batch['doc_id'][0].as_py()):016x}" if len(batch) else uuid.uuid4().hex
         # docmeta shard (doc_id, url, doclen, n_bytes — DocTable analog)
         nbytes = pc.binary_length(batch["text"].cast(pa.binary())) if "text" in batch.column_names else pa.nulls(len(batch), pa.int64())
-        meta = pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "url": batch["url"] if "url" in batch.column_names else pa.nulls(len(batch), pa.string()),
-                "doclen": pa.array(body_doclen),
-                "n_bytes": nbytes.cast(pa.int64()),
-            }
-        )
+        meta_cols = {
+            "doc_id": batch["doc_id"],
+            "url": batch["url"] if "url" in batch.column_names else pa.nulls(len(batch), pa.string()),
+            "doclen": pa.array(body_doclen),
+            "n_bytes": nbytes.cast(pa.int64()),
+        }
+        # numeric doc-values fast-field (Lucene NumericDocValues / Tantivy
+        # fast-field analog): epoch-seconds of warc_ts, stored columnar in
+        # docmeta so serve-time range filters never rescan the corpus
+        if "warc_ts" in batch.column_names:
+            meta_cols["warc_ts_s"] = (
+                batch["warc_ts"].cast(pa.timestamp("s")).cast(pa.int64())
+            )
+        meta = pa.table(meta_cols)
         os.makedirs(self.meta_dir, exist_ok=True)
         _pq.write_table(meta, os.path.join(self.meta_dir, f"part-{batch_tag}.parquet"))
         if stats_tbl is not None and self.stats_dir:
@@ -775,7 +781,11 @@ def build_index(
             try:
                 ok = False
                 schema_names = corpus.schema().names
-                sel = ["doc_id"] + (["url"] if "url" in schema_names else []) + stream_cols
+                sel = (
+                    ["doc_id"]
+                    + [c for c in ("url", "warc_ts") if c in schema_names]
+                    + stream_cols
+                )
                 # docs per map task: pins the spill-shard count (and the
                 # per-shard size) independent of input block layout and CPU
                 # count — identical work shape at every parallelism.  The

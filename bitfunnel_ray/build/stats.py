@@ -286,6 +286,13 @@ class DocMetaBatch:
             cols["doclen"] = pa.array(r.doclen)
             cols["n_postings"] = pa.array(r.n_postings)
         cols["n_bytes"] = pa.array(nbytes)
+        if "warc_ts" in batch.column_names:
+            # doc-values fast-field (see TokenizeSpill) — present only when
+            # the caller kept warc_ts in the batch, so the standalone
+            # doc_meta() op's schema is unchanged
+            cols["warc_ts_s"] = (
+                batch["warc_ts"].cast(pa.timestamp("s")).cast(pa.int64())
+            )
         return pa.table(cols)
 
 

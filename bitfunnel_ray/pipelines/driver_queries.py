@@ -43,7 +43,9 @@ def get_engine(sf_dir: str) -> SearchEngine:
     eng = _ENGINES.get(sf_dir)
     if eng is None:
         tag = sf_dir.strip("/").replace("/", "_")
-        idx_dir = f"/tmp/bfr_idx_cache/{tag}"
+        # v2: docmeta gained the warc_ts_s doc-values fast-field — version
+        # the cache dir so pre-fast-field segments rebuild instead of resume
+        idx_dir = f"/tmp/bfr_idx_cache/{tag}-v2"
         os.makedirs(os.path.dirname(idx_dir), exist_ok=True)
         build_index(corpus_from_documents(sf_dir), idx_dir, _CFG)
         eng = SearchEngine(idx_dir, load_urls=False)
@@ -4105,6 +4107,52 @@ FROM blended ORDER BY blended DESC, doc_id LIMIT 10
 """
 
 
+def q_search_ts_range(sf_dir):
+    """Serve-time timestamp range filter from numeric doc values (Lucene
+    NumericDocValues / Tantivy fast-field analog): BM25 AND('spark join')
+    restricted to warc_ts in [2024-01-01T00:01:40Z, 2024-01-01T00:06:40Z)
+    — the mask comes from the docmeta ``warc_ts_s`` fast-field column the
+    build wrote, never a corpus rescan.  Fixture warc_ts is
+    2024-01-01 + doc_id seconds (sources/corpus.py), which the oracle
+    re-derives."""
+    eng = get_engine(sf_dir)
+    lo, hi = 1704067200 + 100, 1704067200 + 400
+    t = eng.search("spark join", k=10, range_filter=("warc_ts_s", lo, hi))
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+SQL_SEARCH_TS_RANGE = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join') GROUP BY term),
+matches AS (SELECT doc_id FROM tf GROUP BY doc_id
+            HAVING count(DISTINCT term) = 2),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+    AND 1704067200 + t.doc_id >= 1704067300
+    AND 1704067200 + t.doc_id < 1704067600
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def q_search_msm(sf_dir):
     """Minimum-should-match group (Lucene/ES minimum_should_match as
     the ``(a b c)~2`` group suffix — beyond the reference's grammar):
@@ -4752,6 +4800,7 @@ REGISTRY: dict[str, tuple] = {
     "topic_assign": (q_topic_assign, SQL_TOPIC_ASSIGN),
     "search_boosted": (q_search_boosted, SQL_SEARCH_BOOSTED),
     "search_msm": (q_search_msm, SQL_SEARCH_MSM),
+    "search_ts_range": (q_search_ts_range, SQL_SEARCH_TS_RANGE),
     "recency_topk": (q_recency_topk, SQL_RECENCY_TOPK),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),

@@ -208,6 +208,14 @@ class QueryAlgebra:
     def _complement(self, sorted_docs: np.ndarray) -> np.ndarray:  # pragma: no cover
         raise NotImplementedError
 
+    def _docvalue_mask(
+        self, matches: np.ndarray, col: str, lo: float, hi: float
+    ) -> np.ndarray:  # pragma: no cover
+        raise NotImplementedError(
+            "doc-values range filters need a docmeta-backed engine "
+            "(SearchEngine); sharded serving stripes doc values per shard"
+        )
+
     def term_postings(self, text: str, stream: int = 0) -> Postings:
         # general hash = rawHash + streamId (ComputeGeneralHash parity)
         return self.postings((murmur64a(text) + stream) & 0xFFFFFFFFFFFFFFFF, 1)
@@ -493,6 +501,7 @@ class QueryAlgebra:
         k: int = 10,
         after: tuple[float, int] | None = None,
         synonyms: dict[str, tuple[str, ...]] | None = None,
+        range_filter: "tuple[str, float, float] | None" = None,
     ) -> pa.Table:
         """Parse → match → score → top-k (score desc, doc_id asc).
 
@@ -510,6 +519,12 @@ class QueryAlgebra:
         if synonyms:
             node = ast.expand_synonyms(node, synonyms)
         matches = self.eval(node)
+        if range_filter is not None:
+            # doc-values fast-field filter (Lucene NumericDocValues /
+            # Tantivy fast-field analog): [lo, hi) over a numeric docmeta
+            # column, applied BEFORE scoring so filtered docs cost nothing
+            col, lo, hi = range_filter
+            matches = matches[self._docvalue_mask(matches, col, lo, hi)]
         scores = self.score(node, matches)
         if after is not None:
             s0, d0 = float(after[0]), np.uint64(after[1])
@@ -649,6 +664,39 @@ class SearchEngine(QueryAlgebra):
             else None
         )
         self._cache: dict[tuple[int, int], Postings] = {}
+        self._docvalues: dict[str, np.ndarray] = {}
+
+    # --- doc values (numeric fast fields) ----------------------------------
+    def docvalue(self, col: str) -> np.ndarray:
+        """float64 doc-values array aligned with ``all_docs`` (NaN where the
+        column is null or the doc is absent) — one columnar docmeta read,
+        cached; the Lucene NumericDocValues / Tantivy fast-field analog.
+        Epoch-second timestamps and other <2^53 integers stay exact."""
+        hit = self._docvalues.get(col)
+        if hit is not None:
+            return hit
+        vals = np.full(len(self.all_docs), np.nan, dtype=np.float64)
+        for s in self.segments:
+            try:
+                t = pq.read_table(os.path.join(s.dir, "docmeta"), columns=["doc_id", col])
+            except Exception as exc:
+                raise KeyError(
+                    f"doc-values column {col!r} not in docmeta of {s.dir} "
+                    "(built from a corpus without it?)"
+                ) from exc
+            ids = t["doc_id"].to_numpy().astype(np.uint64)
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            vals[np.searchsorted(self.all_docs, ids)] = v
+        self._docvalues[col] = vals
+        return vals
+
+    def _docvalue_mask(
+        self, matches: np.ndarray, col: str, lo: float, hi: float
+    ) -> np.ndarray:
+        if not len(matches):
+            return np.zeros(0, dtype=bool)
+        v = self.docvalue(col)[np.searchsorted(self.all_docs, matches)]
+        return (v >= lo) & (v < hi)  # NaN (null) compares False: excluded
 
     # --- storage primitives ----------------------------------------------
     def postings(self, term_hash: int, gram: int) -> Postings:

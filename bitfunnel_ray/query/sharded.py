@@ -104,6 +104,10 @@ class IndexShardActor:
         self._ref_cache = LruCache(65536)
         self.segments = []
         local_doc_parts = []
+        # docmeta slice recipe: (file, row_mask|None) pairs — doc-values
+        # columns load lazily from exactly this slice (see _local_docvalue)
+        self._meta_slices: "list[tuple[str, np.ndarray | None]]" = []
+        self._docvals: dict = {}
         for d in index_dirs:
             man = seglib.load_manifest(d)
             if man is None:
@@ -122,6 +126,7 @@ class IndexShardActor:
                             .to_numpy()
                             .astype(np.uint64)
                         )
+                        self._meta_slices.append((f, None))
             else:
                 # fewer files than shards (tiny corpus): stripe rows
                 # round-robin so the cover stays disjoint and each shard
@@ -134,7 +139,9 @@ class IndexShardActor:
                         .astype(np.uint64)
                     )
                     idx = np.arange(offset, offset + len(ids))
-                    local_doc_parts.append(ids[idx % n_shards == shard_id])
+                    mask = idx % n_shards == shard_id
+                    local_doc_parts.append(ids[mask])
+                    self._meta_slices.append((f, mask))
                     offset += len(ids)
         self.local_docs = (
             np.sort(np.concatenate(local_doc_parts))
@@ -175,6 +182,42 @@ class IndexShardActor:
     def complement(self, sorted_docs: np.ndarray) -> np.ndarray:
         """Doc ids in THIS shard's doc slice that are NOT in the input."""
         return np.setdiff1d(self.local_docs, sorted_docs, assume_unique=True)
+
+    # --- doc values (numeric fast fields), striped like local_docs -------
+    def _local_docvalue(self, col: str):
+        """(sorted_ids, vals) for this shard's docmeta slice — lazy, cached
+        per column; a column read over ~1/S of the docmeta files."""
+        hit = self._docvals.get(col)
+        if hit is not None:
+            return hit
+        ids_parts, val_parts = [], []
+        for f, rows in self._meta_slices:
+            t = pq.read_table(f, columns=["doc_id", col])
+            ids = t["doc_id"].to_numpy().astype(np.uint64)
+            vals = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            if rows is not None:
+                ids, vals = ids[rows], vals[rows]
+            ids_parts.append(ids)
+            val_parts.append(vals)
+        ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.uint64)
+        vals = np.concatenate(val_parts) if val_parts else np.empty(0, np.float64)
+        o = np.argsort(ids, kind="stable")
+        pair = (ids[o], vals[o])
+        self._docvals[col] = pair
+        return pair
+
+    def docvalue_filter(
+        self, sorted_ids: np.ndarray, col: str, lo: float, hi: float
+    ) -> np.ndarray:
+        """Of the input ids, those in THIS shard's slice whose doc value is
+        in [lo, hi) — the union across shards is the global filter (slices
+        are a disjoint cover).  NaN (null) never passes."""
+        ids, vals = self._local_docvalue(col)
+        if not len(ids) or not len(sorted_ids):
+            return np.empty(0, np.uint64)
+        pos = np.minimum(np.searchsorted(ids, sorted_ids), len(ids) - 1)
+        ok = (ids[pos] == sorted_ids) & (vals[pos] >= lo) & (vals[pos] < hi)
+        return sorted_ids[ok]
 
     def stats(self) -> dict:
         return {
@@ -374,6 +417,26 @@ class ShardedSearchEngine(QueryAlgebra):
         ]
         # shard doc slices are disjoint but not range-partitioned → one sort
         return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+
+    def _docvalue_mask(
+        self, matches: np.ndarray, col: str, lo: float, hi: float
+    ) -> np.ndarray:
+        """Range filter via per-shard doc-values stripes: scatter the match
+        ids, each shard returns the passing ids from ITS docmeta slice, the
+        union is the global pass set (slices are a disjoint cover) — no
+        global doc-values array anywhere."""
+        if not len(matches):
+            return np.zeros(0, dtype=bool)
+        ids_ref = ray.put(np.asarray(matches, dtype=np.uint64))
+        parts = [
+            self._call_shard(s, "docvalue_filter", ids_ref, col, lo, hi)
+            for s in range(self.n_shards)
+        ]
+        keep = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+        if not len(keep):
+            return np.zeros(len(matches), dtype=bool)
+        pos = np.minimum(np.searchsorted(keep, matches), len(keep) - 1)
+        return keep[pos] == matches
 
 class ShardedQueryActor:
     """map_batches front-end: same output contract as

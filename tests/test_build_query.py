@@ -258,3 +258,28 @@ def test_waves_resume_skips_completed(tmp_path):
     r2 = build_index_waves(files, root, EngineConfig(max_gram=1, num_buckets=4), n_waves=2)
     assert r1["n_docs"] == r2["n_docs"] == 500
     assert [m["complete"] for m in r2["waves"]] == [True, True]
+
+
+def test_docvalues_fast_field(built):
+    """warc_ts_s doc values: fixture warc_ts is 2024-01-01 + doc_id s
+    (sources/corpus.py), so the aligned array is 1704067200 + all_docs."""
+    out, cfg, manifest, oracle = built
+    eng = SearchEngine(out, load_urls=False)
+    v = eng.docvalue("warc_ts_s")
+    assert np.array_equal(v, 1704067200 + eng.all_docs.astype(np.float64))
+    with pytest.raises(KeyError):
+        eng.docvalue("no_such_column")
+
+
+def test_range_filter_equals_post_filter(built):
+    out, cfg, manifest, oracle = built
+    eng = SearchEngine(out, load_urls=False)
+    lo, hi = 1704067200 + 50, 1704067200 + 300
+    full = eng.search("spark join", k=500).to_pandas()
+    want = full[(full.doc_id + 1704067200 >= lo) & (full.doc_id + 1704067200 < hi)]
+    want = want.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+    got = eng.search("spark join", k=10, range_filter=("warc_ts_s", lo, hi)).to_pandas()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert np.allclose(got.score.to_numpy(), want.score.to_numpy())
+    # empty range filters everything
+    assert len(eng.search("spark join", k=10, range_filter=("warc_ts_s", 0, 1))) == 0

@@ -225,3 +225,15 @@ def test_replica_failover_zero_errors(tmp_path):
         assert before.equals(after)
     finally:
         srv.shutdown()
+
+
+def test_range_filter_parity(server, built):
+    """Doc-values range filters scatter to per-shard docmeta stripes; the
+    union must equal the local engine's single-array mask exactly."""
+    local = SearchEngine(built, load_urls=False)
+    eng = server.engine()
+    for lo, hi in [(1704067200 + 50, 1704067200 + 300), (0, 1), (0, 2**62)]:
+        a = local.search("spark join", k=10, range_filter=("warc_ts_s", lo, hi))
+        b = eng.search("spark join", k=10, range_filter=("warc_ts_s", lo, hi))
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (lo, hi)
+        assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy())
