@@ -4153,6 +4153,91 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_date_histogram(sf_dir):
+    """ES-style date_histogram facet over the match set of 'spark':
+    100-second buckets of the warc_ts_s doc-values column (fixture ts =
+    2024-01-01 + doc_id s).  O(matches) numpy on doc values — no corpus
+    rescan (query/aggs.py)."""
+    from bitfunnel_ray.query.aggs import date_histogram
+
+    return date_histogram(get_engine(sf_dir), "spark", interval_s=100)
+
+
+SQL_DATE_HISTOGRAM = """
+SELECT CAST(floor((1704067200 + doc_id) / 100) AS BIGINT) * 100 AS bucket_start_s,
+       count(*) AS n_docs
+FROM documents
+WHERE list_contains(string_split(text, ' '), 'spark')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_field_ts_stats(sf_dir):
+    """ES-style stats aggregation: min/max/avg of warc_ts_s over the
+    matches of 'spark join' (query/aggs.py)."""
+    from bitfunnel_ray.query.aggs import field_stats
+
+    t = field_stats(get_engine(sf_dir), "spark join")
+    return pa.table(
+        {
+            "n_docs": t["n_docs"],
+            "min_v": t["min_v"],
+            "max_v": t["max_v"],
+            "avg_v": pa.array(np.round(t["avg_v"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+SQL_FIELD_TS_STATS = """
+SELECT count(*) AS n_docs,
+       CAST(min(1704067200 + doc_id) AS DOUBLE) AS min_v,
+       CAST(max(1704067200 + doc_id) AS DOUBLE) AS max_v,
+       round(avg(1704067200 + doc_id), 6) AS avg_v
+FROM documents
+WHERE list_contains(string_split(text, ' '), 'spark')
+  AND list_contains(string_split(text, ' '), 'join')
+"""
+
+
+def q_search_sort_recent(sf_dir):
+    """Sort-by-field (the ES ``sort`` contract): matches of 'spark join'
+    ordered by the warc_ts_s doc-values column descending (newest first),
+    BM25 score still computed and returned for display."""
+    eng = get_engine(sf_dir)
+    t = eng.search("spark join", k=10, sort_by=("warc_ts_s", "desc"))
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+SQL_SEARCH_SORT_RECENT = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join') GROUP BY term),
+matches AS (SELECT doc_id FROM tf GROUP BY doc_id
+            HAVING count(DISTINCT term) = 2),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY 1704067200 + doc_id DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY 1704067200 + doc_id DESC, doc_id LIMIT 10
+"""
+
+
 def q_search_msm(sf_dir):
     """Minimum-should-match group (Lucene/ES minimum_should_match as
     the ``(a b c)~2`` group suffix — beyond the reference's grammar):
@@ -4801,6 +4886,9 @@ REGISTRY: dict[str, tuple] = {
     "search_boosted": (q_search_boosted, SQL_SEARCH_BOOSTED),
     "search_msm": (q_search_msm, SQL_SEARCH_MSM),
     "search_ts_range": (q_search_ts_range, SQL_SEARCH_TS_RANGE),
+    "date_histogram": (q_date_histogram, SQL_DATE_HISTOGRAM),
+    "field_ts_stats": (q_field_ts_stats, SQL_FIELD_TS_STATS),
+    "search_sort_recent": (q_search_sort_recent, SQL_SEARCH_SORT_RECENT),
     "recency_topk": (q_recency_topk, SQL_RECENCY_TOPK),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "crawl_depth": (q_crawl_depth, SQL_CRAWL_DEPTH),

@@ -208,13 +208,24 @@ class QueryAlgebra:
     def _complement(self, sorted_docs: np.ndarray) -> np.ndarray:  # pragma: no cover
         raise NotImplementedError
 
+    def docvalues_for(
+        self, sorted_ids: np.ndarray, col: str
+    ) -> np.ndarray:  # pragma: no cover
+        """float64 doc values aligned to ``sorted_ids`` (NaN = null/absent).
+        Local engines read one cached docmeta column; sharded engines
+        scatter-gather their per-shard stripes."""
+        raise NotImplementedError(
+            "doc values need a docmeta-backed engine (SearchEngine / "
+            "ShardedSearchEngine)"
+        )
+
     def _docvalue_mask(
         self, matches: np.ndarray, col: str, lo: float, hi: float
-    ) -> np.ndarray:  # pragma: no cover
-        raise NotImplementedError(
-            "doc-values range filters need a docmeta-backed engine "
-            "(SearchEngine); sharded serving stripes doc values per shard"
-        )
+    ) -> np.ndarray:
+        if not len(matches):
+            return np.zeros(0, dtype=bool)
+        v = self.docvalues_for(matches, col)
+        return (v >= lo) & (v < hi)  # NaN (null) compares False: excluded
 
     def term_postings(self, text: str, stream: int = 0) -> Postings:
         # general hash = rawHash + streamId (ComputeGeneralHash parity)
@@ -502,6 +513,7 @@ class QueryAlgebra:
         after: tuple[float, int] | None = None,
         synonyms: dict[str, tuple[str, ...]] | None = None,
         range_filter: "tuple[str, float, float] | None" = None,
+        sort_by: "tuple[str, str] | None" = None,
     ) -> pa.Table:
         """Parse → match → score → top-k (score desc, doc_id asc).
 
@@ -530,7 +542,23 @@ class QueryAlgebra:
             s0, d0 = float(after[0]), np.uint64(after[1])
             keep = (scores < s0) | ((scores == s0) & (matches > d0))
             matches, scores = matches[keep], scores[keep]
-        order = np.lexsort((matches, -scores))[:k]
+        if sort_by is not None:
+            # sort-by-field (the Elasticsearch ``sort`` contract): order
+            # matches by a doc-values column instead of relevance; docs
+            # with a null value sort LAST either direction; score is still
+            # computed and returned for display
+            if after is not None:
+                raise ValueError("sort_by and after (score cursor) conflict")
+            col, direction = sort_by
+            key = self.docvalues_for(matches, col)
+            if direction == "desc":
+                key = -key
+            elif direction != "asc":
+                raise ValueError(f"sort_by direction {direction!r}")
+            key = np.where(np.isnan(key), np.inf, key)
+            order = np.lexsort((matches, key))[:k]
+        else:
+            order = np.lexsort((matches, -scores))[:k]
         doc_ids = matches[order]
         cols = {
             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.uint32)),
@@ -690,13 +718,10 @@ class SearchEngine(QueryAlgebra):
         self._docvalues[col] = vals
         return vals
 
-    def _docvalue_mask(
-        self, matches: np.ndarray, col: str, lo: float, hi: float
-    ) -> np.ndarray:
-        if not len(matches):
-            return np.zeros(0, dtype=bool)
-        v = self.docvalue(col)[np.searchsorted(self.all_docs, matches)]
-        return (v >= lo) & (v < hi)  # NaN (null) compares False: excluded
+    def docvalues_for(self, sorted_ids: np.ndarray, col: str) -> np.ndarray:
+        if not len(sorted_ids):
+            return np.empty(0, dtype=np.float64)
+        return self.docvalue(col)[np.searchsorted(self.all_docs, sorted_ids)]
 
     # --- storage primitives ----------------------------------------------
     def postings(self, term_hash: int, gram: int) -> Postings:

@@ -206,18 +206,17 @@ class IndexShardActor:
         self._docvals[col] = pair
         return pair
 
-    def docvalue_filter(
-        self, sorted_ids: np.ndarray, col: str, lo: float, hi: float
-    ) -> np.ndarray:
-        """Of the input ids, those in THIS shard's slice whose doc value is
-        in [lo, hi) — the union across shards is the global filter (slices
-        are a disjoint cover).  NaN (null) never passes."""
+    def docvalue_fetch(self, sorted_ids: np.ndarray, col: str):
+        """(ids_present, values) for the input ids that live in THIS
+        shard's docmeta slice — the union across shards covers every id
+        (slices are a disjoint cover).  Powers range filters, sort-by-field
+        and facet aggregations without any global doc-values array."""
         ids, vals = self._local_docvalue(col)
         if not len(ids) or not len(sorted_ids):
-            return np.empty(0, np.uint64)
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
         pos = np.minimum(np.searchsorted(ids, sorted_ids), len(ids) - 1)
-        ok = (ids[pos] == sorted_ids) & (vals[pos] >= lo) & (vals[pos] < hi)
-        return sorted_ids[ok]
+        ok = ids[pos] == sorted_ids
+        return sorted_ids[ok], vals[pos[ok]]
 
     def stats(self) -> dict:
         return {
@@ -418,25 +417,20 @@ class ShardedSearchEngine(QueryAlgebra):
         # shard doc slices are disjoint but not range-partitioned → one sort
         return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
 
-    def _docvalue_mask(
-        self, matches: np.ndarray, col: str, lo: float, hi: float
-    ) -> np.ndarray:
-        """Range filter via per-shard doc-values stripes: scatter the match
-        ids, each shard returns the passing ids from ITS docmeta slice, the
-        union is the global pass set (slices are a disjoint cover) — no
+    def docvalues_for(self, sorted_ids: np.ndarray, col: str) -> np.ndarray:
+        """Doc values via per-shard docmeta stripes: scatter the ids, each
+        shard returns (present_ids, values) from ITS slice, and the merged
+        result aligns to the input (slices are a disjoint cover) — no
         global doc-values array anywhere."""
-        if not len(matches):
-            return np.zeros(0, dtype=bool)
-        ids_ref = ray.put(np.asarray(matches, dtype=np.uint64))
-        parts = [
-            self._call_shard(s, "docvalue_filter", ids_ref, col, lo, hi)
-            for s in range(self.n_shards)
-        ]
-        keep = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
-        if not len(keep):
-            return np.zeros(len(matches), dtype=bool)
-        pos = np.minimum(np.searchsorted(keep, matches), len(keep) - 1)
-        return keep[pos] == matches
+        out = np.full(len(sorted_ids), np.nan, dtype=np.float64)
+        if not len(sorted_ids):
+            return out
+        ids_ref = ray.put(np.asarray(sorted_ids, dtype=np.uint64))
+        for s in range(self.n_shards):
+            ids_p, vals_p = self._call_shard(s, "docvalue_fetch", ids_ref, col)
+            if len(ids_p):
+                out[np.searchsorted(sorted_ids, ids_p)] = vals_p
+        return out
 
 class ShardedQueryActor:
     """map_batches front-end: same output contract as

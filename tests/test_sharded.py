@@ -237,3 +237,25 @@ def test_range_filter_parity(server, built):
         b = eng.search("spark join", k=10, range_filter=("warc_ts_s", lo, hi))
         assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (lo, hi)
         assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy())
+
+
+def test_docvalues_and_aggs_parity(server, built):
+    """docvalues_for / sort_by / date_histogram via per-shard stripes must
+    equal the local engine exactly."""
+    from bitfunnel_ray.query.aggs import date_histogram, field_stats
+
+    local = SearchEngine(built, load_urls=False)
+    eng = server.engine()
+    m = local.eval(parse_query("spark"))
+    assert np.array_equal(
+        local.docvalues_for(m, "warc_ts_s"), eng.docvalues_for(m, "warc_ts_s")
+    )
+    a = local.search("spark join", k=10, sort_by=("warc_ts_s", "desc"))
+    b = eng.search("spark join", k=10, sort_by=("warc_ts_s", "desc"))
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    ha = date_histogram(local, "spark", interval_s=100)
+    hb = date_histogram(eng, "spark", interval_s=100)
+    assert ha.equals(hb)
+    sa = field_stats(local, "spark join")
+    sb = field_stats(eng, "spark join")
+    assert sa.equals(sb)
