@@ -280,7 +280,14 @@ def cmd_querylog(args):
 def cmd_query(args):
     from bitfunnel_ray.query.engine import SearchEngine
 
-    eng = SearchEngine(args.index)
+    tomb = None
+    if getattr(args, "tombstones", None):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(args.tombstones, columns=["doc_id"])
+        tomb = t["doc_id"].to_numpy().astype(np.uint64)
+    eng = SearchEngine(args.index, tombstones=tomb)
     if getattr(args, "rank", None):
         from bitfunnel_ray.pipelines.webindex import blended_search, load_static_rank
 
@@ -288,6 +295,50 @@ def cmd_query(args):
     else:
         t = eng.search(args.query, k=args.k)
     print(t.to_pandas().to_string(index=False))
+
+
+def cmd_delete_by_query(args):
+    """Soft-delete every doc matching a boolean query (the Elasticsearch
+    _delete_by_query analog): evaluate against the index, UNION the
+    matching ids into the tombstones parquet (idempotent — already-listed
+    ids don't double), print counts.  Deletions apply at serve time via
+    ``SearchEngine(..., tombstones=...)`` / ``query --tombstones`` and
+    are physically compacted away by ``merge``/``compact --tombstones``.
+    ``--dry-run`` prints what WOULD be deleted and writes nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bitfunnel_ray.query.engine import SearchEngine
+    from bitfunnel_ray.query.parser import parse_query
+
+    existing = np.empty(0, dtype=np.uint64)
+    if os.path.exists(args.tombstones):
+        t = pq.read_table(args.tombstones, columns=["doc_id"])
+        existing = np.sort(t["doc_id"].to_numpy().astype(np.uint64))
+    # evaluate WITH existing tombstones applied, so n_deleted counts only
+    # newly-dead docs and re-running the same query deletes zero
+    eng = SearchEngine(
+        args.index, load_urls=False,
+        tombstones=existing if len(existing) else None,
+    )
+    matches = eng.eval(parse_query(args.query, eng.stream_map))
+    merged = np.union1d(existing, matches)
+    if not args.dry_run and len(matches):
+        tmp = args.tombstones + ".tmp"
+        pq.write_table(pa.table({"doc_id": pa.array(merged, pa.uint64())}), tmp)
+        os.replace(tmp, args.tombstones)
+    print(
+        json.dumps(
+            {
+                "query": args.query,
+                "n_deleted": int(len(matches)),
+                "n_tombstones_total": int(len(merged)),
+                "dry_run": bool(args.dry_run),
+                "tombstones": args.tombstones,
+            }
+        )
+    )
 
 
 def cmd_webindex(args):
@@ -840,7 +891,16 @@ def main(argv=None):
     s = sub.add_parser("query")
     s.add_argument("index"); s.add_argument("query"); s.add_argument("-k", type=int, default=10)
     s.add_argument("--rank", help="static-rank parquet dir: blend BM25 x prior")
+    s.add_argument("--tombstones", default=None,
+                   help="tombstones parquet (doc_id) — exclude soft-deleted docs")
     s.set_defaults(fn=cmd_query, needs_ray=False)
+
+    s = sub.add_parser("delete-by-query")
+    s.add_argument("index"); s.add_argument("query")
+    s.add_argument("--tombstones", required=True,
+                   help="tombstones parquet to create/extend (doc_id column)")
+    s.add_argument("--dry-run", action="store_true")
+    s.set_defaults(fn=cmd_delete_by_query, needs_ray=False)
 
     s = sub.add_parser("webindex")
     s.add_argument("pages"); s.add_argument("index")

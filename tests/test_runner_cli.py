@@ -334,3 +334,47 @@ def test_cli_group_lifecycle(tmp_path):
     out = run("expire", "day1")
     assert out["segments_removed"] == 1
     assert run("status")["groups"]["day1"]["state"] == "expired"
+
+
+def test_cli_delete_by_query(tmp_path, idx):
+    """_delete_by_query analog: delete matches, idempotent on re-run,
+    query --tombstones excludes the deleted docs."""
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root"}
+    tomb = str(tmp_path / "tomb.parquet")
+    base = [sys.executable, "-m", "bitfunnel_ray.cli"]
+    rd = subprocess.run(
+        base + ["delete-by-query", idx, "spark join", "--tombstones", tomb, "--dry-run"],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert rd.returncode == 0, rd.stderr[-2000:]
+    dry = json.loads(rd.stdout)
+    assert dry["dry_run"] and dry["n_deleted"] > 0
+    import os as _os
+    assert not _os.path.exists(tomb)  # dry run writes nothing
+    r1 = subprocess.run(
+        base + ["delete-by-query", idx, "spark join", "--tombstones", tomb],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    d1 = json.loads(r1.stdout)
+    assert d1["n_deleted"] == dry["n_deleted"] > 0
+    # idempotent: the same query deletes nothing the second time
+    r2 = subprocess.run(
+        base + ["delete-by-query", idx, "spark join", "--tombstones", tomb],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    d2 = json.loads(r2.stdout)
+    assert d2["n_deleted"] == 0
+    assert d2["n_tombstones_total"] == d1["n_tombstones_total"]
+    # serve-time exclusion: the deleted docs never match again
+    rq = subprocess.run(
+        base + ["query", idx, "spark join", "-k", "5", "--tombstones", tomb],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert rq.returncode == 0, rq.stderr[-2000:]
+    import pyarrow.parquet as _pq
+
+    dead = _pq.read_table(tomb)["doc_id"].to_numpy().astype(np.uint64)
+    eng = SearchEngine(idx, load_urls=False, tombstones=dead)
+    assert len(eng.eval(parse_query("spark join"))) == 0
+    assert len(np.intersect1d(eng.eval(parse_query("spark")), dead)) == 0
