@@ -660,6 +660,8 @@ class SearchEngine(QueryAlgebra):
         load_urls: bool = True,
         tombstones: np.ndarray | None = None,
     ):
+        self._locator = index_dirs  # pre-resolution, for refresh()
+        self._load_urls = bool(load_urls)
         index_dirs = seglib.resolve_segment_dirs(index_dirs)
         self.segments = [_Segment(d) for d in index_dirs]
         self.n_docs = sum(s.n_docs for s in self.segments)
@@ -693,6 +695,45 @@ class SearchEngine(QueryAlgebra):
         )
         self._cache: dict[tuple[int, int], Postings] = {}
         self._docvalues: dict[str, np.ndarray] = {}
+
+    def refresh(self) -> int:
+        """Open segments that completed since this engine loaded — the
+        Lucene NRT-reopen analog (the reference ingests into a LIVE index,
+        Ingestor::Add / src/Index/src/Ingestor.cpp; our additive-segment
+        equivalent re-resolves the build root in place).  Corpus stats
+        (n_docs/avgdl), doc maps, facts, and both caches update; returns
+        the number of newly opened segments (0 = nothing new)."""
+        dirs = seglib.resolve_segment_dirs(self._locator)
+        have = {s.dir for s in self.segments}
+        new = [d for d in dirs if d not in have]
+        if not new:
+            return 0
+        self.segments.extend(_Segment(d) for d in new)
+        self.n_docs = sum(s.n_docs for s in self.segments)
+        self.avgdl = (
+            sum(s.sum_doclen for s in self.segments) / self.n_docs if self.n_docs else 1.0
+        )
+        from bitfunnel_ray.functions.hashing import fact_term_hash
+
+        self.fact_hashes = frozenset(
+            fact_term_hash(n) for s in self.segments for (n, _c) in s.facts
+        )
+        cols = ["doc_id", "url"] if self._load_urls else ["doc_id"]
+        metas = [pa.table({"doc_id": pa.array(self.all_docs, pa.uint64())})]
+        if self._load_urls:
+            metas[0] = metas[0].append_column("url", pa.array(self.urls.tolist(), pa.string()))
+        metas += [pq.read_table(os.path.join(d, "docmeta"), columns=cols) for d in new]
+        meta = pa.concat_tables(metas)
+        ids = meta["doc_id"].to_numpy().astype(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        self.all_docs = ids[order]
+        if self._load_urls:
+            self.urls = np.asarray(meta["url"].to_pylist(), dtype=object)[order]
+        # decoded postings merge ACROSS segments and doc values align to
+        # all_docs — both caches are stale now
+        self._cache.clear()
+        self._docvalues.clear()
+        return len(new)
 
     # --- doc values (numeric fast fields) ----------------------------------
     def docvalue(self, col: str) -> np.ndarray:

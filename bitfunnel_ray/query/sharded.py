@@ -109,45 +109,73 @@ class IndexShardActor:
         self._meta_slices: "list[tuple[str, np.ndarray | None]]" = []
         self._docvals: dict = {}
         for d in index_dirs:
-            man = seglib.load_manifest(d)
-            if man is None:
-                raise FileNotFoundError(f"no manifest in {d}")
-            num_buckets = int(man["config"]["num_buckets"])
-            mine = [b for b in range(num_buckets) if b % n_shards == shard_id]
-            self.segments.append(_Segment(d, buckets=mine))
-            meta_files = sorted(glob.glob(os.path.join(d, "docmeta", "*.parquet")))
-            if len(meta_files) >= n_shards:
-                # file-granular slice: each shard READS only ~1/S of the
-                # docmeta files (the scale path — shard count ≪ file count)
-                for i, f in enumerate(meta_files):
-                    if i % n_shards == shard_id:
-                        local_doc_parts.append(
-                            pq.read_table(f, columns=["doc_id"])["doc_id"]
-                            .to_numpy()
-                            .astype(np.uint64)
-                        )
-                        self._meta_slices.append((f, None))
-            else:
-                # fewer files than shards (tiny corpus): stripe rows
-                # round-robin so the cover stays disjoint and each shard
-                # still HOLDS only ~1/S of the doc ids
-                offset = 0
-                for f in meta_files:
-                    ids = (
-                        pq.read_table(f, columns=["doc_id"])["doc_id"]
-                        .to_numpy()
-                        .astype(np.uint64)
-                    )
-                    idx = np.arange(offset, offset + len(ids))
-                    mask = idx % n_shards == shard_id
-                    local_doc_parts.append(ids[mask])
-                    self._meta_slices.append((f, mask))
-                    offset += len(ids)
+            self._open_dir(d, local_doc_parts)
         self.local_docs = (
             np.sort(np.concatenate(local_doc_parts))
             if local_doc_parts
             else np.empty(0, np.uint64)
         )
+
+    def _open_dir(self, d: str, local_doc_parts: list) -> None:
+        """Open one segment dir: this shard's bucket subset + its docmeta
+        slice (file-granular when files ≥ shards, row-striped otherwise)."""
+        n_shards, shard_id = self.n_shards, self.shard_id
+        man = seglib.load_manifest(d)
+        if man is None:
+            raise FileNotFoundError(f"no manifest in {d}")
+        num_buckets = int(man["config"]["num_buckets"])
+        mine = [b for b in range(num_buckets) if b % n_shards == shard_id]
+        self.segments.append(_Segment(d, buckets=mine))
+        meta_files = sorted(glob.glob(os.path.join(d, "docmeta", "*.parquet")))
+        if len(meta_files) >= n_shards:
+            # file-granular slice: each shard READS only ~1/S of the
+            # docmeta files (the scale path — shard count ≪ file count)
+            for i, f in enumerate(meta_files):
+                if i % n_shards == shard_id:
+                    local_doc_parts.append(
+                        pq.read_table(f, columns=["doc_id"])["doc_id"]
+                        .to_numpy()
+                        .astype(np.uint64)
+                    )
+                    self._meta_slices.append((f, None))
+        else:
+            # fewer files than shards (tiny corpus): stripe rows
+            # round-robin so the cover stays disjoint and each shard
+            # still HOLDS only ~1/S of the doc ids
+            offset = 0
+            for f in meta_files:
+                ids = (
+                    pq.read_table(f, columns=["doc_id"])["doc_id"]
+                    .to_numpy()
+                    .astype(np.uint64)
+                )
+                idx = np.arange(offset, offset + len(ids))
+                mask = idx % n_shards == shard_id
+                local_doc_parts.append(ids[mask])
+                self._meta_slices.append((f, mask))
+                offset += len(ids)
+
+    def refresh(self, new_dirs: "list[str]") -> int:
+        """Open newly completed segments in place (NRT refresh — the
+        reference ingests into a LIVE index, Ingestor::Add; additive
+        segments are our equivalent): this shard's bucket subset + docmeta
+        slice of each new dir, then drop both caches (decoded refs carry
+        avgdl-keyed inflation and doc values align to the slice — both
+        stale once the corpus grows)."""
+        have = {s.dir for s in self.segments}
+        parts = [self.local_docs] if len(self.local_docs) else []
+        opened = 0
+        for d in new_dirs:
+            if d not in have:
+                self._open_dir(d, parts)
+                opened += 1
+        if opened:
+            self.local_docs = (
+                np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+            )
+            self._ref_cache = LruCache(self._ref_cache.cap)
+            self._docvals.clear()
+        return opened
 
     def postings_many(self, pairs: "list[tuple[int, int]]", serve_avgdl: float):
         """For each (term_hash, gram): an ObjectRef to this shard's decoded
@@ -486,6 +514,7 @@ class ShardedServer:
     ):
         # accepts a segment dir, a build root (waves.json / seg-*), or a
         # list — resolve ONCE here; actors and fronts get concrete dirs
+        self._locator = index_dirs  # pre-resolution, for refresh()
         self.index_dirs = seglib.resolve_segment_dirs(index_dirs)
         self.n_shards = int(n_shards)
         self.n_replicas = max(1, int(n_replicas))
@@ -510,6 +539,23 @@ class ShardedServer:
 
     def engine(self) -> ShardedSearchEngine:
         return ShardedSearchEngine(self.index_dirs, self.handle_groups)
+
+    def refresh(self) -> int:
+        """NRT refresh: re-resolve the build root and open newly completed
+        segments on EVERY shard replica (blocking — when this returns, all
+        replicas serve the grown corpus).  Front-end engines are cheap
+        snapshots; make a new one via ``engine()`` after a refresh (the
+        per-batch fronts in ``run()`` always see the current dirs).
+        Returns the number of newly opened segment dirs."""
+        dirs = seglib.resolve_segment_dirs(self._locator)
+        new = [d for d in dirs if d not in self.index_dirs]
+        if not new:
+            return 0
+        ray.get(
+            [h.refresh.remote(new) for g in self.handle_groups for h in g]
+        )
+        self.index_dirs = dirs
+        return len(new)
 
     def shard_stats(self) -> "list[dict]":
         return ray.get([h.stats.remote() for h in self.handles])
