@@ -4199,6 +4199,33 @@ WHERE list_contains(string_split(text, ' '), 'spark')
 """
 
 
+def q_field_ts_percentiles(sf_dir):
+    """ES-style percentiles aggregation: quartiles of warc_ts_s over the
+    matches of 'spark' (exact linear interpolation == SQL quantile_cont)."""
+    from bitfunnel_ray.query.aggs import field_percentiles
+
+    t = field_percentiles(get_engine(sf_dir), "spark", qs=(0.25, 0.5, 0.75))
+    return pa.table(
+        {
+            "q": t["q"],
+            "value": pa.array(np.round(t["value"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+SQL_FIELD_TS_PERCENTILES = """
+WITH m AS (
+  SELECT CAST(1704067200 + doc_id AS DOUBLE) AS v FROM documents
+  WHERE list_contains(string_split(text, ' '), 'spark')
+)
+SELECT q, round(value, 6) AS value FROM (
+  SELECT 0.25 AS q, quantile_cont(v, 0.25) AS value FROM m
+  UNION ALL SELECT 0.5, quantile_cont(v, 0.5) FROM m
+  UNION ALL SELECT 0.75, quantile_cont(v, 0.75) FROM m
+) ORDER BY q
+"""
+
+
 def q_search_sort_recent(sf_dir):
     """Sort-by-field (the ES ``sort`` contract): matches of 'spark join'
     ordered by the warc_ts_s doc-values column descending (newest first),
@@ -4888,6 +4915,7 @@ REGISTRY: dict[str, tuple] = {
     "search_ts_range": (q_search_ts_range, SQL_SEARCH_TS_RANGE),
     "date_histogram": (q_date_histogram, SQL_DATE_HISTOGRAM),
     "field_ts_stats": (q_field_ts_stats, SQL_FIELD_TS_STATS),
+    "field_ts_percentiles": (q_field_ts_percentiles, SQL_FIELD_TS_PERCENTILES),
     "search_sort_recent": (q_search_sort_recent, SQL_SEARCH_SORT_RECENT),
     "recency_topk": (q_recency_topk, SQL_RECENCY_TOPK),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),

@@ -48,6 +48,33 @@ def date_histogram(
     )
 
 
+def field_percentiles(
+    engine,
+    query: str,
+    col: str = "warc_ts_s",
+    qs: "tuple[float, ...]" = (0.25, 0.5, 0.75),
+) -> pa.Table:
+    """Exact linear-interpolation percentiles of a doc-values column over
+    the match set (the ES ``percentiles`` aggregation, exact because the
+    match set is already serve-local; numpy 'linear' == SQL
+    ``quantile_cont``); nulls excluded."""
+    node = parse_query(query, engine.stream_map)
+    matches = engine.eval(node)
+    v = engine.docvalues_for(matches, col)
+    v = v[~np.isnan(v)]
+    out = (
+        np.quantile(v, qs, method="linear")
+        if len(v)
+        else np.full(len(qs), np.nan)
+    )
+    return pa.table(
+        {
+            "q": pa.array(np.asarray(qs, np.float64), pa.float64()),
+            "value": pa.array(out, pa.float64()),
+        }
+    )
+
+
 def field_stats(engine, query: str, col: str = "warc_ts_s") -> pa.Table:
     """min/max/avg/count of a doc-values column over the match set (the
     ES ``stats`` aggregation); nulls excluded from all four."""

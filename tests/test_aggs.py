@@ -79,3 +79,16 @@ def test_sort_by_field(engine):
         engine.search("spark join", k=5, sort_by=("warc_ts_s", "sideways"))
     with pytest.raises(ValueError):
         engine.search("spark", k=5, sort_by=("warc_ts_s", "asc"), after=(1.0, 3))
+
+
+def test_field_percentiles(engine):
+    from bitfunnel_ray.query.aggs import field_percentiles
+
+    ids = _matching_ids(["spark"])
+    v = (1704067200 + ids).astype(np.float64)
+    t = field_percentiles(engine, "spark", qs=(0.0, 0.5, 1.0))
+    assert t["value"].to_pylist() == [
+        float(np.quantile(v, q)) for q in (0.0, 0.5, 1.0)
+    ]
+    empty = field_percentiles(engine, "zzznope")
+    assert all(np.isnan(x) for x in empty["value"].to_pylist())
