@@ -275,6 +275,29 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         summarize(server.run(qlog, k=10, concurrency=serve_conc, batch_size=128))
         extras["qps_warm"] = round(n_queries / (time.perf_counter() - t0), 1)
+        # wide-disjunction paths (PRF/MLT-shaped 16-term OR): exhaustive vs
+        # champion-list candidates (static pruning, exact rescoring) — the
+        # champion path's win grows with posting-list length; overlap@10 is
+        # the recall cost.  extras-only.
+        weng = server.engine()
+        # unigrams only (bigram entries contain a space), MID-frequency
+        # band (the PRF/MLT expansion shape): the df-hottest terms of this
+        # deliberately-flat synthetic corpus are static pruning's worst
+        # case (contributions tie, so champions carry no signal) and are
+        # not what wide disjunctions look like in practice
+        uni = [w for w in df_tbl["term"].tolist() if " " not in w]
+        wide = uni[len(uni) // 2 : len(uni) // 2 + 16]
+        if len(wide) >= 8:
+            t0 = time.perf_counter()
+            ex = weng.topk_or(wide, k=10, use_wand=False)
+            t_ex = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ch = weng.topk_or_approx(wide, k=10, t=256)
+            t_ch = time.perf_counter() - t0
+            ov = len(set(ex["doc_id"].to_pylist()) & set(ch["doc_id"].to_pylist()))
+            extras["wide_or_16_exhaustive_ms"] = round(t_ex * 1000, 2)
+            extras["wide_or_16_champion_ms"] = round(t_ch * 1000, 2)
+            extras["wide_or_16_champion_overlap_at_10"] = round(ov / 10, 2)
         server.shutdown()
 
     # --- training-data ops (dedup over the big synthetic corpus so the

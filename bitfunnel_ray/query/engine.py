@@ -646,6 +646,71 @@ class QueryAlgebra:
             }
         )
 
+    def topk_or_approx(self, terms: list[str], k: int = 10, t: int = 128) -> pa.Table:
+        """Approximate disjunctive top-k via CHAMPION LISTS (static index
+        pruning — Carmel et al. SIGIR'01; "champion lists", Manning IIR
+        §7.1.3): candidates = the union of each term's top-``t`` postings
+        by BM25 contribution (deterministic tie-break on doc_id), then the
+        candidates are scored EXACTLY over all terms.  Returned scores are
+        exact; recall can miss a doc that is mediocre in every list but
+        good in sum — overlap@k vs the exact engine is reported in bench
+        extras.  Useful for WIDE disjunctions (PRF-expanded queries, MLT),
+        where WAND's skip threshold degrades: cost is O(Σ t log t + |cand|
+        × n_terms) after decode, independent of posting-list lengths.
+
+        Tombstones are honored (dead docs never become candidates)."""
+        seen = set()
+        uniq = [x for x in terms if not (x in seen or seen.add(x))]
+        # canonical (hash) accumulation order → scores bit-identical to the
+        # exact engine's for every candidate it shares
+        uniq.sort(key=murmur64a)
+        k1, b = self.k1, self.b
+        decoded = []
+        cands = []
+        for text in uniq:
+            p = self.term_postings(text)
+            if not p.df:
+                continue
+            df = self._df(murmur64a(text) & 0xFFFFFFFFFFFFFFFF, 1, p)
+            idf = float(np.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0))
+            tf = p.tf.astype(np.float64)
+            dl = p.doclen.astype(np.float64)
+            contrib = idf * (k1 + 1.0) * (
+                tf / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+            )
+            decoded.append((p.doc_ids, contrib))
+            if len(contrib) > t:
+                # top-t by contribution, ties broken toward lower doc_id
+                top = np.lexsort((p.doc_ids, -contrib))[:t]
+                cands.append(p.doc_ids[top])
+            else:
+                cands.append(p.doc_ids)
+        if not cands:
+            return pa.table(
+                {
+                    "rank": pa.array([], pa.uint32()),
+                    "doc_id": pa.array([], pa.uint64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        cand = np.unique(np.concatenate(cands))
+        if self.tombstones is not None:
+            cand = np.setdiff1d(cand, self.tombstones, assume_unique=True)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for doc_ids, contrib in decoded:
+            pos = np.searchsorted(doc_ids, cand)
+            pos_c = np.minimum(pos, len(doc_ids) - 1)
+            hit = doc_ids[pos_c] == cand
+            scores[hit] += contrib[pos_c[hit]]
+        order = np.lexsort((cand, -scores))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.uint32)),
+                "doc_id": pa.array(cand[order], pa.uint64()),
+                "score": pa.array(scores[order], pa.float64()),
+            }
+        )
+
 
 class SearchEngine(QueryAlgebra):
     """Single-process query engine over one or more segments: every dict

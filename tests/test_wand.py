@@ -119,3 +119,43 @@ def test_wand_multi_segment(tmp_path):
     b = eng.topk_or(["table", "join"], 10, use_wand=False)
     assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
     assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_champion_topk_exact_when_t_large(engine):
+    """With t >= longest posting list the champion path IS exhaustive:
+    identical doc ids and bit-identical scores to the exact engine."""
+    terms = ["spark", "join", "merge", "window", "table"]
+    exact = engine.topk_or(terms, k=10, use_wand=False)
+    approx = engine.topk_or_approx(terms, k=10, t=10**9)
+    assert exact["doc_id"].to_pylist() == approx["doc_id"].to_pylist()
+    assert exact["score"].to_pylist() == approx["score"].to_pylist()
+
+
+def test_champion_topk_small_t_scores_exact(engine):
+    """With small t the candidate set shrinks, but every RETURNED score
+    equals the exhaustive score of that document (no approximation in the
+    scoring, only in candidate generation)."""
+    import numpy as np
+
+    terms = ["spark", "join", "merge"]
+    exact = engine.topk_or(terms, k=500, use_wand=False).to_pandas()
+    full = dict(zip(exact.doc_id, exact.score))
+    approx = engine.topk_or_approx(terms, k=10, t=16).to_pandas()
+    assert len(approx) == 10
+    for d, s in zip(approx.doc_id, approx.score):
+        assert s == full[int(d)]
+    # recall improves monotonically-ish with t; by t=128 the fixture's
+    # near-uniform tf distribution (champions' worst case) is covered
+    top10 = set(exact.doc_id.head(10))
+    o16 = len(set(approx.doc_id) & top10)
+    o128 = len(
+        set(engine.topk_or_approx(terms, k=10, t=128).to_pandas().doc_id) & top10
+    )
+    assert o128 >= o16 and o128 >= 8
+
+
+def test_champion_topk_missing_terms(engine):
+    out = engine.topk_or_approx(["zzznope", "spark"], k=5, t=8)
+    assert len(out) == 5
+    empty = engine.topk_or_approx(["zzznope"], k=5, t=8)
+    assert len(empty) == 0
