@@ -2540,6 +2540,19 @@ def q_embedding_dup_pairs(sf_dir):
     return dedup.embedding_dup_pairs(emb, threshold=0.9)
 
 
+def q_semdedup(sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, greedy
+    cosine prune per cluster (ops/semdedup.py).  Rows-only: the iterative
+    Lloyd trainer isn't SQL-expressible; semantics are pytest-oracled on
+    planted-duplicate fixtures (tests/test_semdedup.py)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from bitfunnel_ray.ops.semdedup import semdedup_table
+
+    # fixture embeddings are well-spread (max pairwise cos 0.48), so the
+    # demo threshold sits just under the in-cluster tail to yield rows
+    return semdedup_table(emb, n_clusters=8, threshold=0.4)
+
+
 def q_lang_id(sf_dir):
     """Two-stage language ID; on the (pure-ASCII) driver fixture the
     stopword-vote stage fully determines the output, so the oracle is the
@@ -5038,6 +5051,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_dedup": (q_minhash_dedup, None),
     "simhash": (q_simhash, None),
     "embedding_dup_pairs": (q_embedding_dup_pairs, None),
+    "semdedup": (q_semdedup, None),
     "fingerprint": (q_fingerprint, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
