@@ -2711,9 +2711,10 @@ def q_analyze_bands(sf_dir):
     analog) — runs over the same cached segment the search queries use."""
     from bitfunnel_ray.build.analyze import segment_band_stats
 
-    get_engine(sf_dir)  # ensures the segment is built
-    tag = sf_dir.strip("/").replace("/", "_")
-    return segment_band_stats(f"/tmp/bfr_idx_cache/{tag}")
+    eng = get_engine(sf_dir)  # ensures the segment is built
+    # analyze the SAME directory get_engine built (the cache dir is
+    # versioned — a hardcoded path here broke when docmeta went v2)
+    return segment_band_stats(eng.segments[0].dir)
 
 
 def q_local_supplier_volume(sf_dir):
