@@ -282,6 +282,32 @@ def q_docsharded_bm25_topk(sf_dir):
         srv.shutdown()
 
 
+def q_docsharded_selective_topk(sf_dir):
+    """Selective shard search (query/docsharded.py search_selective):
+    shards probed in descending score-upper-bound order, skipped once
+    they provably cannot displace the k-th result — the Taily/CORI
+    shard-selection discipline with SAFE bounds, so the top-k is
+    bit-identical to exhaustive fan-out and shares ``bm25_topk``'s SQL
+    oracle."""
+    q_docsharded_bm25_topk(sf_dir)  # ensures the waved index root exists
+    from bitfunnel_ray.query.docsharded import DocShardedServer
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"/tmp/bfr_idx_cache/{tag}_docsharded"
+    srv = DocShardedServer(root, n_shards=2, num_cpus_per_shard=0.25)
+    try:
+        t = srv.search_selective(" ".join(_BM25_TERMS), k=10, wave=1)
+        return pa.table(
+            {
+                "rank": t["rank"].cast(pa.int64()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            }
+        )
+    finally:
+        srv.shutdown()
+
+
 def q_bm25_topk(sf_dir):
     eng = get_engine(sf_dir)
     t = eng.search(" ".join(_BM25_TERMS), k=10)
@@ -4980,6 +5006,7 @@ REGISTRY: dict[str, tuple] = {
     "search_boolean_mix": (q_search_boolean_mix, SQL_SEARCH_BOOLEAN_MIX),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "docsharded_bm25_topk": (q_docsharded_bm25_topk, SQL_BM25_TOPK),
+    "docsharded_selective_topk": (q_docsharded_selective_topk, SQL_BM25_TOPK),
     "fact_filter_search": (q_fact_filter_search, SQL_FACT_FILTER_SEARCH),
     "fact_only_count": (q_fact_only_count, SQL_FACT_ONLY_COUNT),
     "bm25_or_topk": (q_bm25_or_topk, SQL_BM25_OR_TOPK),

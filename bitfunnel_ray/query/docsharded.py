@@ -66,6 +66,49 @@ class DocShardActor:
     def match_count(self, query: str) -> int:
         return self.engine.match_count(query)
 
+    def score_bound(self, query: str, df_map, n_docs: int, avgdl: float) -> float:
+        """Upper bound on any LOCAL document's score for ``query`` under
+        GLOBAL statistics — the shard-granularity analog of a block-max
+        bound (Broder 2003 / Ding & Suel 2011 safe-UB contract, lifted
+        from block to shard).  Computed entirely from the dictionary's
+        per-block ``max_tfn`` metadata: no posting list is decoded, so a
+        shard that ends up skipped never touches payload bytes.
+
+        Safe because stored max_tfn was computed with the segment's own
+        avgdl and tfn is increasing in avgdl: serving avgdl below the
+        build avgdl only shrinks true tfn, and above it the bound is
+        inflated by the same monotone ratio the term-sharded server uses
+        (query/sharded.py postings_many)."""
+        from bitfunnel_ray.query.parser import parse_query
+
+        eng = self.engine
+        node = parse_query(query, eng.stream_map)
+        boosts = eng.scoring_boosts(node)
+        dfm = {(int(h), int(g)): int(v) for (h, g), v in df_map.items()}
+        k1 = eng.k1
+        total = 0.0
+        for h, g in eng.scoring_terms(node):
+            best = 0.0
+            local_df = 0
+            for s in eng.segments:
+                rows = s.chunk_rows(h, g)
+                if not rows:
+                    continue
+                local_df = 1  # presence only; global df comes from df_map
+                infl = max(1.0, avgdl / s.avgdl) if s.avgdl > 0 else 1.0
+                for _ld, mt in s.block_meta_rows(rows):
+                    if len(mt):
+                        best = max(best, float(mt.max()) * infl)
+            if not local_df or best == 0.0:
+                continue
+            df = dfm.get((int(h), int(g)), 0)
+            if df <= 0:
+                continue
+            idf = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+            mult = boosts.get((h, g), 1.0)
+            total += idf * (k1 + 1.0) * best * mult
+        return total
+
     def scoring_pairs_many(self, queries: "list[str]") -> "list[list[tuple[int, int]]]":
         return [self.scoring_pairs(q) for q in queries]
 
@@ -165,6 +208,79 @@ class DocShardedServer:
     def match_count(self, query: str) -> int:
         """Sum of shard-local match counts (doc sets are disjoint)."""
         return sum(ray.get([s.match_count.remote(query) for s in self.shards]))
+
+    def search_selective(self, query: str, k: int = 10, wave: int = 2) -> pa.Table:
+        """Exact top-k probing as FEW shards as the scores allow — the
+        selective-search / shard-selection discipline (Taily: Aly, Hiemstra
+        & Demeester 2013; CORI: Callan et al. 1995), but with SAFE upper
+        bounds instead of fitted score models, so the result is
+        bit-identical to ``search()`` (pytest-proven), never approximate.
+
+        Protocol: after the usual stats round, every shard returns a
+        dictionary-metadata-only score upper bound (``score_bound`` — no
+        posting decode).  Shards are probed in descending-bound waves of
+        ``wave``; once k results are held, a shard whose bound is strictly
+        below the current k-th score cannot contribute (ties keep probing:
+        an equal-score smaller doc_id would still displace) and every
+        shard after it in bound order is skipped.  On a 256-node corpus a
+        selective query touches the few shards that can matter instead of
+        fanning to all of them; ``self.last_shards_probed`` records the
+        count for observability."""
+        pairs = ray.get(self.shards[0].scoring_pairs.remote(query))
+        per_shard = ray.get([s.term_stats.remote(pairs) for s in self.shards])
+        df_map = {
+            p: sum(shard_dfs[i] for shard_dfs in per_shard)
+            for i, p in enumerate(pairs)
+        }
+        bounds = ray.get(
+            [
+                s.score_bound.remote(query, df_map, self.n_docs, self.avgdl)
+                for s in self.shards
+            ]
+        )
+        order = sorted(range(len(self.shards)), key=lambda i: (-bounds[i], i))
+        doc_parts, score_parts = [], []
+        probed = 0
+        i = 0
+        while i < len(order):
+            # current k-th score (the displacement threshold), if k held
+            if doc_parts:
+                all_s = np.concatenate(score_parts)
+                if len(all_s) >= k:
+                    kth = np.partition(all_s, -k)[-k]
+                    # every remaining shard has bound <= bounds[order[i]]
+                    if bounds[order[i]] < kth:
+                        break
+            batch = order[i : i + max(1, int(wave))]
+            i += len(batch)
+            probed += len(batch)
+            parts = ray.get(
+                [
+                    self.shards[j].search_topk.remote(
+                        query, k, df_map, self.n_docs, self.avgdl
+                    )
+                    for j in batch
+                ]
+            )
+            for d, s in parts:
+                if len(d):
+                    doc_parts.append(d)
+                    score_parts.append(s)
+        self.last_shards_probed = probed
+        doc_ids = (
+            np.concatenate(doc_parts) if doc_parts else np.empty(0, np.uint64)
+        )
+        scores = (
+            np.concatenate(score_parts) if score_parts else np.empty(0, np.float64)
+        )
+        order_f = np.lexsort((doc_ids, -scores))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order_f) + 1, dtype=np.uint32)),
+                "doc_id": pa.array(doc_ids[order_f], pa.uint64()),
+                "score": pa.array(scores[order_f], pa.float64()),
+            }
+        )
 
     def run(
         self,

@@ -98,3 +98,39 @@ def test_docsharded_run_matches_search(waved):
             assert sub["score"].tolist() == want["score"].tolist(), q
     finally:
         srv.shutdown()
+
+
+def test_selective_bit_identical_and_skips(waved):
+    """search_selective == search on every query shape (the safe-UB
+    contract), and a skewed query actually skips shards."""
+    srv = DocShardedServer(waved, n_shards=4, num_cpus_per_shard=0.25)
+    try:
+        for q in QUERIES:
+            a = srv.search(q, k=5)
+            b = srv.search_selective(q, k=5, wave=1)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+            assert 1 <= srv.last_shards_probed <= srv.n_shards
+        # k=1 on a common term: the kth threshold rises fast, so the
+        # bound-ordered probe should terminate before the last wave at
+        # least once across the query set
+        probed = []
+        for q in ["table", "spark join", "merge | window"]:
+            srv.search_selective(q, k=1, wave=1)
+            probed.append(srv.last_shards_probed)
+        assert min(probed) < srv.n_shards, probed
+    finally:
+        srv.shutdown()
+
+
+def test_selective_pure_negative(waved):
+    """Pure-negative queries score 0 everywhere — bounds are all 0 and
+    selective must still return the identical (complement) result."""
+    srv = DocShardedServer(waved, n_shards=3, num_cpus_per_shard=0.25)
+    try:
+        a = srv.search("-table", k=7)
+        b = srv.search_selective("-table", k=7, wave=2)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert srv.last_shards_probed == srv.n_shards  # nothing skippable
+    finally:
+        srv.shutdown()
