@@ -308,6 +308,30 @@ def q_docsharded_selective_topk(sf_dir):
         srv.shutdown()
 
 
+def q_bpe_merges(sf_dir):
+    """Distributed BPE trainer (ops/bpe.py): one corpus pass → word-count
+    table → deterministic merge loop.  Iterative algorithm — no SQL
+    oracle (driver rows-only check); merges are pytest-proven bit-equal
+    to a from-scratch naive Sennrich reference (tests/test_bpe.py)."""
+    from bitfunnel_ray.ops.bpe import merges_table, train_bpe_from_corpus
+
+    merges = train_bpe_from_corpus(
+        corpus_from_documents(sf_dir), n_merges=200, min_freq=2
+    )
+    return merges_table(merges)
+
+
+def q_bpe_token_count_trained(sf_dir):
+    """Token counts under the corpus-trained BPE (actor-pool apply with
+    per-actor rank dict + encode cache).  Rows-only check; apply parity
+    vs naive encode is pytest-proven."""
+    from bitfunnel_ray.ops.bpe import bpe_token_counts, train_bpe_from_corpus
+
+    corpus = corpus_from_documents(sf_dir)
+    merges = train_bpe_from_corpus(corpus, n_merges=200, min_freq=2)
+    return bpe_token_counts(corpus, merges)
+
+
 def q_bm25_topk(sf_dir):
     eng = get_engine(sf_dir)
     t = eng.search(" ".join(_BM25_TERMS), k=10)
@@ -5074,6 +5098,8 @@ REGISTRY: dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     # rows-only (non-SQL-expressible: sketch/LSH/model-stub operators)
     "pack_sequences": (q_pack_sequences, None),
+    "bpe_merges": (q_bpe_merges, None),
+    "bpe_token_count_trained": (q_bpe_token_count_trained, None),
     "verify_log": (q_verify_log, None),
     "analyze_bands": (q_analyze_bands, None),
     "minhash_dedup": (q_minhash_dedup, None),
