@@ -4963,7 +4963,77 @@ WHERE list_contains(string_split(ea.anchor, ' '), 's2')
 )
 
 
+def q_lm_perplexity(sf_dir):
+    """Bigram-LM quality signal (CCNet-style): train a Laplace-smoothed
+    bigram LM on the corpus itself, score every document with its mean
+    bigram log-probability.  The oracle recomputes the identical closed
+    form in SQL (counts, V, add-one smoothing)."""
+    from bitfunnel_ray.ops import lm
+
+    corpus = corpus_from_documents(sf_dir)
+    model = lm.train_bigram_lm(corpus)
+    return lm.perplexity_scores(corpus, model)
+
+
+SQL_LM_PERPLEXITY = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+uc AS (SELECT w, count(*) AS c
+       FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w),
+v AS (SELECT count(*) AS v FROM uc),
+big AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        FROM (SELECT doc_id, l, unnest([i for i in range(1, len(l))]) AS i
+              FROM toks)),
+bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+lp AS (SELECT big.doc_id,
+              ln((bc.c + 1.0) / (uc.c + (SELECT v FROM v))) AS lp
+       FROM big JOIN bc USING (w1, w2) JOIN uc ON uc.w = big.w1),
+agg AS (SELECT doc_id, count(*) AS nb, sum(lp) / count(*) AS avg
+        FROM lp GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(agg.avg, 0.0), 6) AS avg_logprob
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+def q_dsir_weights(sf_dir):
+    """DSIR-style unigram importance weights toward the in-domain slice
+    (target = lang 'en' documents, raw = whole corpus)."""
+    from bitfunnel_ray.ops import lm
+
+    corpus = corpus_from_documents(sf_dir)
+
+    def only_en(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["lang"], "en"))
+
+    target = corpus.map_batches(only_en, batch_format="pyarrow")
+    return lm.dsir_weights(corpus, target)
+
+
+SQL_DSIR_WEIGHTS = """
+WITH tok AS (SELECT d.doc_id, d.lang, unnest(string_split(d.text, ' ')) AS w
+             FROM documents d),
+ct AS (SELECT w, count(*) AS c FROM tok WHERE lang = 'en' GROUP BY w),
+cr AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+v AS (SELECT count(*) AS v FROM cr),
+nt AS (SELECT coalesce(sum(c), 0) AS n FROM ct),
+nr AS (SELECT coalesce(sum(c), 0) AS n FROM cr),
+lr AS (SELECT tok.doc_id,
+              ln((coalesce(ct.c, 0) + 1.0) / ((SELECT n FROM nt) + (SELECT v FROM v)))
+            - ln((cr.c + 1.0) / ((SELECT n FROM nr) + (SELECT v FROM v))) AS lw
+       FROM tok LEFT JOIN ct USING (w) JOIN cr USING (w)),
+agg AS (SELECT doc_id, count(*) AS n_tokens, sum(lw) AS lw
+        FROM lr GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(coalesce(agg.lw, 0.0), 6) AS log_weight
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "hits": (q_hits, SQL_HITS),
     "trustrank": (q_trustrank, SQL_TRUSTRANK),
