@@ -5031,7 +5031,43 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+_SPELL_QUERIES = ["tabel", "jion", "winow", "strem", "qery", "customer", "zzzzzz"]
+
+
+def q_spell_correct(sf_dir):
+    """SymSpell deletion-index spelling correction against the corpus
+    vocabulary: best suggestion per query term by (levenshtein dist asc,
+    df desc, term asc); queries with nothing within distance 2 omitted.
+    Exact parity with the oracle's brute-force levenshtein scan."""
+    from bitfunnel_ray.ops import spell
+
+    vocab = document_frequency_table(
+        corpus_from_documents(sf_dir), EngineConfig(max_gram=1)
+    ).select_columns(["term", "df"])
+    idx = spell.spelling_index(vocab, max_dist=2)
+    return spell.correct_terms(idx, _SPELL_QUERIES, max_dist=2)
+
+
+_SPELL_LIST_SQL = ",".join(f"'{q}'" for q in _SPELL_QUERIES)
+SQL_SPELL_CORRECT = f"""
+WITH vocab AS (SELECT term AS w, count(DISTINCT doc_id) AS df
+               FROM ({_tokens_sql()}) GROUP BY term),
+q AS (SELECT unnest([{_SPELL_LIST_SQL}]) AS query),
+cand AS (SELECT q.query, v.w, levenshtein(q.query, v.w) AS dist, v.df
+         FROM q CROSS JOIN vocab v
+         WHERE levenshtein(q.query, v.w) <= 2),
+best AS (SELECT query, w, dist, df,
+                row_number() OVER (PARTITION BY query
+                                   ORDER BY dist, df DESC, w) AS rk
+         FROM cand)
+SELECT query, w AS suggestion, CAST(dist AS BIGINT) AS dist,
+       CAST(df AS BIGINT) AS df
+FROM best WHERE rk = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "spell_correct": (q_spell_correct, SQL_SPELL_CORRECT),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
