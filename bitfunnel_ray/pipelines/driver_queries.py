@@ -5066,7 +5066,38 @@ FROM best WHERE rk = 1
 """
 
 
+def q_snippets(sf_dir):
+    """Best highlight window (8 tokens) covering the most distinct query
+    terms per matching document — SERP snippet generation."""
+    from bitfunnel_ray.ops import snippets
+
+    return snippets.best_snippets(
+        corpus_from_documents(sf_dir), ["spark", "join"], window=8
+    )
+
+
+SQL_SNIPPETS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+cand AS (SELECT doc_id, l,
+                unnest([i for i in range(1, greatest(len(l) - 7, 1) + 1)]) AS s
+         FROM toks),
+scored AS (SELECT doc_id, l, s,
+       (CASE WHEN list_contains(l[s : least(s + 7, len(l))], 'spark') THEN 1 ELSE 0 END
+      + CASE WHEN list_contains(l[s : least(s + 7, len(l))], 'join') THEN 1 ELSE 0 END)
+           AS n_hits
+           FROM cand),
+best AS (SELECT doc_id, s, n_hits,
+                array_to_string(l[s : least(s + 7, len(l))], ' ') AS snippet,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n_hits DESC, s) AS rk
+         FROM scored)
+SELECT doc_id, CAST(s AS BIGINT) AS start, CAST(n_hits AS BIGINT) AS n_hits, snippet
+FROM best WHERE rk = 1 AND n_hits >= 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "snippets": (q_snippets, SQL_SNIPPETS),
     "spell_correct": (q_spell_correct, SQL_SPELL_CORRECT),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
