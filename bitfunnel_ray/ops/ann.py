@@ -612,5 +612,8 @@ def exact_dup_pairs(
         fn_constructor_args=(path, id_col, vec_col, threshold),
         batch_format="pyarrow",
         batch_size=4,
-        concurrency=concurrency,
+        # (1, N) autoscaling pool: never reserve every CPU slot on a
+        # small cluster (a fixed N-actor pool at num_cpus=N starves
+        # upstream/downstream tasks and deadlocks the executor)
+        concurrency=(1, concurrency),
     )

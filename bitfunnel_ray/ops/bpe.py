@@ -253,11 +253,15 @@ def bpe_token_counts(
     under the trained merges.  Merges ship once via ``ray.put``; each
     actor builds its rank dict in ``__init__``."""
     ref = ray.put(list(map(tuple, merges)))
+    # autoscaling (1, N) pool, NOT a fixed-size one: a fixed pool of N
+    # actors on an N-cpu cluster reserves every CPU slot and starves the
+    # upstream read tasks — the streaming executor then waits forever
+    # (observed as a suite hang at num_cpus=4 with concurrency=4)
     return corpus.map_batches(
         _BPEApply,
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         batch_size=batch_size,
     )
 
