@@ -344,6 +344,49 @@ def q_bm25_topk(sf_dir):
     )
 
 
+_QLD_TERMS = ("spark", "vector", "join")
+
+
+def q_qld_topk(sf_dir):
+    """LM-Dirichlet query-likelihood top-10 (Zhai & Lafferty 2001; Lucene
+    LMDirichletSimilarity analog, μ=2000) — every query term contributes
+    its smoothed-background cost to every candidate, so the scoring needs
+    cf(t) (Σ tf from the decoded posting list) and total corpus tokens
+    (segment manifests), not just the matched postings."""
+    eng = get_engine(sf_dir)
+    t = eng.qld_topk(list(_QLD_TERMS), k=10, mu=2000.0)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+SQL_QLD_TOPK = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tot AS (SELECT count(*) AS c FROM toks),
+cf AS (SELECT term, count(*) AS cf FROM toks
+       WHERE term IN ('spark','vector','join') GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','vector','join') GROUP BY doc_id, term),
+cand AS (SELECT DISTINCT doc_id FROM tf),
+contrib AS (
+  SELECT cand.doc_id,
+         ln((coalesce(tf.tf, 0) + 2000.0 * cf.cf / tot.c) / (dl.dl + 2000.0)) AS cterm
+  FROM cand CROSS JOIN cf
+  LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = cf.term
+  JOIN dl ON dl.doc_id = cand.doc_id, tot
+),
+scores AS (SELECT doc_id, sum(cterm) AS score FROM contrib GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 _PERCOLATE_QUERIES = {
     0: ["spark", "join"],
     1: ["merge", "window", "sort"],
@@ -5166,6 +5209,7 @@ REGISTRY: dict[str, tuple] = {
     "search_phrase": (q_search_phrase, SQL_SEARCH_PHRASE),
     "search_boolean_mix": (q_search_boolean_mix, SQL_SEARCH_BOOLEAN_MIX),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "qld_topk": (q_qld_topk, SQL_QLD_TOPK),
     "docsharded_bm25_topk": (q_docsharded_bm25_topk, SQL_BM25_TOPK),
     "docsharded_selective_topk": (q_docsharded_selective_topk, SQL_BM25_TOPK),
     "fact_filter_search": (q_fact_filter_search, SQL_FACT_FILTER_SEARCH),

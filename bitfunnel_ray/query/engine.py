@@ -711,6 +711,67 @@ class QueryAlgebra:
             }
         )
 
+    def qld_topk(self, terms: list[str], k: int = 10, mu: float = 2000.0) -> pa.Table:
+        """Query-likelihood ranking with Dirichlet-prior smoothing (Zhai &
+        Lafferty, SIGIR 2001) — the standard language-model alternative to
+        BM25 (Lucene ``LMDirichletSimilarity`` analog):
+
+            score(q, d) = Σ_t  ln( (tf(t,d) + μ·p(t|C)) / (|d| + μ) )
+
+        with p(t|C) = cf(t) / |C| (collection frequency over total corpus
+        tokens).  Every query term contributes to every candidate — docs
+        that miss a term pay the smoothed-background cost, so longer docs
+        are not spuriously favored.  Candidates = docs matching ≥1 term
+        (the usual driver set: docs matching nothing share a constant,
+        strictly lower score).  OOV terms (cf = 0) are skipped — their
+        contribution is an identical -inf for every document.
+
+        cf comes from the decoded posting list (Σ tf), |C| from the
+        segment manifests (sum_doclen) — no extra dictionary state.  Note
+        cf/|C| are whole-index statistics: tombstoned docs are excluded
+        from the candidates but still count toward the background model
+        (exactly how a lazy-delete index behaves until compaction)."""
+        seen = set()
+        uniq = [x for x in terms if not (x in seen or seen.add(x))]
+        total_tokens = float(sum(s.sum_doclen for s in self.segments))
+        plists = [(x, self.term_postings(x)) for x in uniq]
+        plists = [(x, p) for x, p in plists if p.df]
+        if not plists or total_tokens <= 0:
+            return pa.table(
+                {
+                    "rank": pa.array([], pa.uint32()),
+                    "doc_id": pa.array([], pa.uint64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        docs = np.unique(np.concatenate([p.doc_ids for _, p in plists]))
+        if self.tombstones is not None:
+            docs = np.setdiff1d(docs, self.tombstones, assume_unique=True)
+        dl = np.zeros(len(docs), dtype=np.float64)
+        for _, p in plists:
+            pos = np.searchsorted(docs, p.doc_ids)
+            pos_c = np.minimum(pos, len(docs) - 1)
+            hit = docs[pos_c] == p.doc_ids  # tombstoned docs are absent
+            dl[pos_c[hit]] = p.doclen[hit].astype(np.float64)
+        denom = dl + mu
+        scores = np.zeros(len(docs), dtype=np.float64)
+        for _, p in plists:
+            mu_p = (mu * float(p.tf.sum())) / total_tokens
+            tfv = np.zeros(len(docs), dtype=np.float64)
+            pos = np.searchsorted(docs, p.doc_ids)
+            pos_c = np.minimum(pos, len(docs) - 1)
+            hit = docs[pos_c] == p.doc_ids
+            tfv[pos_c[hit]] = p.tf[hit].astype(np.float64)
+            scores += np.log((tfv + mu_p) / denom)
+        order = np.lexsort((docs, -scores))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.uint32)),
+                "doc_id": pa.array(docs[order], pa.uint64()),
+                "score": pa.array(scores[order], pa.float64()),
+            }
+        )
+
 
 class SearchEngine(QueryAlgebra):
     """Single-process query engine over one or more segments: every dict

@@ -109,6 +109,54 @@ def test_tombstones_soft_delete(built):
         assert eng.eval(node).tolist() == want["matches"], q
 
 
+def test_qld_topk_brute_force_and_tombstones(built):
+    """LM-Dirichlet top-k vs a from-scratch brute force over the raw
+    corpus; tombstoned docs excluded from candidates but not from the
+    background model; OOV terms skipped."""
+    out, cfg, manifest, oracle = built
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = docs["doc_id"].to_pylist()
+    texts = [t.split() for t in docs["text"].to_pylist()]
+    mu = 500.0
+    terms = ["spark", "vector", "zzz_not_a_term"]
+    total = float(sum(len(t) for t in texts))
+    cf = {w: sum(t.count(w) for t in texts) for w in terms}
+    live_terms = [w for w in terms if cf[w] > 0]
+    assert cf["zzz_not_a_term"] == 0 and len(live_terms) == 2
+
+    def brute(dead=frozenset()):
+        rows = []
+        for d, toks in zip(ids, texts):
+            if d in dead:
+                continue
+            tfs = {w: toks.count(w) for w in live_terms}
+            if not any(tfs.values()):
+                continue
+            s = sum(
+                np.log((tfs[w] + (mu * cf[w]) / total) / (len(toks) + mu))
+                for w in live_terms
+            )
+            rows.append((d, s))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:10]
+
+    for dead in (frozenset(), frozenset({1, 3, 5, 7, 11})):
+        eng = SearchEngine(
+            out,
+            tombstones=(
+                np.array(sorted(dead), dtype=np.uint64) if dead else None
+            ),
+        )
+        got = eng.qld_topk(terms, k=10, mu=mu)
+        want = brute(dead)
+        assert got["doc_id"].to_pylist() == [d for d, _ in want]
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), [s for _, s in want], rtol=1e-12
+        )
+
+
 def test_multi_segment_merge(tmp_path):
     """Two half-corpus segments must give identical results to one segment
     (additive segments = incremental ingest, SURVEY.md §1.4)."""
