@@ -2972,6 +2972,48 @@ def q_top_bigrams(sf_dir):
     return top_ngrams(corpus_from_documents(sf_dir), n=2, k=100)
 
 
+def q_pmi_collocations(sf_dir):
+    """Top-100 collocations by PMI (Church & Hanks 1990) with min_count=5
+    support: bigram/unigram count tables joined by two repartition joins
+    (no vocabulary broadcast), N1/N2 from one map-only scan, fixed float
+    expression order mirrored in the oracle."""
+    from bitfunnel_ray.ops.ngrams import pmi_collocations
+
+    t = pmi_collocations(corpus_from_documents(sf_dir), min_count=5, k=100)
+    return pa.table(
+        {
+            "gram": t["gram"],
+            "pair_count": t["pair_count"].cast(pa.int64()),
+            "pmi": pa.array(np.round(t["pmi"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+SQL_PMI_COLLOCATIONS = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+n1 AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM toks),
+pairs AS (
+  SELECT p[1] AS l, p[2] AS r, p[1] || ' ' || p[2] AS gram
+  FROM (SELECT unnest(list_zip(string_split(text,' ')[1:-2],
+                               string_split(text,' ')[2:])) AS p
+        FROM documents)
+),
+n2 AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM pairs),
+uni AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+big AS (SELECT gram, l, r, count(*) AS c FROM pairs
+        GROUP BY gram, l, r HAVING count(*) >= 5),
+scored AS (
+  SELECT big.gram, big.c AS pair_count,
+         ln((CAST(big.c AS DOUBLE) / n2.v)
+            / ((CAST(ul.c AS DOUBLE) / n1.v) * (CAST(ur.c AS DOUBLE) / n1.v))) AS pmi
+  FROM big JOIN uni ul ON ul.term = big.l
+           JOIN uni ur ON ur.term = big.r, n1, n2
+)
+SELECT gram, CAST(pair_count AS BIGINT) AS pair_count, round(pmi, 6) AS pmi
+FROM scored ORDER BY pmi DESC, gram LIMIT 100
+"""
+
+
 SQL_TOP_BIGRAMS = """
 WITH pairs AS (
   SELECT p[1] || ' ' || p[2] AS gram
@@ -5195,6 +5237,7 @@ REGISTRY: dict[str, tuple] = {
     "proximity_search": (q_proximity_search, SQL_PROXIMITY_SEARCH),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
+    "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "substring_scan": (q_substring_scan, SQL_SUBSTRING_SCAN),
     "regex_scan": (q_regex_scan, SQL_REGEX_SCAN),
     "embedding_exact_dups": (q_embedding_exact_dups, SQL_EMBEDDING_EXACT_DUPS),

@@ -77,6 +77,37 @@ def test_top_ngrams_order_and_ties():
     assert list(zip(grams, counts)) == [("a b", 3), ("zz zz", 3), ("b a", 2)]
 
 
+def test_pmi_collocations_vs_brute():
+    import math
+
+    from bitfunnel_ray.ops.ngrams import pmi_collocations
+
+    got = pmi_collocations(_docs(), min_count=2, k=10)
+    uni, big = collections.Counter(), collections.Counter()
+    for t in TEXTS:
+        toks = t.split()
+        uni.update(toks)
+        big.update(
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        )
+    n1, n2 = sum(uni.values()), sum(big.values())
+    want = []
+    for g, c in big.items():
+        if c < 2:
+            continue
+        a, b = g.split()
+        want.append(
+            (g, c, math.log((c / n2) / ((uni[a] / n1) * (uni[b] / n1))))
+        )
+    want.sort(key=lambda r: (-r[2], r[0]))
+    want = want[:10]
+    assert got["gram"].to_pylist() == [g for g, _, _ in want]
+    assert got["pair_count"].to_pylist() == [c for _, c, _ in want]
+    np.testing.assert_allclose(
+        got["pmi"].to_numpy(), [p for _, _, p in want], rtol=1e-12
+    )
+
+
 def test_exact_dup_pairs_multi_rowgroup(tmp_path):
     rng = np.random.default_rng(7)
     n, dim = 300, 16
