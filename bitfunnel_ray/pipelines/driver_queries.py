@@ -2972,6 +2972,50 @@ def q_top_bigrams(sf_dir):
     return top_ngrams(corpus_from_documents(sf_dir), n=2, k=100)
 
 
+def q_significant_terms(sf_dir):
+    """Elasticsearch significant_terms analog (JLH score): terms
+    over-represented in documents containing 'spark' vs the whole corpus.
+    One corpus pass (per-block df partials + sentinel totals row), one
+    hash exchange, map-side tie-aware top-k."""
+    from bitfunnel_ray.ops.keywords import significant_terms
+
+    t = significant_terms(
+        corpus_from_documents(sf_dir), fg_term="spark", min_fg_df=3, k=25
+    )
+    return pa.table(
+        {
+            "term": t["term"],
+            "fg_df": t["fg_df"].cast(pa.int64()),
+            "df": t["df"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+SQL_SIGNIFICANT_TERMS = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+fg AS (SELECT doc_id FROM docs WHERE list_contains(a, 'spark')),
+u AS (SELECT DISTINCT doc_id, unnest(a) AS term FROM docs),
+tot AS (SELECT CAST((SELECT count(*) FROM docs) AS DOUBLE) AS bg_n,
+               CAST((SELECT count(*) FROM fg) AS DOUBLE) AS fg_n),
+stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM fg)) AS BIGINT) AS fg_df
+  FROM u GROUP BY term
+),
+scored AS (
+  SELECT term, fg_df, df,
+         ((CAST(fg_df AS DOUBLE) / tot.fg_n) - (CAST(df AS DOUBLE) / tot.bg_n))
+           * ((CAST(fg_df AS DOUBLE) / tot.fg_n) / (CAST(df AS DOUBLE) / tot.bg_n)) AS score
+  FROM stats, tot
+  WHERE fg_df >= 3
+    AND (CAST(fg_df AS DOUBLE) / tot.fg_n) > (CAST(df AS DOUBLE) / tot.bg_n)
+)
+SELECT term, fg_df, df, round(score, 6) AS score
+FROM scored ORDER BY score DESC, term LIMIT 25
+"""
+
+
 def q_pmi_collocations(sf_dir):
     """Top-100 collocations by PMI (Church & Hanks 1990) with min_count=5
     support: bigram/unigram count tables joined by two repartition joins
@@ -5238,6 +5282,7 @@ REGISTRY: dict[str, tuple] = {
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
+    "significant_terms": (q_significant_terms, SQL_SIGNIFICANT_TERMS),
     "substring_scan": (q_substring_scan, SQL_SUBSTRING_SCAN),
     "regex_scan": (q_regex_scan, SQL_REGEX_SCAN),
     "embedding_exact_dups": (q_embedding_exact_dups, SQL_EMBEDDING_EXACT_DUPS),

@@ -1482,3 +1482,57 @@ def test_multimodal_resize_and_frames():
         ResizeImages(backend="stub")(tbl)
     with pytest.raises(NotImplementedError):
         SampleFrames(backend="stub")(tbl)
+
+
+def test_significant_terms_vs_brute():
+    """JLH significant terms vs a from-scratch python reference, including
+    df semantics (term once per doc), the min_fg_df floor, the fg%>bg%
+    cut, and (score desc, term) ordering."""
+    import collections
+    import math
+
+    from bitfunnel_ray.ops.keywords import significant_terms
+
+    texts = [
+        "apple banana cherry",
+        "apple apple banana",
+        "banana cherry date",
+        "apple cherry",
+        "date elder fig",
+        "apple banana elder",
+        "",
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    got = significant_terms(ds, fg_term="apple", min_fg_df=2, k=10)
+    df = collections.Counter()
+    fg_df = collections.Counter()
+    fg_docs = [i for i, t in enumerate(texts) if "apple" in t.split()]
+    for i, t in enumerate(texts):
+        for w in set(t.split()):
+            df[w] += 1
+            if i in fg_docs:
+                fg_df[w] += 1
+    bg_n, fg_n = float(len(texts)), float(len(fg_docs))
+    want = []
+    for w, d in df.items():
+        f = fg_df.get(w, 0)
+        if f < 2:
+            continue
+        fgp, bgp = f / fg_n, d / bg_n
+        if fgp <= bgp:
+            continue
+        want.append((w, f, d, (fgp - bgp) * (fgp / bgp)))
+    want.sort(key=lambda r: (-r[3], r[0]))
+    assert got["term"].to_pylist() == [w for w, *_ in want]
+    assert got["fg_df"].to_pylist() == [f for _, f, _, _ in want]
+    assert got["df"].to_pylist() == [d for _, _, d, _ in want]
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), [s for *_, s in want], rtol=1e-12
+    )
