@@ -364,6 +364,74 @@ def q_qld_topk(sf_dir):
     )
 
 
+def q_ltr_features(sf_dir):
+    """Learning-to-rank featurization: one row per candidate document
+    (the conjunctive match set of 'spark join') with the features an LTR
+    trainer consumes — doc length, per-term tf, BM25 and LM-Dirichlet
+    scores.  Composes the two oracle-verified scorers over one candidate
+    set; ordered by doc_id."""
+    from bitfunnel_ray.query.parser import parse_query
+
+    eng = get_engine(sf_dir)
+    node = parse_query(" ".join(_BM25_TERMS), eng.stream_map)
+    matches = np.sort(eng.eval(node))
+    bm25 = eng.score(node, matches)
+    qld = eng.qld_scores(list(_BM25_TERMS), matches, mu=2000.0)
+    cols = {"doc_id": pa.array(matches.astype(np.int64), pa.int64())}
+    dl = None
+    for term in _BM25_TERMS:
+        p = eng.term_postings(term)
+        pos = np.searchsorted(p.doc_ids, matches)
+        assert (p.doc_ids[pos] == matches).all()  # AND set ⊆ postings
+        cols[f"tf_{term}"] = pa.array(p.tf[pos].astype(np.int64), pa.int64())
+        dl = p.doclen[pos].astype(np.int64)
+    cols["dl"] = pa.array(dl, pa.int64())
+    cols["bm25"] = pa.array(np.round(bm25, 6), pa.float64())
+    cols["qld"] = pa.array(np.round(qld, 6), pa.float64())
+    return pa.table(cols)
+
+
+SQL_LTR_FEATURES = f"""
+WITH toks AS ({{_TOKENS}}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join') GROUP BY term),
+cf AS (SELECT term, count(*) AS cf FROM toks
+       WHERE term IN ('spark','join') GROUP BY term),
+matches AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+bm AS (
+  SELECT t.doc_id,
+         sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS bm25
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches) GROUP BY t.doc_id
+),
+ql AS (
+  SELECT t.doc_id,
+         sum(ln((t.tf + 2000.0 * cf.cf / tot.c) / (dl.dl + 2000.0))) AS qld
+  FROM tf t JOIN cf USING (term) JOIN dl USING (doc_id), tot
+  WHERE t.doc_id IN (SELECT doc_id FROM matches) GROUP BY t.doc_id
+)
+SELECT m.doc_id,
+       CAST(max(CASE WHEN tf.term = 'spark' THEN tf.tf END) AS BIGINT) AS tf_spark,
+       CAST(max(CASE WHEN tf.term = 'join'  THEN tf.tf END) AS BIGINT) AS tf_join,
+       CAST(max(dl.dl) AS BIGINT) AS dl,
+       round(max(bm.bm25), 6) AS bm25,
+       round(max(ql.qld), 6) AS qld
+FROM matches m
+JOIN tf ON tf.doc_id = m.doc_id
+JOIN dl ON dl.doc_id = m.doc_id
+JOIN bm ON bm.doc_id = m.doc_id
+JOIN ql ON ql.doc_id = m.doc_id
+GROUP BY m.doc_id
+ORDER BY m.doc_id
+""".replace("{_TOKENS}", _tokens_sql())
+
+
 SQL_QLD_TOPK = f"""
 WITH toks AS ({_tokens_sql()}),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -5298,6 +5366,7 @@ REGISTRY: dict[str, tuple] = {
     "search_boolean_mix": (q_search_boolean_mix, SQL_SEARCH_BOOLEAN_MIX),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "qld_topk": (q_qld_topk, SQL_QLD_TOPK),
+    "ltr_features": (q_ltr_features, SQL_LTR_FEATURES),
     "docsharded_bm25_topk": (q_docsharded_bm25_topk, SQL_BM25_TOPK),
     "docsharded_selective_topk": (q_docsharded_selective_topk, SQL_BM25_TOPK),
     "fact_filter_search": (q_fact_filter_search, SQL_FACT_FILTER_SEARCH),

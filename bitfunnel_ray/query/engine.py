@@ -772,6 +772,40 @@ class QueryAlgebra:
             }
         )
 
+    def qld_scores(
+        self, terms: list[str], docs: np.ndarray, mu: float = 2000.0
+    ) -> np.ndarray:
+        """LM-Dirichlet scores (see ``qld_topk``) for a GIVEN sorted
+        uint64 doc-id array — the feature-extraction entry point (LTR
+        featurization wants scores for an externally chosen candidate
+        set, e.g. the AND-match set, not the scorer's own top-k).  Every
+        doc must match ≥ 1 surviving term (its doclen is recovered from a
+        matching posting); docs matching none raise."""
+        seen = set()
+        uniq = [x for x in terms if not (x in seen or seen.add(x))]
+        total_tokens = float(sum(s.sum_doclen for s in self.segments))
+        plists = [p for p in (self.term_postings(x) for x in uniq) if p.df]
+        if not plists or total_tokens <= 0:
+            raise ValueError("no query term occurs in the corpus")
+        dl = np.full(len(docs), -1.0, dtype=np.float64)
+        tfs = []
+        for p in plists:
+            pos = np.searchsorted(p.doc_ids, docs)
+            pos_c = np.minimum(pos, len(p.doc_ids) - 1)
+            hit = p.doc_ids[pos_c] == docs
+            dl[hit] = p.doclen[pos_c[hit]].astype(np.float64)
+            tfv = np.zeros(len(docs), dtype=np.float64)
+            tfv[hit] = p.tf[pos_c[hit]].astype(np.float64)
+            tfs.append((p, tfv))
+        if (dl < 0).any():
+            raise ValueError("doc matches no query term; doclen unknown")
+        denom = dl + mu
+        scores = np.zeros(len(docs), dtype=np.float64)
+        for p, tfv in tfs:
+            mu_p = (mu * float(p.tf.sum())) / total_tokens
+            scores += np.log((tfv + mu_p) / denom)
+        return scores
+
 
 class SearchEngine(QueryAlgebra):
     """Single-process query engine over one or more segments: every dict

@@ -157,6 +157,19 @@ def test_qld_topk_brute_force_and_tombstones(built):
         )
 
 
+def test_qld_scores_consistent_with_topk(built):
+    """The feature-extraction entry point (qld_scores over a given doc
+    set) must agree bit-exactly with qld_topk's own scores wherever the
+    sets overlap."""
+    out, cfg, manifest, oracle = built
+    eng = SearchEngine(out)
+    top = eng.qld_topk(["spark", "join"], k=50, mu=800.0)
+    docs = np.sort(top["doc_id"].to_numpy().astype(np.uint64))
+    got = eng.qld_scores(["spark", "join"], docs, mu=800.0)
+    by_doc = dict(zip(top["doc_id"].to_pylist(), top["score"].to_pylist()))
+    assert got.tolist() == [by_doc[int(d)] for d in docs]
+
+
 def test_multi_segment_merge(tmp_path):
     """Two half-corpus segments must give identical results to one segment
     (additive segments = incremental ingest, SURVEY.md §1.4)."""
