@@ -59,3 +59,66 @@ def regex_scan(corpus: "ray.data.Dataset", pattern: str) -> "ray.data.Dataset":
         partial(_scan_batch, pattern=pattern, regex=True),
         batch_format="pyarrow",
     )
+
+
+def term_vectors(
+    corpus: "ray.data.Dataset", doc_pred
+) -> "ray.data.Dataset":
+    """Forward-index export (Elasticsearch ``_termvectors`` analog): one
+    row per (doc_id, distinct term) with term frequency and the 0-based
+    first occurrence position, for documents selected by ``doc_pred``
+    (a vectorized numpy predicate over the doc_id array).
+
+    Map-only: each block filters its docs, splits once, and recovers
+    (tf, first_pos) from ONE np.unique over packed (doc, term-code) int
+    pairs — no python per token, no exchange (a doc never spans blocks)."""
+    import numpy as np
+
+    from bitfunnel_ray.stages.tokenize import flat_tokens
+
+    def _batch(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "first_pos": pa.array([], pa.int64()),
+            }
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(doc_pred(ids)))
+        if len(t) == 0:
+            return empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, doc_of, doclen = flat_tokens(t["text"])
+        if len(flat) == 0:
+            return empty
+        d = pc.dictionary_encode(flat)
+        codes = d.indices.to_numpy().astype(np.int64)
+        nv = len(d.dictionary)
+        pair = doc_of * nv + codes
+        # np.unique(return_index) on the stable original order: the first
+        # index of each (doc, term) pair IS its first occurrence
+        uniq, first, counts = np.unique(pair, return_index=True, return_counts=True)
+        doc_u, code_u = uniq // nv, uniq % nv
+        starts = np.concatenate([[0], np.cumsum(doclen)])[:-1]
+        first_pos = first - starts[doc_u]
+        terms = d.dictionary.take(pa.array(code_u)).cast(pa.string())
+        out = pa.table(
+            {
+                "doc_id": pa.array(ids[doc_u], pa.int64()),
+                "term": terms,
+                "tf": pa.array(counts.astype(np.int64), pa.int64()),
+                "first_pos": pa.array(first_pos.astype(np.int64), pa.int64()),
+            }
+        )
+        # deterministic within-block order (doc asc, term asc); blocks are
+        # doc-ranged so global order follows for sorted inputs
+        idx = pa.compute.sort_indices(
+            out, sort_keys=[("doc_id", "ascending"), ("term", "ascending")]
+        )
+        return out.take(idx)
+
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
+        _batch, batch_format="pyarrow", batch_size=None
+    )

@@ -3138,6 +3138,31 @@ GROUP BY gram ORDER BY "count" DESC, gram LIMIT 100
 """
 
 
+def q_term_vectors(sf_dir):
+    """Forward-index export (_termvectors analog): (doc_id, term, tf,
+    first 0-based position) for doc_id < 20 — map-only, one np.unique
+    over packed (doc, term-code) pairs per block."""
+    from bitfunnel_ray.ops.scan import term_vectors
+
+    return term_vectors(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        lambda ids: ids < 20,
+    )
+
+
+SQL_TERM_VECTORS = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents
+              WHERE doc_id < 20),
+toks AS (SELECT doc_id, unnest(a) AS term FROM docs),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+       WHERE term <> '' GROUP BY doc_id, term)
+SELECT tf.doc_id, tf.term, tf.tf,
+       CAST(list_indexof(docs.a, tf.term) - 1 AS BIGINT) AS first_pos
+FROM tf JOIN docs USING (doc_id)
+ORDER BY doc_id, term
+"""
+
+
 def q_substring_scan(sf_dir):
     """Distributed grep: documents containing the literal 'spark' with
     per-doc occurrence counts (map-only, no shuffle)."""
@@ -5351,6 +5376,7 @@ REGISTRY: dict[str, tuple] = {
     "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "significant_terms": (q_significant_terms, SQL_SIGNIFICANT_TERMS),
+    "term_vectors": (q_term_vectors, SQL_TERM_VECTORS),
     "substring_scan": (q_substring_scan, SQL_SUBSTRING_SCAN),
     "regex_scan": (q_regex_scan, SQL_REGEX_SCAN),
     "embedding_exact_dups": (q_embedding_exact_dups, SQL_EMBEDDING_EXACT_DUPS),

@@ -359,3 +359,22 @@ def test_exact_phrase_property_random():
         pat = " " + " ".join(phrase) + " "
         want = [i for i, t in enumerate(texts) if pat in f" {t} "]
         assert got == want, phrase
+
+
+def test_term_vectors_positions():
+    from bitfunnel_ray.ops.scan import term_vectors
+
+    got = term_vectors(_docs(), lambda ids: ids >= 0).to_pandas()
+    rows = {
+        (r.doc_id, r.term): (r.tf, r.first_pos) for r in got.itertuples()
+    }
+    want = {}
+    for i, t in enumerate(TEXTS):
+        toks = t.split()
+        for pos, w in enumerate(toks):
+            if (i, w) not in want:
+                want[(i, w)] = [0, pos]
+            want[(i, w)][0] += 1
+    assert rows == {k: tuple(v) for k, v in want.items()}
+    # empty doc contributes nothing
+    assert 2 not in set(got.doc_id)
