@@ -3276,6 +3276,62 @@ SELECT DISTINCT doc_id FROM toks WHERE term LIKE '%n'
 """
 
 
+def q_fuzzy_search(sf_dir):
+    """Fuzzy query operator 'rowt~2 quary~1' (Lucene FuzzyQuery contract):
+    each ~d term expands against the index vocabulary at exact edit
+    distance <= d (query/fuzzy.py vectorized DP matcher; rowt~2 ->
+    {row, sort}, quary~1 -> {query} on this corpus) and the expansion
+    evaluates as an ordinary OR group — matching is AND of the groups,
+    scoring sums the BM25 contributions of whichever members a document
+    contains (per-member df, as with synonym expansion)."""
+    eng = get_engine(sf_dir)
+    if eng.fuzzy_matcher is None:
+        dft = document_frequency_table(
+            corpus_from_documents(sf_dir), EngineConfig(max_gram=1)
+        )
+        eng.set_fuzzy_vocabulary(
+            dft.select_columns(["term"]).to_pandas()["term"].tolist()
+        )
+    t = eng.search("rowt~2 quary~1", k=10)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+SQL_FUZZY_SEARCH = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+g1 AS (SELECT DISTINCT term FROM toks WHERE levenshtein(term, 'rowt') <= 2),
+g2 AS (SELECT DISTINCT term FROM toks WHERE levenshtein(term, 'quary') <= 1),
+qt AS (SELECT term FROM g1 UNION SELECT term FROM g2),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN (SELECT term FROM qt) GROUP BY term),
+matches AS (
+  SELECT d.doc_id FROM dl d
+  WHERE EXISTS (SELECT 1 FROM tf t JOIN g1 USING (term) WHERE t.doc_id = d.doc_id)
+    AND EXISTS (SELECT 1 FROM tf t JOIN g2 USING (term) WHERE t.doc_id = d.doc_id)
+),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def _variant_urls_batch(t: pa.Table) -> pa.Table:
     """Deterministic messy-URL fixture: five per-row variants (www+utm
     query, uppercase scheme+host, trailing slash, :443+fragment, clean)
@@ -5371,6 +5427,7 @@ REGISTRY: dict[str, tuple] = {
     "url_dedup": (q_url_dedup, _sql_url_dedup()),
     "lang_id": (q_lang_id, textstats.lang_id_sql()),
     "wildcard_search": (q_wildcard_search, SQL_WILDCARD_SEARCH),
+    "fuzzy_search": (q_fuzzy_search, SQL_FUZZY_SEARCH),
     "proximity_search": (q_proximity_search, SQL_PROXIMITY_SEARCH),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),

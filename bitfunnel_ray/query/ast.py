@@ -41,6 +41,22 @@ class Not(Node):
 
 
 @dataclass(frozen=True)
+class Fuzzy(Node):
+    """Fuzzy term (query syntax ``term~1`` / ``term~2`` — the Lucene
+    fuzzy-query contract): matches every VOCABULARY term within
+    Levenshtein distance ``dist`` of ``text``.  A Fuzzy node never
+    reaches evaluation — engines rewrite it to an Or of its expansion
+    members first (``expand_fuzzy``), so matching and scoring are the
+    ordinary disjunction over the expanded group (per-member df, as with
+    synonym expansion)."""
+
+    text: str
+    stream: int = 0
+    boost: float = 1.0
+    dist: int = 1
+
+
+@dataclass(frozen=True)
 class AtLeast(Node):
     """Minimum-should-match group: a document matches when >= ``m`` of
     the children match (the Lucene/Elasticsearch minimum_should_match
@@ -92,4 +108,48 @@ def expand_synonyms(node: Node, synonyms: dict[str, tuple[str, ...]]) -> Node:
         # the threshold counts CLAUSES, so it is unchanged: an expanded
         # clause matches when any synonym member does
         return AtLeast(node.m, tuple(expand_synonyms(c, synonyms) for c in node.children))
+    return node
+
+
+def has_fuzzy(node: Node) -> bool:
+    if isinstance(node, Fuzzy):
+        return True
+    if isinstance(node, (And, Or)):
+        return any(has_fuzzy(c) for c in node.children)
+    if isinstance(node, AtLeast):
+        return any(has_fuzzy(c) for c in node.children)
+    if isinstance(node, Not):
+        return has_fuzzy(node.child)
+    return False
+
+
+def expand_fuzzy(node: Node, matcher) -> Node:
+    """Rewrite every ``Fuzzy(t, dist=d)`` to the Or-group of its
+    vocabulary expansion: ``matcher(text, dist) -> tuple[str]`` returns
+    the vocabulary terms within edit distance ``dist`` (the engine's
+    ``VocabFuzzyMatcher``; exact Levenshtein, so the oracle contract is
+    DuckDB ``levenshtein(term, q) <= d``).
+
+    The query term itself is always included first (whether or not it is
+    in the vocabulary — an unindexed term has df 0 and contributes
+    nothing, but keeps AND/NOT semantics stable when the expansion is
+    otherwise empty).  Members inherit stream and boost; like synonym
+    expansion this recurses under Not/AtLeast and leaves phrases alone
+    (the grammar does not produce fuzzy phrases)."""
+    if isinstance(node, Fuzzy):
+        seen = {node.text}
+        members = [Term(node.text, node.stream, node.boost)]
+        for m in matcher(node.text, node.dist):
+            if m not in seen:
+                seen.add(m)
+                members.append(Term(m, node.stream, node.boost))
+        return members[0] if len(members) == 1 else Or(tuple(members))
+    if isinstance(node, And):
+        return And(tuple(expand_fuzzy(c, matcher) for c in node.children))
+    if isinstance(node, Or):
+        return Or(tuple(expand_fuzzy(c, matcher) for c in node.children))
+    if isinstance(node, Not):
+        return Not(expand_fuzzy(node.child, matcher))
+    if isinstance(node, AtLeast):
+        return AtLeast(node.m, tuple(expand_fuzzy(c, matcher) for c in node.children))
     return node

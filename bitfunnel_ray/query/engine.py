@@ -231,6 +231,40 @@ class QueryAlgebra:
         # general hash = rawHash + streamId (ComputeGeneralHash parity)
         return self.postings((murmur64a(text) + stream) & 0xFFFFFFFFFFFFFFFF, 1)
 
+    # --- fuzzy expansion ---------------------------------------------------
+    # the ``term~d`` operator needs the vocabulary TEXT, which posting
+    # dictionaries do not store (hashes only) — serving loads it once via
+    # set_fuzzy_vocabulary (from the df table / TermToText sidecar), the
+    # same lifecycle as the dictionaries themselves
+    fuzzy_matcher = None
+
+    def set_fuzzy_vocabulary(self, terms) -> None:
+        """Install the vocabulary used to expand ``term~d`` fuzzy queries
+        (an iterable / Arrow array of term strings; typically the df
+        table's ``term`` column or the TermToText sidecar)."""
+        from bitfunnel_ray.query.fuzzy import VocabFuzzyMatcher
+
+        self.fuzzy_matcher = VocabFuzzyMatcher(terms)
+
+    def _parse_rewritten(
+        self, query: str, synonyms: dict[str, tuple[str, ...]] | None = None
+    ) -> "ast.Node":
+        """Parse + query rewrites shared by search/match_count/explain:
+        synonym expansion first (a synonym member may itself be fuzzy-
+        matched only if written that way), then fuzzy expansion against
+        the installed vocabulary."""
+        node = parse_query(query, self.stream_map)
+        if synonyms:
+            node = ast.expand_synonyms(node, synonyms)
+        if ast.has_fuzzy(node):
+            if self.fuzzy_matcher is None:
+                raise ValueError(
+                    "query uses the fuzzy operator (~d) but no vocabulary is "
+                    "installed — call set_fuzzy_vocabulary(terms) first"
+                )
+            node = ast.expand_fuzzy(node, self.fuzzy_matcher)
+        return node
+
     # --- term extraction --------------------------------------------------
     def _phrase_grams(self, tokens: tuple[str, ...], stream: int = 0) -> list[tuple[int, int]]:
         """All 1..max_gram sliding-window (hash, gram) pairs of a phrase —
@@ -466,7 +500,7 @@ class QueryAlgebra:
         doclen, df, idf, contribution); the SAME recipe and accumulation
         order as ``score``, so contribution sums bit-exactly to the
         document's score."""
-        node = parse_query(query, self.stream_map)
+        node = self._parse_rewritten(query)
         labels = self.scoring_term_labels(node)
         boosts = self.scoring_boosts(node)
         doc = np.uint64(doc_id)
@@ -527,9 +561,7 @@ class QueryAlgebra:
         ``synonyms`` maps a term to its expansion group (see
         ``ast.expand_synonyms``): each matching unigram becomes an OR of
         its group, scored as an ordinary disjunction."""
-        node = parse_query(query, self.stream_map)
-        if synonyms:
-            node = ast.expand_synonyms(node, synonyms)
+        node = self._parse_rewritten(query, synonyms)
         matches = self.eval(node)
         if range_filter is not None:
             # doc-values fast-field filter (Lucene NumericDocValues /
@@ -571,7 +603,7 @@ class QueryAlgebra:
         return pa.table(cols)
 
     def match_count(self, query: str) -> int:
-        return int(len(self.eval(parse_query(query, self.stream_map))))
+        return int(len(self.eval(self._parse_rewritten(query))))
 
     # --- ranked disjunctive top-k (block-max WAND fast path) --------------
     def _term_cursor(self, text: str):

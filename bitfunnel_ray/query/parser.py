@@ -8,9 +8,12 @@ inc/BitFunnel/Plan/QueryParser.h:78-104, src/Plan/src/QueryParser.cpp:142-262):
              # reference's grammar: the Lucene/ES msm contract)
     TERM   := ('"' token+ '"'                 # phrase, >= 2 tokens
             | token ':' ('"' token+ '"' | token)   # stream-qualified
-            | token) ['^' number]                  # optional boost (term^2.5)
-    token  := chars until whitespace or one of  & | ( ) : - "
-              with backslash escapes of  space \t \f \v & | \\ ( ) " : - ^
+            | token) ['~' int] ['^' number]
+             # '~d' on a single term = Lucene-style fuzzy query
+             # (vocabulary expansion at edit distance <= d, d in 1..2);
+             # '^number' = query-time boost (term^2.5)
+    token  := chars until whitespace or one of  & | ( ) : - " ~ ^
+              with backslash escapes of  space \t \f \v & | \\ ( ) " : - ^ ~
 
 Stream names resolve via a {name: id} map (StreamConfiguration analog,
 src/Common/Configuration/src/StreamConfiguration.cpp:52-143); fixtures use
@@ -19,9 +22,9 @@ the default stream 0 ("body").
 
 from __future__ import annotations
 
-from bitfunnel_ray.query.ast import And, AtLeast, Node, Not, Or, Phrase, Term
+from bitfunnel_ray.query.ast import And, AtLeast, Fuzzy, Node, Not, Or, Phrase, Term
 
-_END_OF_TOKEN = set('&|():-"^')
+_END_OF_TOKEN = set('&|():-"^~')
 _SPACE = set(" \t\f\v\r\n")
 
 
@@ -140,8 +143,29 @@ class QueryParser:
             stream = self._stream_id(left)
             if self._peek() == '"':
                 return self._with_boost(self._parse_phrase(stream))
-            return self._with_boost(Term(self._parse_token(), stream))
-        return self._with_boost(Term(left, 0))
+            return self._with_boost(self._with_fuzzy(Term(self._parse_token(), stream)))
+        return self._with_boost(self._with_fuzzy(Term(left, 0)))
+
+    def _with_fuzzy(self, node: Node) -> Node:
+        """Optional ``~d`` suffix on a single term — the Lucene fuzzy
+        query.  Distance is restricted to 1..2 (Lucene's own bound:
+        larger radii make every term a match).  Phrases take no ``~``
+        (phrase slop is the proximity operator's job, ops/proximity.py);
+        group-level ``(...)~m`` is minimum-should-match and is handled
+        at the group site in ``_parse_simple``."""
+        if self._peek() != "~":
+            return node
+        self._get()
+        start = self.pos
+        digits = ""
+        while self._peek().isdigit():
+            digits += self._get()
+        if not digits:
+            raise ParseError("Expected integer after '~'", start)
+        dist = int(digits)
+        if dist < 1 or dist > 2:
+            raise ParseError(f"fuzzy distance {dist} out of range 1..2", start)
+        return Fuzzy(node.text, node.stream, node.boost, dist)
 
     def _with_boost(self, node: Node) -> Node:
         """Optional ``^number`` suffix — the Lucene-style query-time
@@ -159,6 +183,8 @@ class QueryParser:
             boost = float(self.text[start : self.pos])
         except ValueError:
             raise ParseError("Bad boost value", start) from None
+        if isinstance(node, Fuzzy):
+            return Fuzzy(node.text, node.stream, boost, node.dist)
         if isinstance(node, Term):
             return Term(node.text, node.stream, boost)
         return Phrase(node.tokens, node.stream, boost)
