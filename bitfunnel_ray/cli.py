@@ -91,6 +91,32 @@ def cmd_chunks_import(args):
     print(json.dumps({"out": args.out, "status": "ok"}))
 
 
+def cmd_warc_import(args):
+    """Ingest WARC files (Common Crawl interchange, sources/warc.py)
+    into a parquet pages table (url, warc_ts_s, html)."""
+    import glob as _glob
+
+    from bitfunnel_ray.sources.warc import pages_from_warc
+
+    paths = sorted(
+        _glob.glob(os.path.join(args.warc, "*.warc"))
+        + _glob.glob(os.path.join(args.warc, "*.warc.gz"))
+    ) or args.warc
+    pages_from_warc(paths).write_parquet(args.out)
+    print(json.dumps({"out": args.out, "status": "ok"}))
+
+
+def cmd_warc_export(args):
+    """Export a parquet pages table (url, warc_ts_s, html) as WARC
+    resource records (optionally gzipped)."""
+    import ray.data as rd
+
+    from bitfunnel_ray.sources.warc import write_warc
+
+    n = write_warc(rd.read_parquet(args.pages), args.out, compress=args.gzip)
+    print(json.dumps({"out": args.out, "files": n, "status": "ok"}))
+
+
 def cmd_diff(args):
     """Re-crawl delta between two corpora: added/removed/changed doc
     counts (and optional per-doc parquet)."""
@@ -987,6 +1013,17 @@ def main(argv=None):
     s.add_argument("corpus")
     s.add_argument("out")
     s.set_defaults(fn=cmd_chunks_export, needs_ray=True)
+
+    s = sub.add_parser("warc-import")
+    s.add_argument("warc")
+    s.add_argument("out")
+    s.set_defaults(fn=cmd_warc_import, needs_ray=True)
+
+    s = sub.add_parser("warc-export")
+    s.add_argument("pages")
+    s.add_argument("out")
+    s.add_argument("--gzip", action="store_true")
+    s.set_defaults(fn=cmd_warc_export, needs_ray=True)
 
     s = sub.add_parser("chunks-import")
     s.add_argument("chunks")

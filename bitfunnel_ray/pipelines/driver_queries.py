@@ -3276,6 +3276,33 @@ SELECT DISTINCT doc_id FROM toks WHERE term LIKE '%n'
 """
 
 
+def q_regexp_search(sf_dir):
+    """Regexp term query (the Lucene/ES regexp-query plan): the pattern
+    expands against the vocabulary — a streamed df-table scan with ONE
+    RE2 kernel call per block (pyarrow and DuckDB both bind RE2, so op
+    and oracle agree by construction) — and the expansion evaluates as
+    one indexed OR union, exactly like the wildcard plan."""
+    dft = document_frequency_table(
+        corpus_from_documents(sf_dir), EngineConfig(max_gram=1)
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.select(["term"]).filter(
+            pc.match_substring_regex(t["term"], r"^s.*(k|t)$")
+        )
+
+    terms = sorted(set(dft.map_batches(pick, batch_format="pyarrow").to_pandas()["term"]))
+    if not terms:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return _search_docs(sf_dir, " | ".join(terms))
+
+
+SQL_REGEXP_SEARCH = f"""
+WITH toks AS ({_tokens_sql()})
+SELECT DISTINCT doc_id FROM toks WHERE regexp_matches(term, '^s.*(k|t)$')
+"""
+
+
 def q_fuzzy_search(sf_dir):
     """Fuzzy query operator 'rowt~2 quary~1' (Lucene FuzzyQuery contract):
     each ~d term expands against the index vocabulary at exact edit
@@ -3536,6 +3563,69 @@ def q_chunk_roundtrip(sf_dir):
 
 
 SQL_CHUNK_ROUNDTRIP = "SELECT doc_id, text FROM documents"
+
+
+def q_warc_roundtrip(sf_dir):
+    """WARC interchange (ISO 28500, the Common Crawl format): synthesize
+    pages (url, warc_ts_s, html) from the documents table, write them as
+    WARC resource records, read them back through the record parser
+    (sources/warc.py — Content-Length framing, one task per file), and
+    return the pages — the oracle reconstructs the same synthesis in
+    SQL, so the round trip must be byte-identical."""
+    import tempfile
+
+    from bitfunnel_ray.sources.warc import pages_from_warc, write_warc
+
+    digits = np.array([str(d) for d in range(10)])
+
+    def make_pages(t: pa.Table) -> pa.Table:
+        i = t["doc_id"].to_numpy().astype(np.int64)
+        url = pc.binary_join_element_wise(
+            "https://h",
+            pa.array(digits[i % 4]),
+            ".example.org/doc/",
+            pa.array([f"{v:08d}" for v in i.tolist()]),
+            "",
+        )
+        html = pc.binary_join_element_wise(
+            "<html><body>", pc.cast(t["text"], pa.string()), "</body></html>", ""
+        )
+        return pa.table(
+            {
+                "url": url,
+                "warc_ts_s": pa.array(1700000000 + i * 7, pa.int64()),
+                "html": html.cast(pa.binary()),
+            }
+        )
+
+    pages = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(make_pages, batch_format="pyarrow")
+    out_dir = tempfile.mkdtemp(prefix="bfr_warc_")
+    write_warc(pages, out_dir)
+    import glob as _glob
+
+    back = pages_from_warc(sorted(_glob.glob(os.path.join(out_dir, "*.warc"))))
+
+    def to_out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "warc_ts_s": t["warc_ts_s"],
+                "html": t["html"].cast(pa.string()),
+            }
+        )
+
+    return back.map_batches(to_out, batch_format="pyarrow")
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT 'https://h' || CAST(doc_id % 4 AS VARCHAR) || '.example.org/doc/'
+         || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       1700000000 + doc_id * 7 AS warc_ts_s,
+       '<html><body>' || text || '</body></html>' AS html
+FROM documents
+"""
 
 
 def q_exact_phrase(sf_dir):
@@ -5423,11 +5513,13 @@ REGISTRY: dict[str, tuple] = {
     "exact_phrase": (q_exact_phrase, SQL_EXACT_PHRASE),
     "exact_phrase_indexed": (q_exact_phrase_indexed, SQL_EXACT_PHRASE),
     "chunk_roundtrip": (q_chunk_roundtrip, SQL_CHUNK_ROUNDTRIP),
+    "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
     "url_dedup": (q_url_dedup, _sql_url_dedup()),
     "lang_id": (q_lang_id, textstats.lang_id_sql()),
     "wildcard_search": (q_wildcard_search, SQL_WILDCARD_SEARCH),
     "fuzzy_search": (q_fuzzy_search, SQL_FUZZY_SEARCH),
+    "regexp_search": (q_regexp_search, SQL_REGEXP_SEARCH),
     "proximity_search": (q_proximity_search, SQL_PROXIMITY_SEARCH),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),

@@ -1,0 +1,198 @@
+"""WARC source/sink adapter (ISO 28500 / WARC 1.0 — the Common Crawl
+interchange format) for the pages schema ``(url, warc_ts, html)``.
+
+The reference ingests only its own NUL-delimited chunk files
+(src/Chunks/src/ChunkReader.cpp:42-100 — see sources/chunks.py for that
+adapter); web corpora, however, arrive as WARC.  This module reads
+``resource``/``response`` records into the canonical pages Dataset and
+writes pages back out as ``resource`` records, so the web-index pipeline
+(pipelines/webindex.py) can start from the format a crawler actually
+produces.
+
+Shape: one Ray task per WARC file in both directions (files are the
+natural parallel unit — Common Crawl ships ~1 GB segments); record
+framing is Content-Length driven (never a regex over payload bytes), so
+binary HTML with embedded CRLFs round-trips byte-identically.  Output
+file names derive from the block's first/last url hash — a Ray task
+retry overwrites its own file instead of duplicating records (same
+contract as the build's spill shards, build/builder.py).
+
+Gzip: ``.warc.gz`` files are read transparently (stdlib gzip handles the
+member-per-record framing Common Crawl uses as well as whole-file
+streams); ``write_warc(compress=True)`` writes one gzip stream per file.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import numpy as np
+import pyarrow as pa
+
+_CRLF = b"\r\n"
+_EPOCH = np.datetime64("1970-01-01T00:00:00", "s")
+
+
+def _format_warc_date(ts_s: int) -> str:
+    """Seconds since epoch → WARC-Date (ISO 8601, second precision)."""
+    return (
+        str(np.datetime64(int(ts_s), "s").astype("datetime64[s]")) + "Z"
+    )
+
+
+def _parse_warc_date(s: str) -> int:
+    return int((np.datetime64(s.rstrip("Z"), "s") - _EPOCH).astype(np.int64))
+
+
+def warc_record_bytes(url: str, ts_s: int, payload: bytes) -> bytes:
+    """One ``resource`` record.  The record id is derived from the url
+    hash (deterministic — a rewritten file is byte-identical, so retries
+    and resumes are idempotent at the byte level)."""
+    from bitfunnel_ray.functions.hashing import murmur64a
+
+    rid = f"<urn:bfr:{murmur64a(url) & 0xFFFFFFFFFFFFFFFF:016x}>"
+    head = (
+        b"WARC/1.0\r\n"
+        + b"WARC-Type: resource\r\n"
+        + b"WARC-Record-ID: " + rid.encode() + _CRLF
+        + b"WARC-Date: " + _format_warc_date(ts_s).encode() + _CRLF
+        + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        + b"Content-Type: text/html\r\n"
+        + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+        + _CRLF
+    )
+    return head + payload + _CRLF + _CRLF
+
+
+def parse_warc_buffer(data: bytes) -> list[tuple[str, int, bytes]]:
+    """Parse one WARC file's bytes → [(url, ts_s, payload)].
+
+    Framing is header-driven: read header lines to the blank line, take
+    exactly Content-Length payload bytes, skip the two record-separator
+    CRLFs.  Records without a WARC-Target-URI (``warcinfo``, request
+    records) are skipped; ``response`` records carrying an HTTP envelope
+    keep their full block as the payload (callers that need the entity
+    body strip HTTP headers downstream — extraction treats leading
+    headers as boilerplate anyway)."""
+    out: list[tuple[str, int, bytes]] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate extra separator CRLFs between records
+        while data.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            break
+        end_head = data.find(_CRLF + _CRLF, pos)
+        if end_head < 0:
+            raise ValueError(f"unterminated WARC header block at byte {pos}")
+        header = data[pos:end_head].decode("utf-8", errors="replace")
+        lines = header.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC version line at byte {pos}: {lines[0]!r}")
+        fields: dict[str, str] = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        length = int(fields["content-length"])
+        body_start = end_head + 4
+        payload = data[body_start : body_start + length]
+        if len(payload) != length:
+            raise ValueError(
+                f"truncated record at byte {pos}: want {length} payload bytes"
+            )
+        pos = body_start + length
+        url = fields.get("warc-target-uri")
+        if url is not None and fields.get("warc-type") in ("resource", "response"):
+            ts = _parse_warc_date(fields.get("warc-date", "1970-01-01T00:00:00Z"))
+            out.append((url, ts, payload))
+    return out
+
+
+def _read_file_bytes(path: str) -> bytes:
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def pages_from_warc(paths: str | list[str]) -> "ray.data.Dataset":
+    """Read WARC files into the pages schema
+    ``(url string, warc_ts_s int64, html binary)`` — one task per file."""
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        paths = [paths]
+
+    def load(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        tss: list[int] = []
+        payloads: list[bytes] = []
+        for p in t["item"].to_pylist():
+            for url, ts, payload in parse_warc_buffer(_read_file_bytes(p)):
+                urls.append(url)
+                tss.append(ts)
+                payloads.append(payload)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts_s": pa.array(tss, pa.int64()),
+                "html": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    # one row per path → one read task per file
+    return rd.from_items(sorted(paths)).repartition(len(paths)).map_batches(
+        load, batch_format="pyarrow", batch_size=None
+    )
+
+
+def write_warc(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts_s",
+    html_col: str = "html",
+    compress: bool = False,
+) -> int:
+    """Write pages as WARC files (one per block, atomic rename,
+    deterministic names).  Returns the file count."""
+    from bitfunnel_ray.functions.hashing import murmur64a
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"path": pa.array([], pa.string()), "n_docs": pa.array([], pa.int64())}
+            )
+        urls = t[url_col].to_pylist()
+        tss = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64).tolist()
+        payloads = t[html_col].to_pylist()
+        buf = bytearray()
+        for url, ts, payload in zip(urls, tss, payloads):
+            if payload is None:
+                payload = b""
+            elif isinstance(payload, str):
+                payload = payload.encode("utf-8")
+            buf += warc_record_bytes(url, ts, payload)
+        tag = (
+            f"{murmur64a(urls[0]) & 0xFFFFFFFFFFFFFFFF:016x}-"
+            f"{murmur64a(urls[-1]) & 0xFFFFFFFFFFFFFFFF:016x}-{len(urls)}"
+        )
+        name = f"warc-{tag}{ext}"
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        data = gzip.compress(bytes(buf), mtime=0) if compress else bytes(buf)
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table(
+            {"path": pa.array([name]), "n_docs": pa.array([len(urls)], pa.int64())}
+        )
+
+    out = ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
+    return out.count()
