@@ -3565,6 +3565,44 @@ def q_chunk_roundtrip(sf_dir):
 SQL_CHUNK_ROUNDTRIP = "SELECT doc_id, text FROM documents"
 
 
+def q_substring_dedup(sf_dir):
+    """Exact substring dedup (Lee et al. 2022 keep-first span strip,
+    ops/substrdedup.py): every duplicated 8-token window occurrence that
+    is not the corpus-wide first occurrence is removed; a token survives
+    iff no removed window covers it.  The 31-term synthetic vocabulary
+    makes natural window duplication plentiful — no planting needed."""
+    from bitfunnel_ray.ops.substrdedup import dedup_substrings
+
+    return dedup_substrings(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        k=8,
+    )
+
+
+def _substring_dedup_sql(k: int = 8) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+w AS (SELECT doc_id, unnest(range(1, len(l) - {k} + 2)) AS s, l FROM toks),
+w2 AS (SELECT doc_id, s, array_to_string(l[s:s+{k}-1], ' ') AS win FROM w),
+rem AS (SELECT doc_id, s FROM (
+          SELECT doc_id, s,
+                 row_number() OVER (PARTITION BY win ORDER BY doc_id, s) AS rn
+          FROM w2) WHERE rn > 1),
+tok AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS j FROM toks),
+kept AS (SELECT t.doc_id, t.j, t.term FROM tok t
+         WHERE NOT EXISTS (SELECT 1 FROM rem r
+                           WHERE r.doc_id = t.doc_id
+                             AND r.s BETWEEN t.j - {k} + 1 AND t.j)),
+agg AS (SELECT doc_id, string_agg(term, ' ' ORDER BY j) AS text
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.text, '') AS text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+SQL_SUBSTRING_DEDUP = _substring_dedup_sql()
+
+
 def q_warc_roundtrip(sf_dir):
     """WARC interchange (ISO 28500, the Common Crawl format): synthesize
     pages (url, warc_ts_s, html) from the documents table, write them as
@@ -5514,6 +5552,7 @@ REGISTRY: dict[str, tuple] = {
     "exact_phrase_indexed": (q_exact_phrase_indexed, SQL_EXACT_PHRASE),
     "chunk_roundtrip": (q_chunk_roundtrip, SQL_CHUNK_ROUNDTRIP),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
     "url_dedup": (q_url_dedup, _sql_url_dedup()),
     "lang_id": (q_lang_id, textstats.lang_id_sql()),
