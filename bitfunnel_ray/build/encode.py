@@ -47,7 +47,8 @@ DICT_SCHEMA = pa.schema(
 
 CODEC_VARINT = 0
 CODEC_PFOR = 1
-_CODEC_IDS = {"varint": CODEC_VARINT, "pfor": CODEC_PFOR}
+CODEC_EF = 2  # Elias–Fano (functions/ef.py)
+_CODEC_IDS = {"varint": CODEC_VARINT, "pfor": CODEC_PFOR, "ef": CODEC_EF}
 
 
 def _binary_from_stream(stream: np.ndarray, cell_ends: np.ndarray) -> pa.LargeBinaryArray:
@@ -193,18 +194,20 @@ def _encode_part(term_hash, gram_size, salt, doc_id, tf, doclen, avgdl, k1, b, b
             bs_chunk[m] = bs
             codec_chunk[m] = cd
     if codec_chunk.any():
-        # splice PFor-encoded doc-delta segments over the varint stream for
-        # the (few, long) chunks whose band chose the pfor codec
+        # splice PFor/EF-encoded doc-delta segments over the varint stream
+        # for the (few, long) chunks whose band chose a packed codec
+        from bitfunnel_ray.functions.ef import encode_ef
         from bitfunnel_ray.functions.pfor import encode_pfor
 
+        _encoders = {CODEC_PFOR: encode_pfor, CODEC_EF: encode_ef}
         sz = np.diff(np.concatenate([[0], docs_ends]))
         vstarts = docs_ends - sz
         new_sz = sz.copy()
         pieces = []
         cursor = 0
-        for j in np.flatnonzero(codec_chunk == CODEC_PFOR):
+        for j in np.flatnonzero(codec_chunk != CODEC_VARINT):
             pieces.append(docs_stream[cursor : vstarts[j]])
-            seg = encode_pfor(deltas[starts[j] : starts[j] + lens[j]])
+            seg = _encoders[int(codec_chunk[j])](deltas[starts[j] : starts[j] + lens[j]])
             pieces.append(seg)
             new_sz[j] = len(seg)
             cursor = int(docs_ends[j])
@@ -319,6 +322,10 @@ def decode_chunk(
         from bitfunnel_ray.functions.pfor import decode_pfor
 
         deltas = decode_pfor(buf, n_postings)
+    elif codec == CODEC_EF:
+        from bitfunnel_ray.functions.ef import decode_ef
+
+        deltas = decode_ef(buf, n_postings)
     else:
         deltas = varint.decode(buf, count=n_postings)
     doc_ids = np.cumsum(deltas, dtype=np.uint64)

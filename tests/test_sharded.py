@@ -259,3 +259,27 @@ def test_docvalues_and_aggs_parity(server, built):
     sa = field_stats(local, "spark join")
     sb = field_stats(eng, "spark join")
     assert sa.equals(sb)
+
+
+def test_fuzzy_parity(server, built):
+    """The fuzzy operator expands FRONT-side (shared QueryAlgebra
+    rewrite), so a sharded front with the vocabulary installed must be
+    result-identical to the local engine, scores included."""
+    import duckdb
+
+    vocab = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT DISTINCT unnest(string_split(text,' ')) FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    ]
+    local = SearchEngine(built, load_urls=False)
+    local.set_fuzzy_vocabulary(vocab)
+    eng = server.engine()
+    eng.set_fuzzy_vocabulary(vocab)
+    for q in ("rowt~2 join", "quary~1", "spark -quary~1"):
+        a = local.search(q, k=20)
+        b = eng.search(q, k=20)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
