@@ -1,0 +1,186 @@
+"""Index snapshot / restore — the Elasticsearch snapshot-repository
+analog over immutable segments.
+
+A snapshot is a content-verified copy of every file of every segment an
+index locator resolves to, plus a manifest recording (segment, file,
+bytes, sha256).  Because segments are immutable (additive ingest +
+compaction never rewrite a published file, build/merge.py), snapshots
+are naturally INCREMENTAL: a file already present in the repository
+with a matching digest is skipped, so a re-snapshot after one new
+ingest wave copies only the new wave's segment.
+
+Scale shape: one Ray task per segment directory (the natural parallel
+unit — segments are built independently and sized by the build's bucket
+count); each task streams its files and returns only (file, bytes,
+digest) manifest rows.  At cluster scale the destination is shared
+storage; the sandbox exercises the same code against a local path.
+
+Restore verifies every digest before publishing (atomic per-file
+tmp+rename, a final ``_RESTORED`` marker after the full set verifies),
+so a torn restore is never mistaken for a healthy index.
+
+Reference analog: none in-tree (the reference's TermTable/slice
+serialization at src/Index/src/TermTable.cpp:86-153 writes one process's
+in-memory state; it has no repository/copy tooling) — this is the
+operational layer its production users would need.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import pyarrow as pa
+
+from bitfunnel_ray.build.segment import load_manifest, resolve_segment_dirs
+
+_MANIFEST = "snapshot.json"
+_MARKER = "_RESTORED"
+
+
+def _iter_segment_files(seg_dir: str):
+    """Every regular file under a segment dir, repo-relative, sorted."""
+    for root, _dirs, files in os.walk(seg_dir):
+        for f in sorted(files):
+            if f.startswith("."):
+                continue  # in-flight tmp files are never part of a segment
+            p = os.path.join(root, f)
+            yield os.path.relpath(p, seg_dir), p
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    return h.hexdigest()
+
+
+def _copy_segment(seg_dir: str, dest_root: str, seg_name: str) -> list[dict]:
+    """Copy one segment into the repository (skip files already present
+    with a matching digest); return its manifest rows."""
+    rows = []
+    out_dir = os.path.join(dest_root, seg_name)
+    os.makedirs(out_dir, exist_ok=True)
+    for rel, src in _iter_segment_files(seg_dir):
+        digest = _sha256(src)
+        dst = os.path.join(out_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if not (os.path.exists(dst) and _sha256(dst) == digest):
+            tmp = dst + ".tmp"
+            shutil.copyfile(src, tmp)
+            if _sha256(tmp) != digest:  # torn source read / disk fault
+                os.unlink(tmp)
+                raise IOError(f"digest changed while copying {src}")
+            os.replace(tmp, dst)
+        rows.append(
+            {
+                "segment": seg_name,
+                "file": rel,
+                "bytes": os.path.getsize(src),
+                "sha256": digest,
+            }
+        )
+    return rows
+
+
+def snapshot_index(index_locator, snap_dir: str) -> dict:
+    """Snapshot every segment the locator resolves to into ``snap_dir``.
+    Returns {"segments": n, "files": n, "bytes": n}."""
+    import ray
+
+    seg_dirs = resolve_segment_dirs(index_locator)
+    os.makedirs(snap_dir, exist_ok=True)
+    names = []
+    for d in seg_dirs:
+        man = load_manifest(d)
+        # name segments by content identity (n_docs + doc span from the
+        # manifest + basename) so two snapshots of the same segment share
+        # repository files
+        names.append(f"{os.path.basename(os.path.normpath(d))}-{man['n_docs']}")
+
+    copy = ray.remote(num_cpus=0.5)(_copy_segment)
+    row_lists = ray.get(
+        [copy.remote(d, snap_dir, n) for d, n in zip(seg_dirs, names)]
+    )
+    all_rows = [r for rows in row_lists for r in rows]
+    manifest = {
+        "segments": names,
+        "files": all_rows,
+        "n_docs": sum(int(load_manifest(d)["n_docs"]) for d in seg_dirs),
+    }
+    tmp = os.path.join(snap_dir, "." + _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(snap_dir, _MANIFEST))
+    return {
+        "segments": len(names),
+        "files": len(all_rows),
+        "bytes": int(sum(r["bytes"] for r in all_rows)),
+    }
+
+
+def verify_snapshot(snap_dir: str) -> pa.Table:
+    """Re-digest every repository file against the manifest → one row per
+    mismatch/missing file (empty table = healthy)."""
+    with open(os.path.join(snap_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    bad_seg, bad_file, reason = [], [], []
+    for r in manifest["files"]:
+        p = os.path.join(snap_dir, r["segment"], r["file"])
+        if not os.path.exists(p):
+            bad_seg.append(r["segment"]); bad_file.append(r["file"]); reason.append("missing")
+        elif _sha256(p) != r["sha256"]:
+            bad_seg.append(r["segment"]); bad_file.append(r["file"]); reason.append("digest-mismatch")
+    return pa.table(
+        {
+            "segment": pa.array(bad_seg, pa.string()),
+            "file": pa.array(bad_file, pa.string()),
+            "reason": pa.array(reason, pa.string()),
+        }
+    )
+
+
+def restore_index(snap_dir: str, dest_root: str) -> list[str]:
+    """Restore a snapshot into ``dest_root`` (one subdirectory per
+    segment) and return the restored segment dirs.  Every file's digest
+    is verified BEFORE the marker publishes; a failed restore leaves no
+    marker and raises."""
+    bad = verify_snapshot(snap_dir)
+    if len(bad):
+        raise IOError(
+            f"snapshot {snap_dir} fails verification: "
+            + ", ".join(
+                f"{s}/{f} ({r})"
+                for s, f, r in zip(
+                    bad["segment"].to_pylist()[:3],
+                    bad["file"].to_pylist()[:3],
+                    bad["reason"].to_pylist()[:3],
+                )
+            )
+        )
+    with open(os.path.join(snap_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    os.makedirs(dest_root, exist_ok=True)
+    out_dirs = []
+    for seg in manifest["segments"]:
+        src = os.path.join(snap_dir, seg)
+        dst = os.path.join(dest_root, seg)
+        out_dirs.append(dst)
+        for r in [x for x in manifest["files"] if x["segment"] == seg]:
+            sp = os.path.join(src, r["file"])
+            dp = os.path.join(dst, r["file"])
+            os.makedirs(os.path.dirname(dp), exist_ok=True)
+            tmp = dp + ".tmp"
+            shutil.copyfile(sp, tmp)
+            if _sha256(tmp) != r["sha256"]:
+                os.unlink(tmp)
+                raise IOError(f"restore digest mismatch for {sp}")
+            os.replace(tmp, dp)
+        if load_manifest(dst) is None:
+            raise IOError(f"restored segment {dst} has no readable manifest")
+    with open(os.path.join(dest_root, _MARKER), "w") as f:
+        f.write(json.dumps({"snapshot": os.path.abspath(snap_dir)}))
+    return out_dirs

@@ -91,6 +91,41 @@ def cmd_chunks_import(args):
     print(json.dumps({"out": args.out, "status": "ok"}))
 
 
+def cmd_snapshot(args):
+    """Snapshot an index (any locator) into a repository directory —
+    incremental: unchanged segment files are skipped by digest."""
+    from bitfunnel_ray.build.snapshot import snapshot_index
+
+    res = snapshot_index(args.index, args.snap)
+    print(json.dumps({**res, "snap": args.snap, "status": "ok"}))
+
+
+def cmd_snapshot_verify(args):
+    """Re-digest every repository file against the snapshot manifest."""
+    from bitfunnel_ray.build.snapshot import verify_snapshot
+
+    bad = verify_snapshot(args.snap)
+    print(
+        json.dumps(
+            {
+                "snap": args.snap,
+                "bad_files": len(bad),
+                "status": "ok" if len(bad) == 0 else "corrupt",
+            }
+        )
+    )
+    return 0 if len(bad) == 0 else 1
+
+
+def cmd_restore(args):
+    """Restore a snapshot into a destination root (digest-verified,
+    atomic per file; prints the restored segment dirs)."""
+    from bitfunnel_ray.build.snapshot import restore_index
+
+    dirs = restore_index(args.snap, args.dest)
+    print(json.dumps({"dest": args.dest, "segments": dirs, "status": "ok"}))
+
+
 def cmd_warc_import(args):
     """Ingest WARC files (Common Crawl interchange, sources/warc.py)
     into a parquet pages table (url, warc_ts_s, html)."""
@@ -1013,6 +1048,20 @@ def main(argv=None):
     s.add_argument("corpus")
     s.add_argument("out")
     s.set_defaults(fn=cmd_chunks_export, needs_ray=True)
+
+    s = sub.add_parser("snapshot")
+    s.add_argument("index")
+    s.add_argument("snap")
+    s.set_defaults(fn=cmd_snapshot, needs_ray=True)
+
+    s = sub.add_parser("snapshot-verify")
+    s.add_argument("snap")
+    s.set_defaults(fn=cmd_snapshot_verify, needs_ray=False)
+
+    s = sub.add_parser("restore")
+    s.add_argument("snap")
+    s.add_argument("dest")
+    s.set_defaults(fn=cmd_restore, needs_ray=False)
 
     s = sub.add_parser("warc-import")
     s.add_argument("warc")

@@ -1,0 +1,73 @@
+"""Index snapshot/restore (build/snapshot.py): digest-verified copy,
+incremental re-snapshot, corruption detection, restored-index parity."""
+
+import json
+import os
+
+import pytest
+
+from bitfunnel_ray.build.builder import build_index
+from bitfunnel_ray.build.snapshot import restore_index, snapshot_index, verify_snapshot
+from bitfunnel_ray.config import EngineConfig
+from bitfunnel_ray.query.engine import SearchEngine
+from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, ray_session):
+    out = str(tmp_path_factory.mktemp("snap") / "seg")
+    build_index(corpus_from_documents(SF), out, EngineConfig(max_gram=2, num_buckets=4))
+    return out
+
+
+def test_snapshot_restore_parity(built, tmp_path):
+    snap = str(tmp_path / "repo")
+    res = snapshot_index(built, snap)
+    assert res["segments"] == 1 and res["files"] > 4 and res["bytes"] > 0
+    assert len(verify_snapshot(snap)) == 0
+
+    # incremental: a second snapshot of the same index copies nothing new
+    # (manifest rewrites, repository files are digest-skipped)
+    mtimes = {
+        p: os.path.getmtime(os.path.join(r, p2))
+        for r, _d, fs in os.walk(snap)
+        for p2 in fs
+        for p in [os.path.join(r, p2)]
+        if not p2.endswith(".json")
+    }
+    snapshot_index(built, snap)
+    for p, m in mtimes.items():
+        assert os.path.getmtime(p) == m, f"{p} was rewritten"
+
+    dest = str(tmp_path / "restored")
+    dirs = restore_index(snap, dest)
+    assert os.path.exists(os.path.join(dest, "_RESTORED"))
+    a = SearchEngine(built, load_urls=False)
+    b = SearchEngine(dirs, load_urls=False)
+    for q in ("spark join", "merge | window", "table -join", '"batch batch"'):
+        ra, rb = a.search(q, k=10), b.search(q, k=10)
+        assert ra["doc_id"].to_pylist() == rb["doc_id"].to_pylist(), q
+        assert ra["score"].to_pylist() == rb["score"].to_pylist(), q
+
+
+def test_corruption_detected_and_restore_refuses(built, tmp_path):
+    snap = str(tmp_path / "repo")
+    snapshot_index(built, snap)
+    with open(os.path.join(snap, "snapshot.json")) as f:
+        manifest = json.load(f)
+    victim = next(
+        r for r in manifest["files"] if r["file"].startswith("dict-")
+    )
+    p = os.path.join(snap, victim["segment"], victim["file"])
+    with open(p, "r+b") as f:
+        f.seek(10)
+        f.write(b"\xde\xad")
+    bad = verify_snapshot(snap)
+    assert len(bad) == 1 and bad["reason"][0].as_py() == "digest-mismatch"
+    with pytest.raises(IOError, match="verification"):
+        restore_index(snap, str(tmp_path / "restored"))
+    # a missing file is reported too
+    os.unlink(p)
+    assert verify_snapshot(snap)["reason"][0].as_py() == "missing"
