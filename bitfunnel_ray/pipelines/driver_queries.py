@@ -2738,6 +2738,19 @@ def q_ann_ivf_topk(sf_dir):
     return ann.ivf_topk(emb, _ann_query_matrix(sf_dir), k=10, n_clusters=8, nprobe=3)
 
 
+def q_ann_pq_topk(sf_dir):
+    """PQ ANN (ops/pq.py): 32-byte codes (8x compression of the raw
+    float32 vectors), ADC scan over the codes dataset, exact-cosine
+    refine of the top-50 candidates — the memory-compressed scale path
+    of the ANN family."""
+    from bitfunnel_ray.ops.pq import encode_pq, pq_topk, train_pq
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    books = train_pq(emb, m=32, ks=16, n_iter=6)
+    codes = encode_pq(emb, books)
+    return pq_topk(codes, books, _ann_query_matrix(sf_dir), k=10, refine=50, embeddings=emb)
+
+
 def q_multimodal_features(sf_dir):
     from bitfunnel_ray.ops.multimodal import extract_features, html_to_media
 
@@ -5661,6 +5674,7 @@ REGISTRY: dict[str, tuple] = {
     "fingerprint": (q_fingerprint, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_pq_topk": (q_ann_pq_topk, None),
     "multimodal_features": (q_multimodal_features, None),
     "dedup_canonical": (q_dedup_canonical, None),
     "distinct_terms_hll": (q_distinct_terms_hll, None),
