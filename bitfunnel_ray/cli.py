@@ -411,7 +411,18 @@ def cmd_webindex(args):
 
     from bitfunnel_ray.pipelines.webindex import build_web_index
 
-    pages = rd.read_parquet(args.pages)
+    if args.from_warc:
+        import glob as _glob
+
+        from bitfunnel_ray.sources.warc import assign_doc_ids, pages_from_warc
+
+        paths = sorted(
+            _glob.glob(os.path.join(args.pages, "*.warc"))
+            + _glob.glob(os.path.join(args.pages, "*.warc.gz"))
+        ) or args.pages
+        pages = assign_doc_ids(pages_from_warc(paths))
+    else:
+        pages = rd.read_parquet(args.pages)
     blocked = tuple(args.disallow or ())
     manifest, rank_path = build_web_index(
         pages, args.index, blocked_prefixes=blocked, pagerank_iters=args.iters
@@ -967,6 +978,8 @@ def main(argv=None):
     s.add_argument("pages"); s.add_argument("index")
     s.add_argument("--disallow", action="append", help="robots Disallow URL prefix (repeatable)")
     s.add_argument("--iters", type=int, default=3)
+    s.add_argument("--from-warc", action="store_true",
+                   help="PAGES is a directory of WARC files (Common Crawl interchange)")
     s.set_defaults(fn=cmd_webindex, needs_ray=True)
 
     s = sub.add_parser("explain")

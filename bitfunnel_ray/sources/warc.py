@@ -149,6 +149,31 @@ def pages_from_warc(paths: str | list[str]) -> "ray.data.Dataset":
     )
 
 
+def assign_doc_ids(pages: "ray.data.Dataset", url_col: str = "url") -> "ray.data.Dataset":
+    """Give WARC pages the canonical corpus schema: ``doc_id`` derived
+    from the url hash (murmur64a masked to 63 bits so the id stays
+    positive through int64 columns), plus a ``warc_ts`` timestamp column
+    for the doc-values fast field.  Hash-derived ids are STABLE across
+    re-crawls — the same url maps to the same doc_id in every import, so
+    corpus_diff/drift comparisons work without an id-mapping join.
+    Collisions are ~n²/2^64 (union of 10^11 urls: ~5e-4 expected) and
+    surface loudly downstream as duplicate-doc-id manifest errors."""
+
+    def add_ids(t: pa.Table) -> pa.Table:
+        from bitfunnel_ray.functions.hashing import hash_terms
+
+        urls = np.asarray(t[url_col].to_pylist(), dtype=object)
+        ids = (hash_terms(urls) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        cols = {"doc_id": pa.array(ids, pa.int64())}
+        for c in t.column_names:
+            cols[c] = t[c]
+        if "warc_ts_s" in t.column_names:
+            cols["warc_ts"] = t["warc_ts_s"].cast(pa.timestamp("s"))
+        return pa.table(cols)
+
+    return pages.map_batches(add_ids, batch_format="pyarrow")
+
+
 def write_warc(
     ds: "ray.data.Dataset",
     out_dir: str,

@@ -91,3 +91,18 @@ def test_dataset_roundtrip(tmp_path, ray_session, compress):
         with open(paths[0], "rb") as f:
             raw = gzip.decompress(f.read())
         assert raw.startswith(b"WARC/1.0\r\n")
+
+
+def test_assign_doc_ids_stable_and_positive(ray_session):
+    from bitfunnel_ray.sources.warc import assign_doc_ids
+
+    pages = rd.from_items(
+        [{"url": f"https://x.org/{i}", "warc_ts_s": 1700000000 + i,
+          "html": b"<html>x</html>"} for i in range(50)]
+    )
+    a = assign_doc_ids(pages).to_pandas().sort_values("url").reset_index(drop=True)
+    b = assign_doc_ids(pages).to_pandas().sort_values("url").reset_index(drop=True)
+    assert (a["doc_id"] == b["doc_id"]).all()          # stable across imports
+    assert (a["doc_id"] >= 0).all()                     # 63-bit mask
+    assert a["doc_id"].nunique() == len(a)              # no collisions here
+    assert str(a["warc_ts"].dtype).startswith("datetime64")
