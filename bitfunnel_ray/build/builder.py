@@ -296,6 +296,9 @@ class TokenizeSpill:
         self.spill_dir = spill_dir
         self.meta_dir = meta_dir
         self.stats_dir = stats_dir
+        # stored-fields sidecar (build/docstore.py) — staged beside the
+        # docmeta tmp dir and published atomically with it
+        self.store_dir = (meta_dir + "-docstore") if cfg.store_fields else None
         # lz4 IPC by default — 2M-doc interleaved A/B: at 32-way
         # concurrency the RAM-backed spill is memory-bandwidth-bound and
         # lz4 halves the spill stage (18.7 s -> 8.8 s) while costing ~4%
@@ -340,6 +343,23 @@ class TokenizeSpill:
             os.makedirs(self.stats_dir, exist_ok=True)
             _pq.write_table(
                 stats_tbl, os.path.join(self.stats_dir, f"part-{batch_tag}.parquet")
+            )
+        if self.store_dir and len(batch):
+            # stored-fields sidecar (build/docstore.py): doc_id-sorted so
+            # parquet row-group stats give tight ranges for point lookups;
+            # same retry-overwrite naming as docmeta
+            cols = {"doc_id": batch["doc_id"].cast(pa.int64())}
+            for f in self.tp.cfg.store_fields:
+                if f in batch.column_names:
+                    cols[f] = batch[f]
+            store = pa.table(cols).sort_by("doc_id")
+            os.makedirs(self.store_dir, exist_ok=True)
+            _pq.write_table(
+                store,
+                os.path.join(self.store_dir, f"part-{batch_tag}.parquet"),
+                # small row groups = the point-lookup pruning unit; 2048
+                # text rows ≈ a few MB — one seek's worth per fetch hit
+                row_group_size=int(self.tp.cfg.extra.get("docstore_row_group", 2048)),
             )
         if len(postings):
             out_b, out_n = _spill_bucket_shards(
@@ -652,6 +672,12 @@ def build_index(
     # three); the in-memory-exchange path and the resume-with-all-buckets
     # path still need docmeta + totals up front.
     fused = shuffle_mode != "ray" and len(done) < cfg.num_buckets
+    if cfg.store_fields and shuffle_mode == "ray":
+        raise ValueError(
+            "store_fields needs the fused external-shuffle build (the "
+            "docstore sidecar is written by the spill pass); drop "
+            'extra={"shuffle": "ray"} or the store_fields'
+        )
     n_docs = sum_dl = None
     avgdl = 1.0
     t1 = t0
@@ -777,6 +803,7 @@ def build_index(
             os.makedirs(spill_dir, exist_ok=True)
             meta_tmp = meta_dir + ".tmp"
             _shutil.rmtree(meta_tmp, ignore_errors=True)
+            _shutil.rmtree(meta_tmp + "-docstore", ignore_errors=True)
             stats_dir = cfg.extra.get("fused_stats_dir")
             try:
                 ok = False
@@ -786,6 +813,10 @@ def build_index(
                     + [c for c in ("url", "warc_ts") if c in schema_names]
                     + stream_cols
                 )
+                sel += [
+                    c for c in cfg.store_fields
+                    if c in schema_names and c not in sel
+                ]
                 # docs per map task: pins the spill-shard count (and the
                 # per-shard size) independent of input block layout and CPU
                 # count — identical work shape at every parallelism.  The
@@ -849,6 +880,22 @@ def build_index(
                     )
                 _shutil.rmtree(meta_dir, ignore_errors=True)
                 os.replace(meta_tmp, meta_dir)
+                store_tmp = meta_tmp + "-docstore"
+                if cfg.store_fields and os.path.isdir(store_tmp):
+                    # same exactly-once cross-check as docmeta
+                    store_rows = sum(
+                        pq.ParquetFile(os.path.join(store_tmp, f)).metadata.num_rows
+                        for f in os.listdir(store_tmp)
+                        if f.endswith(".parquet")
+                    )
+                    if store_rows != n_docs:
+                        raise RuntimeError(
+                            f"docstore rows ({store_rows}) != ack n_docs ({n_docs}) — "
+                            "duplicate or lost docstore shard; refusing to publish"
+                        )
+                    store_dir = os.path.join(out_dir, "docstore")
+                    _shutil.rmtree(store_dir, ignore_errors=True)
+                    os.replace(store_tmp, store_dir)
                 with open(meta_done, "w") as f:
                     f.write("ok")
                 # per-bucket expected row counts: the encode side cross-checks
@@ -951,6 +998,7 @@ def build_index(
                 if not ok:
                     _shutil.rmtree(spill_dir, ignore_errors=True)
                 _shutil.rmtree(meta_tmp, ignore_errors=True)
+                _shutil.rmtree(meta_tmp + "-docstore", ignore_errors=True)
 
     def _finalize(bucket_stats: "list[dict]") -> dict:
         manifest = {
@@ -970,6 +1018,7 @@ def build_index(
                 "salt_shift": cfg.salt_shift,
                 "streams": [list(s) for s in cfg.streams],
                 "facts": [list(f) for f in cfg.facts],
+                "store_fields": list(cfg.store_fields),
             },
             "n_head_terms": n_head_terms,
             "input_files": input_files[:4096],

@@ -91,6 +91,16 @@ def cmd_chunks_import(args):
     print(json.dumps({"out": args.out, "status": "ok"}))
 
 
+def cmd_fetch(args):
+    """Stored-field point lookup (ES GET _source analog): print the
+    docstore rows for the given doc ids."""
+    from bitfunnel_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(args.index, load_urls=False)
+    t = eng.fetch([int(d) for d in args.doc_ids])
+    print(t.to_pandas().to_string(index=False))
+
+
 def cmd_snapshot(args):
     """Snapshot an index (any locator) into a repository directory —
     incremental: unchanged segment files are skipped by digest."""
@@ -1061,6 +1071,11 @@ def main(argv=None):
     s.add_argument("corpus")
     s.add_argument("out")
     s.set_defaults(fn=cmd_chunks_export, needs_ray=True)
+
+    s = sub.add_parser("fetch")
+    s.add_argument("index")
+    s.add_argument("doc_ids", nargs="+")
+    s.set_defaults(fn=cmd_fetch, needs_ray=False)
 
     s = sub.add_parser("snapshot")
     s.add_argument("index")

@@ -82,4 +82,11 @@ class EngineConfig:
     # Tuple of (fact_name, corpus_column) pairs.
     facts: tuple = ()
 
+    # stored fields (the Lucene stored-field / ES _source analog): corpus
+    # columns copied into a per-segment docstore/ parquet sidecar during
+    # the build's single corpus pass, served by doc id with row-group
+    # pruning (build/docstore.py).  Empty = nothing stored (serving that
+    # needs text re-reads the corpus, as before).
+    store_fields: tuple = ()
+
     extra: dict = field(default_factory=dict, compare=False)

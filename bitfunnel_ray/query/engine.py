@@ -927,6 +927,19 @@ class SearchEngine(QueryAlgebra):
         self._docvalues.clear()
         return len(new)
 
+    # --- stored fields (ES _source analog) ---------------------------------
+    _docstore = None
+
+    def fetch(self, doc_ids, fields: "list[str] | None" = None) -> pa.Table:
+        """Stored-field rows for ``doc_ids`` — row-group-pruned point
+        lookups over the segments' docstore sidecars (build/docstore.py);
+        requires a build with ``EngineConfig(store_fields=...)``."""
+        if self._docstore is None:
+            from bitfunnel_ray.build.docstore import DocStore
+
+            self._docstore = DocStore([s.dir for s in self.segments])
+        return self._docstore.fetch(doc_ids, fields)
+
     # --- doc values (numeric fast fields) ----------------------------------
     def docvalue(self, col: str) -> np.ndarray:
         """float64 doc-values array aligned with ``all_docs`` (NaN where the

@@ -1,0 +1,82 @@
+"""Stored fields (build/docstore.py + EngineConfig.store_fields):
+byte-identical fetch, row-group pruning, exactly-once under the
+docstore cross-check."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from bitfunnel_ray.build.builder import build_index
+from bitfunnel_ray.build.docstore import DocStore
+from bitfunnel_ray.config import EngineConfig
+from bitfunnel_ray.query.engine import SearchEngine
+from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, ray_session):
+    out = str(tmp_path_factory.mktemp("ds") / "seg")
+    build_index(
+        corpus_from_documents(SF),
+        out,
+        EngineConfig(
+            max_gram=2,
+            num_buckets=4,
+            store_fields=("text", "lang"),
+            extra={"docstore_row_group": 128},
+        ),
+    )
+    return out
+
+
+def test_fetch_byte_identical(built):
+    eng = SearchEngine(built, load_urls=False)
+    src = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"])
+    want = {int(i): (t, s) for i, t, s in zip(
+        src["doc_id"].to_pylist(), src["text"].to_pylist(), src["lang"].to_pylist()
+    )}
+    ids = [3, 99, 250, 499]
+    got = eng.fetch(ids)
+    assert got["doc_id"].to_pylist() == sorted(ids)
+    for i, t, s in zip(got["doc_id"].to_pylist(), got["text"].to_pylist(), got["lang"].to_pylist()):
+        assert (t, s) == want[i]
+    # field projection
+    only_text = eng.fetch([3], fields=["text"])
+    assert only_text.column_names == ["doc_id", "text"]
+    # absent ids are simply missing
+    assert len(eng.fetch([10**12])) == 0
+    # total row parity: every doc is fetchable exactly once
+    all_ids = list(want)
+    assert len(eng.fetch(all_ids)) == len(all_ids)
+
+
+def test_rowgroup_pruning(built):
+    store = DocStore(built)
+    total_rgs = len(store.entries)
+    assert total_rgs >= 2  # multiple parts/row groups to prune between
+    store.fetch([0])
+    assert store.rowgroups_read < total_rgs  # a 1-doc fetch must not scan all
+
+
+def test_search_then_fetch_roundtrip(built):
+    """The serving flow: top-k search, then render stored text for the
+    page of results."""
+    eng = SearchEngine(built, load_urls=False)
+    top = eng.search("table join", k=5)
+    rows = eng.fetch(top["doc_id"].to_pylist(), fields=["text"])
+    assert len(rows) == 5
+    for txt in rows["text"].to_pylist():
+        assert "table" in txt and "join" in txt
+
+
+def test_no_docstore_raises(tmp_path, ray_session):
+    out = str(tmp_path / "plain")
+    build_index(corpus_from_documents(SF), out, EngineConfig(max_gram=1, num_buckets=2))
+    eng = SearchEngine(out, load_urls=False)
+    with pytest.raises(FileNotFoundError, match="docstore"):
+        eng.fetch([1])
+    assert not os.path.isdir(os.path.join(out, "docstore"))
