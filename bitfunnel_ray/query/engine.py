@@ -246,6 +246,22 @@ class QueryAlgebra:
 
         self.fuzzy_matcher = VocabFuzzyMatcher(terms)
 
+    # --- result cache -------------------------------------------------------
+    # bounded LRU over (query, k) for the static-argument search path; a
+    # hit skips parse/eval/score entirely.  Engines clear it on refresh()
+    # (new segments change results) — the standard serving-tier cache with
+    # NRT invalidation.
+    _result_cache = None
+
+    def enable_result_cache(self, cap: int = 1024) -> None:
+        from bitfunnel_ray.query.sharded import LruCache
+
+        self._result_cache = LruCache(int(cap))
+
+    def _invalidate_result_cache(self) -> None:
+        if self._result_cache is not None:
+            self.enable_result_cache(self._result_cache.cap)
+
     def _parse_rewritten(
         self, query: str, synonyms: dict[str, tuple[str, ...]] | None = None
     ) -> "ast.Node":
@@ -561,6 +577,17 @@ class QueryAlgebra:
         ``synonyms`` maps a term to its expansion group (see
         ``ast.expand_synonyms``): each matching unigram becomes an OR of
         its group, scored as an ordinary disjunction."""
+        cacheable = (
+            self._result_cache is not None
+            and after is None
+            and synonyms is None
+            and range_filter is None
+            and sort_by is None
+        )
+        if cacheable:
+            hit = self._result_cache.get((query, k))
+            if hit is not None:
+                return hit
         node = self._parse_rewritten(query, synonyms)
         matches = self.eval(node)
         if range_filter is not None:
@@ -600,7 +627,10 @@ class QueryAlgebra:
         if self.urls is not None:
             pos = np.searchsorted(self.all_docs, doc_ids)
             cols["url"] = pa.array(self.urls[pos].tolist(), pa.string())
-        return pa.table(cols)
+        out = pa.table(cols)
+        if cacheable:
+            self._result_cache.put((query, k), out)
+        return out
 
     def match_count(self, query: str) -> int:
         return int(len(self.eval(self._parse_rewritten(query))))
@@ -921,10 +951,13 @@ class SearchEngine(QueryAlgebra):
         self.all_docs = ids[order]
         if self._load_urls:
             self.urls = np.asarray(meta["url"].to_pylist(), dtype=object)[order]
-        # decoded postings merge ACROSS segments and doc values align to
-        # all_docs — both caches are stale now
+        # decoded postings merge ACROSS segments, doc values align to
+        # all_docs, cached results and the docstore footer index cover the
+        # old segment set — all stale now
         self._cache.clear()
         self._docvalues.clear()
+        self._docstore = None
+        self._invalidate_result_cache()
         return len(new)
 
     # --- stored fields (ES _source analog) ---------------------------------

@@ -45,16 +45,10 @@ def result_snippets(
         if not m.any():
             return empty
         sub = t.filter(pa.array(m))
-        out_ids, out_snips = [], []
-        # ≤ k rows reach this loop per batch — python is fine here
-        for doc_id, text in zip(sub["doc_id"].to_pylist(), sub["text"].to_pylist()):
-            toks = (text or "").split()
-            first = next((i for i, w in enumerate(toks) if w in term_set), None)
-            if first is None:
-                continue
-            lo = max(0, first - before)
-            out_ids.append(int(doc_id))
-            out_snips.append(" ".join(toks[lo : first + after + 1]))
+        # ≤ k rows reach the window loop per batch — python is fine here
+        out_ids, out_snips = _window_snippets(
+            sub["doc_id"].to_pylist(), sub["text"].to_pylist(), term_set, before, after
+        )
         return pa.table(
             {
                 "doc_id": pa.array(out_ids, pa.int64()),
@@ -67,5 +61,55 @@ def result_snippets(
     )
     tables = [x for x in ray.get(snip_ds.to_arrow_refs()) if len(x)]
     snips = pa.concat_tables(tables) if tables else empty
+    snips = snips.set_column(
+        0, "doc_id", snips["doc_id"].cast(results.schema.field("doc_id").type)
+    )
+    joined = results.join(snips, keys="doc_id", join_type="inner")
+    return joined.sort_by("rank").select(["rank", "doc_id", "score", "snippet"])
+
+
+def _window_snippets(ids, texts, term_set, before: int, after: int):
+    out_ids, out_snips = [], []
+    for doc_id, text in zip(ids, texts):
+        toks = (text or "").split()
+        first = next((i for i, w in enumerate(toks) if w in term_set), None)
+        if first is None:
+            continue
+        lo = max(0, first - before)
+        out_ids.append(int(doc_id))
+        out_snips.append(" ".join(toks[lo : first + after + 1]))
+    return out_ids, out_snips
+
+
+def result_snippets_stored(
+    engine,
+    results: pa.Table,
+    terms,
+    *,
+    before: int = 5,
+    after: int = 9,
+) -> pa.Table:
+    """``result_snippets`` served from the docstore instead of a corpus
+    scan: fetch the k result docs' stored text (row-group-pruned point
+    lookups, build/docstore.py) and window them driver-side — the
+    per-query serving path, no Dataset launch, no corpus read.  Same
+    output contract as the scan variant (equality pytest)."""
+    stored = engine.fetch(results["doc_id"].to_pylist(), fields=["text"])
+    out_ids, out_snips = _window_snippets(
+        stored["doc_id"].to_pylist(),
+        stored["text"].to_pylist(),
+        frozenset(terms),
+        before,
+        after,
+    )
+    snips = pa.table(
+        {
+            # match the results table's id type (engines emit uint64)
+            "doc_id": pa.array(out_ids, pa.int64()).cast(
+                results.schema.field("doc_id").type
+            ),
+            "snippet": pa.array(out_snips, pa.string()),
+        }
+    )
     joined = results.join(snips, keys="doc_id", join_type="inner")
     return joined.sort_by("rank").select(["rank", "doc_id", "score", "snippet"])

@@ -80,3 +80,37 @@ def test_no_docstore_raises(tmp_path, ray_session):
     with pytest.raises(FileNotFoundError, match="docstore"):
         eng.fetch([1])
     assert not os.path.isdir(os.path.join(out, "docstore"))
+
+
+def test_stored_snippets_equal_scan(built, ray_session):
+    import ray.data as rd
+
+    from bitfunnel_ray.query.snippets import result_snippets, result_snippets_stored
+
+    eng = SearchEngine(built, load_urls=False)
+    top = eng.search("table join", k=5)
+    corpus = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    a = result_snippets(corpus, top, ["table", "join"])
+    b = result_snippets_stored(eng, top, ["table", "join"])
+    assert a.equals(b)
+
+
+def test_result_cache_hit_and_invalidation(built):
+    eng = SearchEngine(built, load_urls=False)
+    cold = eng.search("table join", k=5)
+    eng.enable_result_cache(cap=2)
+    m1 = eng.search("table join", k=5)
+    assert m1 is eng.search("table join", k=5)  # second call is the cached object
+    assert m1.equals(cold)
+    # dynamic-argument paths bypass the cache
+    cur = (m1["score"][-1].as_py(), m1["doc_id"][-1].as_py())
+    p2 = eng.search("table join", k=5, after=cur)
+    assert p2 is not m1
+    # LRU eviction at cap=2
+    eng.search("merge | window", k=5)
+    eng.search("batch", k=5)  # evicts "table join"
+    assert eng.search("table join", k=5) is not m1
+    # refresh clears the cache (NRT invalidation)
+    warm = eng.search("batch", k=5)
+    eng.refresh()
+    assert eng.search("batch", k=5).equals(warm)
