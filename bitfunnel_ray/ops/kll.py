@@ -196,3 +196,102 @@ def kll_quantiles(
             "value": pa.array([s.quantile(q) for q in quantiles], pa.float64()),
         }
     )
+
+
+def grouped_kll_quantiles(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    group_col: str,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    k: int = 200,
+) -> pa.Table:
+    """Per-group approximate quantiles — the unbounded-domain counterpart
+    of ``grouped_percentiles`` (ops/quantiles.py): each block builds one
+    KLL per group IT sees, the exchange moves only (group, level, values)
+    sketch rows (O(k log n) per group per block, never the value column),
+    and the per-group finish merges co-located sketches.  Returns
+    (group, q, value) sorted."""
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    def per_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "grp": pa.array([], pa.string()),
+                "level": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "values": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        import pyarrow.compute as pc
+
+        g = pc.dictionary_encode(
+            t[group_col].cast(pa.string()).combine_chunks()
+            if isinstance(t[group_col], pa.ChunkedArray)
+            else t[group_col].cast(pa.string())
+        )
+        idx = g.indices.to_numpy()
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = []
+        for gi, name in enumerate(g.dictionary.to_pylist()):
+            s = KLL(k)
+            s.update_many(vals[idx == gi])
+            rows = s.to_rows()
+            out.append(
+                rows.add_column(0, "grp", pa.array([name] * len(rows), pa.string()))
+            )
+        return pa.concat_tables(out) if out else empty
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "grp": pa.array([], pa.string()),
+                "q": pa.array([], pa.float64()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        out_g, out_q, out_v = [], [], []
+        import pyarrow.compute as pc
+
+        for name in pc.unique(t["grp"]).to_pylist():
+            sub = t.filter(pc.equal(t["grp"], name))
+            s = KLL.from_rows(sub.drop_columns(["grp"]), k)
+            for q in quantiles:
+                out_g.append(name)
+                out_q.append(q)
+                out_v.append(s.quantile(q))
+        return pa.table(
+            {
+                "grp": pa.array(out_g, pa.string()),
+                "q": pa.array(out_q, pa.float64()),
+                "value": pa.array(out_v, pa.float64()),
+            }
+        )
+
+    import ray
+
+    rows = ds.select_columns([group_col, value_col]).map_batches(
+        per_block, batch_format="pyarrow"
+    )
+    n_blocks = tune_hash_shuffle(rows.context)
+    per_group = rows.repartition(num_blocks=n_blocks, keys=["grp"]).map_batches(
+        finish, batch_size=None, batch_format="pyarrow"
+    )
+    tables = [x for x in ray.get(per_group.to_arrow_refs()) if len(x)]
+    out = (
+        pa.concat_tables(tables)
+        if tables
+        else pa.table(
+            {
+                "grp": pa.array([], pa.string()),
+                "q": pa.array([], pa.float64()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    )
+    return out.rename_columns([group_col, "q", "value"]).sort_by(
+        [(group_col, "ascending"), ("q", "ascending")]
+    )

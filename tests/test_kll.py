@@ -78,3 +78,21 @@ def test_dataset_path_vs_exact(ray_session):
     empty = rd.from_items([]) if False else docs.filter(lambda r: False)
     s = kll_sketch(empty, "n_chars", k=64)
     assert s.n == 0 and np.isnan(s.quantile(0.5))
+
+
+def test_grouped_kll_vs_exact(ray_session):
+    from bitfunnel_ray.ops.kll import grouped_kll_quantiles
+
+    docs = rd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                           columns=["lang", "n_chars"])
+    t = grouped_kll_quantiles(docs, "n_chars", "lang", quantiles=(0.5, 0.9), k=300)
+    import pandas as pd
+
+    src = pd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                          columns=["lang", "n_chars"])
+    groups = sorted(src["lang"].unique())
+    assert t["lang"].to_pylist() == [g for g in groups for _ in range(2)]
+    for lang, q, v in zip(t["lang"].to_pylist(), t["q"].to_pylist(), t["value"].to_pylist()):
+        vals = np.sort(src[src["lang"] == lang]["n_chars"].to_numpy())
+        true_rank = np.searchsorted(vals, v, side="right") / len(vals)
+        assert abs(true_rank - q) < 0.03, (lang, q, v, true_rank)
