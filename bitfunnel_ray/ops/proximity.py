@@ -196,3 +196,97 @@ def indexed_proximity_search(
     return corpus.select_columns(["doc_id", "text"]).map_batches(
         batch, batch_format="pyarrow"
     )
+
+
+def _span_batch(t: pa.Table, *, terms: "tuple[str, ...]", slop: int) -> pa.Table:
+    """Ordered span-near (the Lucene SpanNearQuery in_order=true
+    contract): docs containing terms[0] < terms[1] < ... < terms[k-1] by
+    position with total slop (gap tokens between first and last, i.e.
+    span_end - span_start - (k-1)) <= ``slop``; emits the per-doc MINIMUM
+    slop.  Vectorized greedy chain: for every occurrence of the first
+    term, k-1 searchsorted hops pick the earliest next occurrence of each
+    following term — earliest-next minimizes the span end for that start,
+    so the per-doc minimum over starts equals the true minimum over all
+    increasing position tuples (the SQL oracle's join formulation)."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "min_slop": pa.array([], pa.int64())}
+    )
+    flat, doc_of, _ = flat_tokens(t["text"])
+    if not len(flat):
+        return empty
+    occ = []
+    for term in terms:
+        p = np.flatnonzero(pc.equal(flat, term).to_numpy(zero_copy_only=False))
+        if not len(p):
+            return empty
+        occ.append(p)
+    start = occ[0]
+    cur = start
+    alive = np.ones(len(start), dtype=bool)
+    for p in occ[1:]:
+        idx = np.searchsorted(p, cur, side="right")
+        ok = idx < len(p)
+        alive &= ok
+        cur = np.where(ok, p[np.minimum(idx, len(p) - 1)], cur)
+    span = cur - start - (len(terms) - 1)
+    hit = alive & (doc_of[start] == doc_of[np.minimum(cur, len(doc_of) - 1)]) & (span <= slop)
+    if not hit.any():
+        return empty
+    d = doc_of[start[hit]]
+    s = span[hit]
+    order = np.argsort(d, kind="stable")
+    d, s = d[order], s[order]
+    starts = np.flatnonzero(np.diff(d, prepend=-1))
+    min_s = np.minimum.reduceat(s, starts)
+    ids = (
+        t["doc_id"].combine_chunks()
+        if isinstance(t["doc_id"], pa.ChunkedArray)
+        else t["doc_id"]
+    )
+    return pa.table(
+        {
+            "doc_id": ids.take(pa.array(d[starts])).cast(pa.int64()),
+            "min_slop": pa.array(min_s.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def span_near_search(
+    corpus: "ray.data.Dataset",
+    terms: "list[str]",
+    slop: int,
+    engine=None,
+) -> "ray.data.Dataset":
+    """Ordered span-near over the corpus → (doc_id, min_slop); map-only
+    scan, same shape as the other positional operators here.  With
+    ``engine`` given, the index's boolean AND of the terms (a strict
+    superset — presence without order) pre-selects candidate docs and
+    the scan touches only those blocks' rows (broadcast once,
+    vectorized isin)."""
+    if len(terms) < 2:
+        raise ValueError("span_near_search wants >= 2 terms")
+    tt = tuple(terms)
+    if engine is None:
+        return corpus.select_columns(["doc_id", "text"]).map_batches(
+            partial(_span_batch, terms=tt, slop=int(slop)), batch_format="pyarrow"
+        )
+    import ray
+
+    from bitfunnel_ray.query.parser import parse_query
+
+    cand = engine.eval(parse_query(" ".join(terms), engine.stream_map))
+    cand_ref = ray.put(np.sort(np.asarray(cand, dtype=np.int64)))
+
+    def batch(t: pa.Table) -> pa.Table:
+        allowed = ray.get(cand_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(ids, allowed)
+        if not keep.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "min_slop": pa.array([], pa.int64())}
+            )
+        return _span_batch(t.filter(pa.array(keep)), terms=tt, slop=int(slop))
+
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
+        batch, batch_format="pyarrow"
+    )

@@ -3593,6 +3593,34 @@ def q_chunk_roundtrip(sf_dir):
 SQL_CHUNK_ROUNDTRIP = "SELECT doc_id, text FROM documents"
 
 
+def q_span_near(sf_dir):
+    """Ordered span-near (Lucene SpanNearQuery in_order=true): table <
+    join < row by position with gap slop <= 12, per-doc minimum slop —
+    vectorized greedy next-occurrence chain (ops/proximity.py), index-
+    accelerated by the boolean AND superset."""
+    from bitfunnel_ray.ops.proximity import span_near_search
+
+    return span_near_search(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        ["table", "join", "row"],
+        slop=12,
+        engine=get_engine(sf_dir),
+    )
+
+
+SQL_SPAN_NEAR = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+p AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS j FROM toks),
+m AS (SELECT a.doc_id, CAST(min(c.j - a.j - 2) AS BIGINT) AS min_slop
+      FROM p a
+      JOIN p b ON b.doc_id = a.doc_id AND b.j > a.j AND b.term = 'join'
+      JOIN p c ON c.doc_id = a.doc_id AND c.j > b.j AND c.term = 'row'
+      WHERE a.term = 'table'
+      GROUP BY a.doc_id)
+SELECT doc_id, min_slop FROM m WHERE min_slop <= 12
+"""
+
+
 def q_substring_dedup(sf_dir):
     """Exact substring dedup (Lee et al. 2022 keep-first span strip,
     ops/substrdedup.py): every duplicated 8-token window occurrence that
@@ -5581,6 +5609,7 @@ REGISTRY: dict[str, tuple] = {
     "chunk_roundtrip": (q_chunk_roundtrip, SQL_CHUNK_ROUNDTRIP),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "span_near": (q_span_near, SQL_SPAN_NEAR),
     "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
     "url_dedup": (q_url_dedup, _sql_url_dedup()),
     "lang_id": (q_lang_id, textstats.lang_id_sql()),

@@ -378,3 +378,61 @@ def test_term_vectors_positions():
     assert rows == {k: tuple(v) for k, v in want.items()}
     # empty doc contributes nothing
     assert 2 not in set(got.doc_id)
+
+
+def test_span_near_brute_force_and_indexed(ray_session, tmp_path):
+    """Ordered span-near (ops/proximity.py span_near_search) vs an
+    itertools brute force, incl. repeated terms; the indexed variant
+    (boolean-AND candidate pre-filter) must return identical rows."""
+    import itertools
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bitfunnel_ray.ops.proximity import span_near_search
+
+    def brute(docs, terms, slop):
+        out = {}
+        for did, text in docs:
+            toks = text.split()
+            occ = [[i for i, w in enumerate(toks) if w == t] for t in terms]
+            best = None
+            for combo in itertools.product(*occ):
+                if all(x < y for x, y in zip(combo, combo[1:])):
+                    s = combo[-1] - combo[0] - (len(terms) - 1)
+                    if s <= slop and (best is None or s < best):
+                        best = s
+            if best is not None:
+                out[did] = best
+        return out
+
+    rng = random.Random(9)
+    docs = [(i, " ".join(rng.choice("abcd") for _ in range(rng.randint(0, 25))))
+            for i in range(80)]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [d for d, _ in docs], "text": [t for _, t in docs]})
+    )
+    for terms, slop in [(["a", "b"], 2), (["a", "b", "c"], 5), (["b", "b"], 3),
+                        (["a", "c", "b", "d"], 10)]:
+        want = brute(docs, terms, slop)
+        got = {r["doc_id"]: r["min_slop"]
+               for r in span_near_search(ds, terms, slop).to_pandas().to_dict("records")}
+        assert got == want, (terms, slop)
+
+    # indexed == scan on the real corpus
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.query.engine import SearchEngine
+    from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "seg")
+    build_index(corpus_from_documents(sf), out, EngineConfig(max_gram=1, num_buckets=2))
+    eng = SearchEngine(out, load_urls=False)
+    corpus = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    plain = span_near_search(corpus, ["table", "join", "row"], 12).to_pandas()
+    accel = span_near_search(corpus, ["table", "join", "row"], 12, engine=eng).to_pandas()
+    key = lambda df: df.sort_values("doc_id").reset_index(drop=True)
+    assert key(plain).equals(key(accel))
+    assert len(plain) > 0
