@@ -274,6 +274,52 @@ def merge_segments(
             n_docs, sum_dl = (int(x) for x in f.read().split(","))
     avgdl = (sum_dl / n_docs) if n_docs else 1.0
 
+    # --- docstore: same distributed rewrite when EVERY source carries the
+    # stored-fields sidecar (build/docstore.py); a mixed set would leave
+    # fetch() silently partial, so it merges all-or-nothing --------------
+    store_srcs = [os.path.join(d, "docstore") for d in seg_dirs]
+    if all(os.path.isdir(s) for s in store_srcs):
+        store_dir = os.path.join(out_dir, "docstore")
+        store_done = os.path.join(store_dir, "_DONE")
+        if not os.path.exists(store_done):
+            store_files = [
+                os.path.join(s, p)
+                for s in store_srcs
+                for p in sorted(os.listdir(s))
+                if p.endswith(".parquet")
+            ]
+
+            def store_rewrite(t: pa.Table, *, dest: str) -> pa.Table:
+                tag = f"{int(t['doc_id'][0].as_py()):016x}" if len(t) else "empty"
+                if dead_ref is not None:
+                    dd = ray.get(dead_ref)
+                    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                    pos = np.searchsorted(dd, ids)
+                    pos[pos == len(dd)] = 0
+                    t = t.filter(pa.array(dd[pos] != ids))
+                t = t.sort_by("doc_id")
+                os.makedirs(dest, exist_ok=True)
+                pq.write_table(t, os.path.join(dest, f"part-{tag}.parquet"),
+                               row_group_size=2048)
+                return pa.table({"n_rows": pa.array([len(t)], pa.int64())})
+
+            store_tmp = store_dir + ".tmp"
+            shutil.rmtree(store_tmp, ignore_errors=True)
+            rows = (
+                ray.data.read_parquet(store_files)
+                .map_batches(partial(store_rewrite, dest=store_tmp), batch_format="pyarrow")
+                .to_pandas()
+            )
+            if int(rows["n_rows"].sum()) != n_docs:
+                raise RuntimeError(
+                    f"merged docstore rows ({int(rows['n_rows'].sum())}) != "
+                    f"docmeta n_docs ({n_docs}); refusing to publish"
+                )
+            shutil.rmtree(store_dir, ignore_errors=True)
+            os.replace(store_tmp, store_dir)
+            with open(store_done, "w") as f:
+                f.write("ok")
+
     # --- heads union ------------------------------------------------------
     heads = [
         pq.read_table(hp)["term_hash"].to_numpy().astype(np.uint64)

@@ -114,3 +114,30 @@ def test_result_cache_hit_and_invalidation(built):
     warm = eng.search("batch", k=5)
     eng.refresh()
     assert eng.search("batch", k=5).equals(warm)
+
+
+def test_merge_carries_docstore(tmp_path, ray_session):
+    """Compaction must keep stored fields fetchable: merge two
+    docstore-bearing segments (with tombstones) and fetch from the
+    merged segment."""
+    import ray.data as rd
+
+    from bitfunnel_ray.build.merge import merge_segments
+    from bitfunnel_ray.sources.corpus import _lift_documents_batch
+
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    cfg = EngineConfig(max_gram=1, num_buckets=2, store_fields=("text",))
+    s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    build_index(rd.from_arrow(_lift_documents_batch(docs.slice(0, 250))), s1, cfg)
+    build_index(rd.from_arrow(_lift_documents_batch(docs.slice(250))), s2, cfg)
+    dead = np.arange(0, 500, 7, dtype=np.uint64)
+    out = str(tmp_path / "merged")
+    merge_segments([s1, s2], out, tombstones=dead)
+    eng = SearchEngine(out, load_urls=False)
+    live = [i for i in range(500) if i % 7]
+    got = eng.fetch(live, fields=["text"])
+    assert len(got) == len(live)
+    want = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    assert all(want[i] == s for i, s in zip(got["doc_id"].to_pylist(), got["text"].to_pylist()))
+    # tombstoned rows are gone from the docstore too
+    assert len(eng.fetch([0, 7, 14])) == 0
