@@ -47,6 +47,8 @@ def _load_corpus(path: str):
 
     from bitfunnel_ray.sources.corpus import corpus_from_documents
 
+    if os.path.isfile(path):  # a single parquet file is a corpus too
+        return rd.read_parquet(path)
     if os.path.exists(os.path.join(path, "documents.parquet")):
         return corpus_from_documents(path)
     files = [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
@@ -89,6 +91,37 @@ def cmd_chunks_import(args):
     ds = corpus_from_chunks(paths)
     ds.write_parquet(args.out)
     print(json.dumps({"out": args.out, "status": "ok"}))
+
+
+def cmd_dedup_spans(args):
+    """Exact substring dedup (Lee et al. 2022 span strip, keep-first):
+    rewrite the corpus with duplicated k-token spans removed from all but
+    their first occurrence (ops/substrdedup.py)."""
+    import pyarrow.compute as _pc
+
+    from bitfunnel_ray.ops.substrdedup import dedup_substrings
+
+    ds = _load_corpus(args.corpus)
+    out = dedup_substrings(ds, k=args.k)
+    out.write_parquet(args.out)
+    import pyarrow.parquet as _pq
+    import ray.data as _rd
+
+    stats = (
+        _rd.read_parquet(args.out)
+        .map_batches(
+            lambda t: __import__("pyarrow").table(
+                {"chars": _pc.utf8_length(t["text"]).cast("int64")}
+            ),
+            batch_format="pyarrow",
+        )
+        .sum("chars")
+    )
+    print(
+        json.dumps(
+            {"out": args.out, "k": args.k, "chars_kept": int(stats), "status": "ok"}
+        )
+    )
 
 
 def cmd_fetch(args):
@@ -1071,6 +1104,12 @@ def main(argv=None):
     s.add_argument("corpus")
     s.add_argument("out")
     s.set_defaults(fn=cmd_chunks_export, needs_ray=True)
+
+    s = sub.add_parser("dedup-spans")
+    s.add_argument("corpus")
+    s.add_argument("out")
+    s.add_argument("--k", type=int, default=50)
+    s.set_defaults(fn=cmd_dedup_spans, needs_ray=True)
 
     s = sub.add_parser("fetch")
     s.add_argument("index")

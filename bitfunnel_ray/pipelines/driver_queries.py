@@ -3593,6 +3593,24 @@ def q_chunk_roundtrip(sf_dir):
 SQL_CHUNK_ROUNDTRIP = "SELECT doc_id, text FROM documents"
 
 
+def q_range_query_syntax(sf_dir):
+    """First-class range queries in the boolean language (Lucene
+    ``col:[lo TO hi]``, bounds inclusive): the Range AST node evaluates
+    against the warc_ts_s doc-values fast field and composes with terms
+    through the ordinary AND — scoring ignores it (a filter, like
+    facts).  Fixture warc_ts is 2024-01-01 + doc_id seconds, which the
+    oracle re-derives."""
+    eng = get_engine(sf_dir)
+    t = eng.search("spark join warc_ts_s:[1704067300 TO 1704067599]", k=10)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
 def q_span_near(sf_dir):
     """Ordered span-near (Lucene SpanNearQuery in_order=true): table <
     join < row by position with gap slop <= 12, per-doc minimum slop —
@@ -5610,6 +5628,9 @@ REGISTRY: dict[str, tuple] = {
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "span_near": (q_span_near, SQL_SPAN_NEAR),
+    # [1704067300 TO 1704067599] inclusive == the kwarg filter's [lo, hi)
+    # window — same SQL oracle
+    "range_query_syntax": (q_range_query_syntax, SQL_SEARCH_TS_RANGE),
     "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
     "url_dedup": (q_url_dedup, _sql_url_dedup()),
     "lang_id": (q_lang_id, textstats.lang_id_sql()),

@@ -57,6 +57,19 @@ class Fuzzy(Node):
 
 
 @dataclass(frozen=True)
+class Range(Node):
+    """Doc-values range predicate (query syntax ``col:[lo TO hi]`` — the
+    Lucene range-query contract, both bounds INCLUSIVE): matches docs
+    whose numeric doc-values column ``col`` is in [lo, hi]; null/absent
+    never matches.  Like facts, a Range participates in boolean matching
+    but contributes ZERO BM25 score — it is a filter, not content."""
+
+    col: str
+    lo: float
+    hi: float
+
+
+@dataclass(frozen=True)
 class AtLeast(Node):
     """Minimum-should-match group: a document matches when >= ``m`` of
     the children match (the Lucene/Elasticsearch minimum_should_match

@@ -208,6 +208,15 @@ class QueryAlgebra:
     def _complement(self, sorted_docs: np.ndarray) -> np.ndarray:  # pragma: no cover
         raise NotImplementedError
 
+    def _range_docs(self, col: str, lo: float, hi: float) -> np.ndarray:  # pragma: no cover
+        """Sorted doc ids whose doc-values column is in [lo, hi] (the
+        Range query node).  Local engines mask their cached doc-values
+        array; sharded engines union per-shard stripe scans."""
+        raise NotImplementedError(
+            "range queries need a docmeta-backed engine (SearchEngine / "
+            "ShardedSearchEngine)"
+        )
+
     def docvalues_for(
         self, sorted_ids: np.ndarray, col: str
     ) -> np.ndarray:  # pragma: no cover
@@ -382,6 +391,8 @@ class QueryAlgebra:
     def _eval(self, node: ast.Node) -> np.ndarray:
         if isinstance(node, ast.Term):
             return self.term_postings(node.text, node.stream).doc_ids
+        if isinstance(node, ast.Range):
+            return self._range_docs(node.col, node.lo, node.hi)
         if isinstance(node, ast.Phrase):
             grams = self._phrase_grams(node.tokens, node.stream)
             lists = [self.postings(h, g).doc_ids for h, g in grams]
@@ -972,6 +983,10 @@ class SearchEngine(QueryAlgebra):
 
             self._docstore = DocStore([s.dir for s in self.segments])
         return self._docstore.fetch(doc_ids, fields)
+
+    def _range_docs(self, col: str, lo: float, hi: float) -> np.ndarray:
+        v = self.docvalue(col)  # aligned to all_docs; NaN = null/absent
+        return self.all_docs[(v >= lo) & (v <= hi)]  # NaN compares False
 
     # --- doc values (numeric fast fields) ----------------------------------
     def docvalue(self, col: str) -> np.ndarray:

@@ -7,6 +7,9 @@ inc/BitFunnel/Plan/QueryParser.h:78-104, src/Plan/src/QueryParser.cpp:142-262):
              # '(...)~m' = minimum-should-match group (beyond the
              # reference's grammar: the Lucene/ES msm contract)
     TERM   := ('"' token+ '"'                 # phrase, >= 2 tokens
+            | token ':' '[' bound 'TO' bound ']'   # doc-values range query
+             # (Lucene contract, both bounds inclusive; '*' = open bound;
+             #  the left token names a NUMERIC docmeta column)
             | token ':' ('"' token+ '"' | token)   # stream-qualified
             | token) ['~' int] ['^' number]
              # '~d' on a single term = Lucene-style fuzzy query
@@ -22,7 +25,7 @@ the default stream 0 ("body").
 
 from __future__ import annotations
 
-from bitfunnel_ray.query.ast import And, AtLeast, Fuzzy, Node, Not, Or, Phrase, Term
+from bitfunnel_ray.query.ast import And, AtLeast, Fuzzy, Node, Not, Or, Phrase, Range, Term
 
 _END_OF_TOKEN = set('&|():-"^~')
 _SPACE = set(" \t\f\v\r\n")
@@ -140,11 +143,45 @@ class QueryParser:
         left = self._parse_token()
         if self._peek() == ":":
             self._get()
+            if self._peek() == "[":
+                # col:[lo TO hi] — Lucene range query over a doc-values
+                # column (left is a COLUMN name here, not a stream)
+                return self._parse_range(left)
             stream = self._stream_id(left)
             if self._peek() == '"':
                 return self._with_boost(self._parse_phrase(stream))
             return self._with_boost(self._with_fuzzy(Term(self._parse_token(), stream)))
         return self._with_boost(self._with_fuzzy(Term(left, 0)))
+
+    def _parse_range(self, col: str) -> Node:
+        self._expect("[")
+
+        def number() -> float:
+            self._skip_white()
+            start = self.pos
+            while self._peek() not in _SPACE and self._peek() not in ("]", "\0"):
+                self.pos += 1
+            tok = self.text[start : self.pos]
+            if tok == "*":  # open bound
+                return None
+            try:
+                return float(tok)
+            except ValueError:
+                raise ParseError(f"Bad range bound {tok!r}", start) from None
+
+        lo = number()
+        self._skip_white()
+        if self.text[self.pos : self.pos + 2] != "TO":
+            raise ParseError("Expected TO in range", self.pos)
+        self.pos += 2
+        hi = number()
+        self._skip_white()
+        self._expect("]")
+        return Range(
+            col,
+            float("-inf") if lo is None else lo,
+            float("inf") if hi is None else hi,
+        )
 
     def _with_fuzzy(self, node: Node) -> Node:
         """Optional ``~d`` suffix on a single term — the Lucene fuzzy

@@ -234,6 +234,13 @@ class IndexShardActor:
         self._docvals[col] = pair
         return pair
 
+    def range_docs(self, col: str, lo: float, hi: float) -> np.ndarray:
+        """Sorted doc ids of THIS shard's slice with doc-values in
+        [lo, hi] — the Range query node's per-shard scan (no global
+        doc-values array; the front unions the disjoint slices)."""
+        ids, vals = self._local_docvalue(col)
+        return np.sort(ids[(vals >= lo) & (vals <= hi)])
+
     def docvalue_fetch(self, sorted_ids: np.ndarray, col: str):
         """(ids_present, values) for the input ids that live in THIS
         shard's docmeta slice — the union across shards covers every id
@@ -441,6 +448,14 @@ class ShardedSearchEngine(QueryAlgebra):
         docs_ref = ray.put(np.asarray(sorted_docs, dtype=np.uint64))
         parts = [
             self._call_shard(s, "complement", docs_ref) for s in range(self.n_shards)
+        ]
+        # shard doc slices are disjoint but not range-partitioned → one sort
+        return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+
+    def _range_docs(self, col: str, lo: float, hi: float) -> np.ndarray:
+        parts = [
+            self._call_shard(s, "range_docs", col, float(lo), float(hi))
+            for s in range(self.n_shards)
         ]
         # shard doc slices are disjoint but not range-partitioned → one sort
         return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)

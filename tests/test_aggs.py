@@ -92,3 +92,60 @@ def test_field_percentiles(engine):
     ]
     empty = field_percentiles(engine, "zzznope")
     assert all(np.isnan(x) for x in empty["value"].to_pylist())
+
+
+def test_range_query_syntax(ray_session, tmp_path):
+    """col:[lo TO hi] — first-class doc-values range queries (Lucene
+    range contract, inclusive; '*' = open bound): parse, eval under
+    AND/OR/NOT, zero score contribution, sharded parity."""
+    import numpy as np
+
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.query import ast
+    from bitfunnel_ray.query.engine import SearchEngine
+    from bitfunnel_ray.query.parser import parse_query
+    from bitfunnel_ray.query.sharded import ShardedServer
+    from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+    n = parse_query("warc_ts_s:[10 TO 20]")
+    assert n == ast.Range("warc_ts_s", 10.0, 20.0)
+    assert parse_query("warc_ts_s:[* TO 20]") == ast.Range("warc_ts_s", float("-inf"), 20.0)
+
+    out = str(tmp_path / "seg")
+    build_index(
+        corpus_from_documents("/root/testdata/sf0.001"),
+        out,
+        EngineConfig(max_gram=1, num_buckets=4),
+    )
+    eng = SearchEngine(out, load_urls=False)
+    v = eng.docvalue("warc_ts_s")
+    lo, hi = float(np.nanpercentile(v, 25)), float(np.nanpercentile(v, 75))
+    q = f"spark warc_ts_s:[{lo:.0f} TO {hi:.0f}]"
+
+    # range eval == kwarg filter semantics ([lo, hi] inclusive here)
+    got = eng.eval(parse_query(q, eng.stream_map))
+    plain = eng.eval(parse_query("spark", eng.stream_map))
+    vv = eng.docvalues_for(plain, "warc_ts_s")
+    want = plain[(vv >= round(lo)) & (vv <= round(hi))]
+    assert np.array_equal(got, want)
+
+    # the range clause never scores: ranked results equal the plain query's
+    # scores on the intersected doc set
+    t = eng.search(q, k=1000)
+    tp = eng.search("spark", k=10**6)
+    sp = dict(zip(tp["doc_id"].to_pylist(), tp["score"].to_pylist()))
+    assert all(sp[d] == s for d, s in zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
+
+    # OR / NOT composition + open bounds
+    assert eng.match_count(f"warc_ts_s:[* TO {lo:.0f}] | warc_ts_s:[{lo:.0f} TO *]") == eng.n_docs
+    assert eng.match_count(f"-warc_ts_s:[* TO *]") == 0
+
+    srv = ShardedServer(out, n_shards=3, num_cpus_per_shard=0.5)
+    try:
+        se = srv.engine()
+        a, b = eng.search(q, k=20), se.search(q, k=20)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+    finally:
+        srv.shutdown()
