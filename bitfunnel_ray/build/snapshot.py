@@ -181,6 +181,12 @@ def restore_index(snap_dir: str, dest_root: str) -> list[str]:
             os.replace(tmp, dp)
         if load_manifest(dst) is None:
             raise IOError(f"restored segment {dst} has no readable manifest")
+    # waves.json makes the restore root a first-class index locator —
+    # SearchEngine / ShardedServer / CLI take dest_root directly
+    tmp = os.path.join(dest_root, ".waves.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"segment_dirs": [os.path.abspath(d) for d in out_dirs]}, f)
+    os.replace(tmp, os.path.join(dest_root, "waves.json"))
     with open(os.path.join(dest_root, _MARKER), "w") as f:
         f.write(json.dumps({"snapshot": os.path.abspath(snap_dir)}))
     return out_dirs

@@ -378,3 +378,45 @@ def test_cli_delete_by_query(tmp_path, idx):
     eng = SearchEngine(idx, load_urls=False, tombstones=dead)
     assert len(eng.eval(parse_query("spark join"))) == 0
     assert len(np.intersect1d(eng.eval(parse_query("spark")), dead)) == 0
+
+
+def test_cli_dedup_spans_and_snapshot(tmp_path):
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root", "RAY_GRAFT_CPUS": "4"}
+    out_dir = str(tmp_path / "spans")
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "dedup-spans",
+         "/root/testdata/sf0.001", out_dir, "--k", "8"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["status"] == "ok" and rep["chars_kept"] > 0
+    import pyarrow.parquet as pq
+
+    cleaned = pq.read_table(out_dir, columns=["doc_id", "text"])
+    assert cleaned.num_rows == 500  # every doc survives (possibly shorter)
+
+    # snapshot → verify → restore chain through the CLI
+    idx = str(tmp_path / "idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "build",
+         "/root/testdata/sf0.001", idx, "--buckets", "2"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    snap, dest = str(tmp_path / "snap"), str(tmp_path / "restored")
+    for args, want_rc in (
+        (["snapshot", idx, snap], 0),
+        (["snapshot-verify", snap], 0),
+        (["restore", snap, dest], 0),
+    ):
+        r = subprocess.run(
+            [sys.executable, "-m", "bitfunnel_ray.cli", *args],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode == want_rc, (args, r.stderr[-2000:])
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "query", dest, "spark join", "-k", "3"],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r.returncode == 0 and "doc_id" in r.stdout
