@@ -32,7 +32,9 @@ from bitfunnel_ray.stages import filters
 from bitfunnel_ray.ops import ann, dedup, redact, textstats
 from bitfunnel_ray.ops.textstats import STOPWORDS
 
-_CFG = EngineConfig(max_gram=2, num_buckets=8)
+# store_fields: the driver-cache index carries the text docstore so
+# stored-fields serving (fetch / stored snippets) is oracle-checkable
+_CFG = EngineConfig(max_gram=2, num_buckets=8, store_fields=("text",))
 _ENGINES: dict[str, SearchEngine] = {}
 
 SHARD_BOUNDARIES = (32, 64, 128)  # ShardDefinition-style posting-count splits
@@ -45,7 +47,9 @@ def get_engine(sf_dir: str) -> SearchEngine:
         tag = sf_dir.strip("/").replace("/", "_")
         # v2: docmeta gained the warc_ts_s doc-values fast-field — version
         # the cache dir so pre-fast-field segments rebuild instead of resume
-        idx_dir = f"/tmp/bfr_idx_cache/{tag}-v2"
+        # v3: segments gained the stored-fields docstore sidecar — version
+        # the cache dir so pre-docstore segments rebuild instead of resume
+        idx_dir = f"/tmp/bfr_idx_cache/{tag}-v3"
         os.makedirs(os.path.dirname(idx_dir), exist_ok=True)
         build_index(corpus_from_documents(sf_dir), idx_dir, _CFG)
         eng = SearchEngine(idx_dir, load_urls=False)
@@ -617,6 +621,24 @@ def q_search_snippets(sf_dir):
     )
 
 
+def q_stored_fields_fetch(sf_dir):
+    """Stored-fields serving flow (ES GET _source analog): BM25 top-10,
+    then render each result's stored text via the docstore sidecar —
+    row-group-pruned point lookups (build/docstore.py), no corpus read.
+    The oracle recomputes the same top-10 and joins the text from the
+    source table, so the stored bytes must round-trip exactly."""
+    eng = get_engine(sf_dir)
+    t = eng.search(" ".join(_BM25_TERMS), k=10)
+    stored = eng.fetch(t["doc_id"].to_pylist(), fields=["text"])
+    ranks = pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+        }
+    )
+    return ranks.join(stored, keys="doc_id", join_type="inner").sort_by("rank")
+
+
 # BM25(k1=1.2, b=0.75) with AND(spark, join) match semantics; two-term sum
 # is order-independent in IEEE double, so scores are bit-comparable after
 # round(.,6).
@@ -640,6 +662,32 @@ scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
        doc_id, round(score, 6) AS score
 FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+SQL_STORED_FIELDS_FETCH = f"""
+WITH toks AS ({_tokens_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark','join') GROUP BY term),
+matches AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+contrib AS (
+  SELECT t.doc_id,
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * 2.2 * t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), st
+  WHERE t.doc_id IN (SELECT doc_id FROM matches)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+top AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+               doc_id
+        FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+SELECT top.rank, top.doc_id, d.text
+FROM top JOIN documents d USING (doc_id)
+ORDER BY top.rank
 """
 
 
@@ -5631,6 +5679,7 @@ REGISTRY: dict[str, tuple] = {
     # [1704067300 TO 1704067599] inclusive == the kwarg filter's [lo, hi)
     # window — same SQL oracle
     "range_query_syntax": (q_range_query_syntax, SQL_SEARCH_TS_RANGE),
+    "stored_fields_fetch": (q_stored_fields_fetch, SQL_STORED_FIELDS_FETCH),
     "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
     "url_dedup": (q_url_dedup, _sql_url_dedup()),
     "lang_id": (q_lang_id, textstats.lang_id_sql()),

@@ -289,6 +289,7 @@ class ShardedSearchEngine(QueryAlgebra):
         cache_cap: int = 100_000,
     ):
         index_dirs = seglib.resolve_segment_dirs(index_dirs)
+        self.index_dirs = index_dirs  # fetch() opens docstore sidecars here
         # shard_handles: one handle per shard, or one LIST of replica
         # handles per shard.  Replicas hold identical state; each engine
         # binds one replica per shard (pid-spread, so concurrent front-ends
@@ -459,6 +460,20 @@ class ShardedSearchEngine(QueryAlgebra):
         ]
         # shard doc slices are disjoint but not range-partitioned → one sort
         return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+
+    _docstore = None
+
+    def fetch(self, doc_ids, fields: "list[str] | None" = None):
+        """Stored-field rows (ES _source analog) for result rendering on
+        the sharded front: the docstore sidecars live on the shared
+        filesystem beside the segments, so the front does the row-group-
+        pruned point lookups directly — no shard RPC (the lookups touch
+        O(k) row groups, same as the local engine)."""
+        if self._docstore is None:
+            from bitfunnel_ray.build.docstore import DocStore
+
+            self._docstore = DocStore(self.index_dirs)
+        return self._docstore.fetch(doc_ids, fields)
 
     def docvalues_for(self, sorted_ids: np.ndarray, col: str) -> np.ndarray:
         """Doc values via per-shard docmeta stripes: scatter the ids, each

@@ -141,3 +141,18 @@ def test_merge_carries_docstore(tmp_path, ray_session):
     assert all(want[i] == s for i, s in zip(got["doc_id"].to_pylist(), got["text"].to_pylist()))
     # tombstoned rows are gone from the docstore too
     assert len(eng.fetch([0, 7, 14])) == 0
+
+
+def test_sharded_front_fetch(built, ray_session):
+    from bitfunnel_ray.query.sharded import ShardedServer
+
+    srv = ShardedServer(built, n_shards=2, num_cpus_per_shard=0.5)
+    try:
+        se = srv.engine()
+        local = SearchEngine(built, load_urls=False)
+        top = se.search("table join", k=5)
+        a = se.fetch(top["doc_id"].to_pylist(), fields=["text"])
+        b = local.fetch(top["doc_id"].to_pylist(), fields=["text"])
+        assert a.equals(b) and len(a) == 5
+    finally:
+        srv.shutdown()
