@@ -153,10 +153,28 @@ def audit_docmeta(seg_dir: str) -> dict:
         sum_dl += int(pa.compute.sum(t["doclen"]).as_py() or 0)
         ids.append(t["doc_id"].to_numpy(zero_copy_only=False))
     uniq = len(np.unique(np.concatenate(ids))) if ids else 0
+    # stored-fields sidecar (build/docstore.py), when present: row count
+    # must equal docmeta's (every doc fetchable exactly once) and each
+    # part must be doc_id-sorted (the row-group-pruning contract)
+    store_bad = 0
+    store_files = sorted(glob.glob(os.path.join(seg_dir, "docstore", "*.parquet")))
+    wants_store = bool(man.get("config", {}).get("store_fields"))
+    if store_files or wants_store:
+        store_rows = 0
+        for p in store_files:
+            sids = pq.read_table(p, columns=["doc_id"])["doc_id"].to_numpy(
+                zero_copy_only=False
+            )
+            store_rows += len(sids)
+            if len(sids) > 1 and not (np.diff(sids) > 0).all():
+                store_bad += 1
+        if store_rows != n_docs:  # lost/duplicated part, or sidecar gone
+            store_bad += 1
     bad = (
         (n_docs != int(man["n_docs"]))
         + (sum_dl != int(man["sum_doclen"]))
         + (uniq != n_docs)
+        + store_bad
     )
     return {
         "segment": seg_dir,
@@ -167,7 +185,7 @@ def audit_docmeta(seg_dir: str) -> dict:
         "unsorted_chunks": 0,
         "cf_mismatches": int(n_docs != int(man["n_docs"])) + int(sum_dl != int(man["sum_doclen"])),
         "tf_zero_chunks": 0,
-        "block_meta_errors": 0,
+        "block_meta_errors": int(store_bad),
         "misrouted_terms": int(uniq != n_docs),
         "ok": bad == 0,
     }

@@ -83,3 +83,29 @@ def test_detects_docmeta_manifest_drift(seg, tmp_path):
     res = fsck_index(bad).to_pandas()
     row = res[res["bucket"] == -1].iloc[0]
     assert not row["ok"]
+
+
+def test_fsck_docstore_checks(tmp_path, ray_session):
+    """fsck audits the stored-fields sidecar when present: a lost
+    docstore part (row-count drift vs docmeta) fails the segment."""
+    import glob as _glob
+    import os as _os
+
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.build.fsck import fsck_index
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+    out = str(tmp_path / "seg")
+    build_index(
+        corpus_from_documents("/root/testdata/sf0.001"),
+        out,
+        EngineConfig(max_gram=1, num_buckets=2, store_fields=("text",)),
+    )
+    rep = fsck_index(out).to_pandas()
+    assert rep["ok"].all()
+    victim = sorted(_glob.glob(_os.path.join(out, "docstore", "*.parquet")))[0]
+    _os.unlink(victim)
+    rep2 = fsck_index(out).to_pandas()
+    doc_row = rep2[rep2["bucket"] == -1].iloc[0]
+    assert not doc_row["ok"] and doc_row["block_meta_errors"] >= 1

@@ -106,3 +106,31 @@ def test_assign_doc_ids_stable_and_positive(ray_session):
     assert (a["doc_id"] >= 0).all()                     # 63-bit mask
     assert a["doc_id"].nunique() == len(a)              # no collisions here
     assert str(a["warc_ts"].dtype).startswith("datetime64")
+
+
+def test_warc_property_roundtrip():
+    """Property: any (url, ts, payload) sequence round-trips through the
+    record writer/parser byte-identically — payloads may contain CRLFs,
+    NULs, header-lookalike bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bitfunnel_ray.sources.warc import parse_warc_buffer, warc_record_bytes
+
+    rec = st.tuples(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=1000),
+            min_size=1,
+            max_size=40,
+        ).map(lambda s: "https://x.org/" + s),
+        st.integers(min_value=0, max_value=2**33),
+        st.binary(max_size=300),
+    )
+
+    @given(st.lists(rec, max_size=8))
+    @settings(max_examples=60, deadline=None)
+    def check(records):
+        buf = b"".join(warc_record_bytes(u, ts, p) for u, ts, p in records)
+        assert parse_warc_buffer(buf) == records
+
+    check()
