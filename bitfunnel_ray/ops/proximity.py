@@ -290,3 +290,104 @@ def span_near_search(
     return corpus.select_columns(["doc_id", "text"]).map_batches(
         batch, batch_format="pyarrow"
     )
+
+
+def _window_batch(t: pa.Table, *, terms: "tuple[str, ...]", window: int) -> pa.Table:
+    """UNORDERED k-term containment (the Lucene SpanNearQuery
+    in_order=false contract): docs where some span of <= ``window``
+    tokens contains ALL terms (any order); emits the per-doc MINIMUM
+    covering window length.  Vectorized minimal-cover sweep: for every
+    token position j, the best window ending at j starts at
+    min over terms of (latest occurrence of that term at or before j) —
+    k forward-fills (np.maximum.accumulate, reset at doc boundaries via
+    a -inf seed per doc start), one elementwise min, one segmented min."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "min_window": pa.array([], pa.int64())}
+    )
+    flat, doc_of, _ = flat_tokens(t["text"])
+    n = len(flat)
+    if not n:
+        return empty
+    NEG = np.int64(-(1 << 60))
+    # doc-boundary resets: position index within the flat stream; a term's
+    # forward-fill must not leak across documents, so seed each doc start
+    doc_start = np.concatenate(([True], doc_of[1:] != doc_of[:-1]))
+    starts = np.flatnonzero(doc_start)
+    latest_min = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    for term in terms:
+        occ = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+        last = np.where(occ, np.arange(n, dtype=np.int64), NEG)
+        # segmented forward-fill of the latest occurrence index
+        seg_id = np.cumsum(doc_start) - 1
+        # max-accumulate within segments: offset trick — add seg_id * BIG
+        BIG = np.int64(1 << 40)
+        shifted = last + seg_id * BIG
+        filled = np.maximum.accumulate(shifted) - seg_id * BIG
+        filled = np.where(filled < 0, NEG, filled)
+        np.minimum(latest_min, filled, out=latest_min)
+    # width of the best window ending at each j (valid only where every
+    # term has occurred in this doc at or before j)
+    valid = latest_min > NEG
+    width = np.where(valid, np.arange(n, dtype=np.int64) - latest_min + 1, np.iinfo(np.int64).max)
+    hit = valid & (width <= window)
+    if not hit.any():
+        return empty
+    d = doc_of[hit]
+    w = width[hit]
+    order = np.argsort(d, kind="stable")
+    d, w = d[order], w[order]
+    first = np.flatnonzero(np.diff(d, prepend=-1))
+    min_w = np.minimum.reduceat(w, first)
+    ids = (
+        t["doc_id"].combine_chunks()
+        if isinstance(t["doc_id"], pa.ChunkedArray)
+        else t["doc_id"]
+    )
+    return pa.table(
+        {
+            "doc_id": ids.take(pa.array(d[first])).cast(pa.int64()),
+            "min_window": pa.array(min_w.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def all_terms_window(
+    corpus: "ray.data.Dataset",
+    terms: "list[str]",
+    window: int,
+    engine=None,
+) -> "ray.data.Dataset":
+    """Unordered multi-term window search → (doc_id, min_window);
+    map-only scan, optionally pre-filtered by the index's boolean AND
+    (broadcast candidate ids, vectorized isin)."""
+    if len(terms) < 2:
+        raise ValueError("all_terms_window wants >= 2 terms")
+    if len(set(terms)) != len(terms):
+        raise ValueError("all_terms_window terms must be distinct (use "
+                         "span_near_search for repeated-term chains)")
+    tt = tuple(terms)
+    if engine is None:
+        return corpus.select_columns(["doc_id", "text"]).map_batches(
+            partial(_window_batch, terms=tt, window=int(window)),
+            batch_format="pyarrow",
+        )
+    import ray
+
+    from bitfunnel_ray.query.parser import parse_query
+
+    cand = engine.eval(parse_query(" ".join(terms), engine.stream_map))
+    cand_ref = ray.put(np.sort(np.asarray(cand, dtype=np.int64)))
+
+    def batch(t: pa.Table) -> pa.Table:
+        allowed = ray.get(cand_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(ids, allowed)
+        if not keep.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "min_window": pa.array([], pa.int64())}
+            )
+        return _window_batch(t.filter(pa.array(keep)), terms=tt, window=int(window))
+
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
+        batch, batch_format="pyarrow"
+    )

@@ -3687,6 +3687,37 @@ SELECT doc_id, min_slop FROM m WHERE min_slop <= 12
 """
 
 
+def q_all_terms_window(sf_dir):
+    """Unordered multi-term window (Lucene SpanNearQuery in_order=false):
+    table, join, row all inside some <= 15-token span (any order), per-doc
+    minimum covering window — one forward-fill sweep per term over the
+    flat token stream (ops/proximity.py), index-accelerated by the
+    boolean AND."""
+    from bitfunnel_ray.ops.proximity import all_terms_window
+
+    return all_terms_window(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        ["table", "join", "row"],
+        window=15,
+        engine=get_engine(sf_dir),
+    )
+
+
+SQL_ALL_TERMS_WINDOW = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+p AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS j FROM toks),
+m AS (SELECT a.doc_id,
+             CAST(min(greatest(a.j, b.j, c.j) - least(a.j, b.j, c.j) + 1) AS BIGINT)
+               AS min_window
+      FROM p a
+      JOIN p b ON b.doc_id = a.doc_id AND b.term = 'join'
+      JOIN p c ON c.doc_id = a.doc_id AND c.term = 'row'
+      WHERE a.term = 'table'
+      GROUP BY a.doc_id)
+SELECT doc_id, min_window FROM m WHERE min_window <= 15
+"""
+
+
 def q_substring_dedup(sf_dir):
     """Exact substring dedup (Lee et al. 2022 keep-first span strip,
     ops/substrdedup.py): every duplicated 8-token window occurrence that
@@ -5769,6 +5800,7 @@ REGISTRY: dict[str, tuple] = {
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "span_near": (q_span_near, SQL_SPAN_NEAR),
+    "all_terms_window": (q_all_terms_window, SQL_ALL_TERMS_WINDOW),
     # [1704067300 TO 1704067599] inclusive == the kwarg filter's [lo, hi)
     # window — same SQL oracle
     "range_query_syntax": (q_range_query_syntax, SQL_SEARCH_TS_RANGE),

@@ -436,3 +436,47 @@ def test_span_near_brute_force_and_indexed(ray_session, tmp_path):
     key = lambda df: df.sort_values("doc_id").reset_index(drop=True)
     assert key(plain).equals(key(accel))
     assert len(plain) > 0
+
+
+def test_all_terms_window_brute_force(ray_session):
+    """Unordered k-term window vs a sliding-window brute force."""
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bitfunnel_ray.ops.proximity import all_terms_window
+
+    def brute(docs, terms, window):
+        out = {}
+        for did, text in docs:
+            toks = text.split()
+            best = None
+            for i in range(len(toks)):
+                for j in range(i, min(len(toks), i + window)):
+                    span = set(toks[i : j + 1])
+                    if all(t in span for t in terms):
+                        w = j - i + 1
+                        if best is None or w < best:
+                            best = w
+                        break
+            if best is not None:
+                out[did] = best
+        return out
+
+    rng = random.Random(4)
+    docs = [(i, " ".join(rng.choice("abcde") for _ in range(rng.randint(0, 30))))
+            for i in range(100)]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [d for d, _ in docs], "text": [t for _, t in docs]})
+    )
+    for terms, window in [(["a", "b"], 3), (["a", "b", "c"], 6),
+                          (["a", "b", "c", "d"], 12), (["e", "a"], 2)]:
+        want = brute(docs, terms, window)
+        got = {r["doc_id"]: r["min_window"]
+               for r in all_terms_window(ds, terms, window).to_pandas().to_dict("records")}
+        assert got == want, (terms, window)
+    import pytest
+
+    with pytest.raises(ValueError, match="distinct"):
+        all_terms_window(ds, ["a", "a"], 3)
