@@ -103,3 +103,11 @@ def test_engine_fuzzy_requires_vocabulary(engine):
     eng2 = SearchEngine(engine.segments[0].dir, load_urls=False)
     with pytest.raises(ValueError, match="fuzzy"):
         eng2.search("rowt~2", k=5)
+
+
+def test_matcher_unicode():
+    vocab = ["naïve", "naive", "café", "cafe", "日本語", "日本人"]
+    m = VocabFuzzyMatcher(vocab)
+    assert set(m("naive", 1)) == {"naive", "naïve"}
+    assert set(m("café", 1)) == {"café", "cafe"}
+    assert set(m("日本語", 1)) == {"日本語", "日本人"}

@@ -80,3 +80,17 @@ def test_k_validation(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["a"]}))
     with pytest.raises(ValueError):
         dedup_substrings(ds, 1)
+
+
+def test_null_and_whitespace_rows(ray_session):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["a b c d e a b c d e", None, "   "],
+            }
+        )
+    )
+    got = {r["doc_id"]: r["text"] for r in dedup_substrings(ds, 5).to_pandas().to_dict("records")}
+    assert got[0] == "a b c d e"  # self-repeat stripped, first copy kept
+    assert got[1] == "" and got[2] == ""
