@@ -489,6 +489,7 @@ _REPL_HELP = """commands (BitFunnel Environment registry analog):
   show term <t>  dict-row inspection: hash, df, cf, chunks, codec, bytes
   status         index totals (docs, avgdl, segments, dict rows)
   script <file>  execute commands from a file (reproducible sessions)
+  fetch <doc_id> stored-field row for one document (needs a docstore)
   help           this text
   exit / quit    leave"""
 
@@ -517,6 +518,18 @@ def repl_execute(eng, line: str, *, _depth: int = 0) -> str:
                 "max_gram": eng.max_gram,
             }
         )
+    if cmd == "fetch":
+        try:
+            doc_id = int(rest.strip())
+        except ValueError:
+            return "usage: fetch <doc_id>"
+        try:
+            t = eng.fetch([doc_id])
+        except FileNotFoundError as e:
+            return str(e)
+        if not len(t):
+            return f"doc {doc_id}: not stored"
+        return json.dumps({c: t[c][0].as_py() for c in t.column_names}, default=str)
     if cmd == "show":
         sub, _, term = rest.partition(" ")
         term = term.strip()
@@ -551,7 +564,7 @@ def repl_execute(eng, line: str, *, _depth: int = 0) -> str:
                 out.append(
                     f"  seg {i} salt={salt_col[r].as_py()} "
                     f"df={np_col[r].as_py()} cf={cf_col[r].as_py()} "
-                    f"codec={'pfor' if codec_col is not None and codec_col[r].as_py() else 'varint'} "
+                    f"codec={ {0: 'varint', 1: 'pfor', 2: 'ef'}.get(codec_col[r].as_py() if codec_col is not None else 0, '?') } "
                     f"payload_bytes={nbytes}"
                 )
                 total_df += int(np_col[r].as_py())

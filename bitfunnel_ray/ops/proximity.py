@@ -309,6 +309,8 @@ def _window_batch(t: pa.Table, *, terms: "tuple[str, ...]", window: int) -> pa.T
     if not n:
         return empty
     NEG = np.int64(-(1 << 60))
+    if n >= (1 << 39):  # seg_id * BIG must stay inside int64 (see below)
+        raise ValueError("all_terms_window batch too large; lower batch_size")
     # doc-boundary resets: position index within the flat stream; a term's
     # forward-fill must not leak across documents, so seed each doc start
     doc_start = np.concatenate(([True], doc_of[1:] != doc_of[:-1]))

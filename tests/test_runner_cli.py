@@ -420,3 +420,31 @@ def test_cli_dedup_spans_and_snapshot(tmp_path):
         capture_output=True, text=True, env=env, timeout=120,
     )
     assert r.returncode == 0 and "doc_id" in r.stdout
+
+
+def test_repl_fetch_command(tmp_path):
+    """REPL ``fetch <doc_id>`` renders the stored-field row (or a clear
+    message without a docstore)."""
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.cli import repl_execute
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.query.engine import SearchEngine
+    from bitfunnel_ray.sources.corpus import corpus_from_documents
+
+    idx = str(tmp_path / "repl_ds")
+    build_index(
+        corpus_from_documents("/root/testdata/sf0.001"), idx,
+        EngineConfig(max_gram=1, num_buckets=2, store_fields=("text",)),
+    )
+    eng = SearchEngine(idx, load_urls=False)
+    out = json.loads(repl_execute(eng, "fetch 42"))
+    assert out["doc_id"] == 42 and len(out["text"]) > 0
+    assert "not stored" in repl_execute(eng, "fetch 999999999")
+    assert "usage" in repl_execute(eng, "fetch notanumber")
+
+    bare = str(tmp_path / "repl_bare")
+    build_index(
+        corpus_from_documents("/root/testdata/sf0.001"), bare,
+        EngineConfig(max_gram=1, num_buckets=2),
+    )
+    assert "docstore" in repl_execute(SearchEngine(bare, load_urls=False), "fetch 1")
