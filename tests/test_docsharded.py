@@ -134,3 +134,33 @@ def test_selective_pure_negative(waved):
         assert srv.last_shards_probed == srv.n_shards  # nothing skippable
     finally:
         srv.shutdown()
+
+
+def test_docsharded_range_query_parity(tmp_path_factory, ray_session):
+    """col:[lo TO hi] range queries work through doc-sharded serving
+    untouched: each shard's local engine masks ITS docmeta stripe and the
+    global-stats merge is unchanged (Range scores zero everywhere).
+    Builds its own waves from LIFTED corpus slices (the plain-files
+    fixture has no warc_ts column, hence no doc-values fast field)."""
+    from bitfunnel_ray.sources.corpus import _lift_documents_batch
+
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    tmp = tmp_path_factory.mktemp("ds_range")
+    files = []
+    for i in range(2):
+        p = str(tmp / f"d{i}.parquet")
+        pq.write_table(_lift_documents_batch(docs.slice(i * 250, 250)), p)
+        files.append(p)
+    waved = str(tmp / "root")
+    build_index_waves(files, waved, EngineConfig(max_gram=2, num_buckets=4), n_waves=2)
+    local = SearchEngine(waved, load_urls=False)
+    srv = DocShardedServer(waved, n_shards=2, num_cpus_per_shard=0.25)
+    try:
+        q = "spark join warc_ts_s:[1704067250 TO 1704067450]"
+        a, b = local.search(q, k=10), srv.search(q, k=10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+        assert len(a) > 0
+        assert srv.match_count(q) == local.match_count(q)
+    finally:
+        srv.shutdown() if hasattr(srv, "shutdown") else None
