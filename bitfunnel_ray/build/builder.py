@@ -813,10 +813,16 @@ def build_index(
                     + [c for c in ("url", "warc_ts") if c in schema_names]
                     + stream_cols
                 )
-                sel += [
-                    c for c in cfg.store_fields
-                    if c in schema_names and c not in sel
-                ]
+                missing_store = [c for c in cfg.store_fields if c not in schema_names]
+                if missing_store:
+                    # fail LOUDLY at build time: silently storing nothing
+                    # passes every row-count cross-check and only explodes
+                    # weeks later at fetch time
+                    raise ValueError(
+                        f"store_fields {missing_store} not in the corpus "
+                        f"schema {sorted(schema_names)}"
+                    )
+                sel += [c for c in cfg.store_fields if c not in sel]
                 # docs per map task: pins the spill-shard count (and the
                 # per-shard size) independent of input block layout and CPU
                 # count — identical work shape at every parallelism.  The

@@ -43,6 +43,7 @@ class DocStore:
 
         self.entries: list[tuple[str, int, int, int]] = []  # path, rg, lo, hi
         self.fields: list[str] | None = None
+        self.schema: "pa.Schema | None" = None  # true arrow types (typed empties)
         for d in resolve_segment_dirs(seg_dirs):
             store = os.path.join(d, "docstore")
             if not os.path.isdir(store):
@@ -55,6 +56,7 @@ class DocStore:
                 schema_fields = [n for n in meta.schema.names if n != "doc_id"]
                 if self.fields is None:
                     self.fields = schema_fields
+                    self.schema = pq.read_schema(p)
                 col = meta.schema.names.index("doc_id")
                 for rg in range(meta.num_row_groups):
                     st = meta.row_group(rg).column(col).statistics
@@ -80,9 +82,8 @@ class DocStore:
             if hit.any():
                 tables.append(t.filter(pa.array(hit)))
         if not tables:
-            schema = pa.schema(
-                [("doc_id", pa.int64())] + [(c, pa.string()) for c in cols[1:]]
-            )
-            return schema.empty_table()
+            if self.schema is not None:  # the parts' REAL column types
+                return pa.schema([self.schema.field(c) for c in cols]).empty_table()
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
         out = pa.concat_tables(tables)
         return out.sort_by("doc_id")

@@ -278,16 +278,23 @@ def merge_segments(
     # stored-fields sidecar (build/docstore.py); a mixed set would leave
     # fetch() silently partial, so it merges all-or-nothing --------------
     store_srcs = [os.path.join(d, "docstore") for d in seg_dirs]
-    if all(os.path.isdir(s) for s in store_srcs):
+    store_files = [
+        os.path.join(s, p)
+        for s in store_srcs
+        if os.path.isdir(s)
+        for p in sorted(os.listdir(s))
+        if p.endswith(".parquet")
+    ]
+    if all(os.path.isdir(s) for s in store_srcs) and store_files:
         store_dir = os.path.join(out_dir, "docstore")
         store_done = os.path.join(store_dir, "_DONE")
         if not os.path.exists(store_done):
-            store_files = [
-                os.path.join(s, p)
-                for s in store_srcs
-                for p in sorted(os.listdir(s))
-                if p.endswith(".parquet")
-            ]
+            # keep the operator's point-lookup pruning unit: reuse the
+            # source parts' row-group size instead of hardcoding one
+            first_meta = pq.ParquetFile(store_files[0]).metadata
+            src_rg = max(
+                1, first_meta.row_group(0).num_rows
+            ) if first_meta.num_row_groups else 2048
 
             def store_rewrite(t: pa.Table, *, dest: str) -> pa.Table:
                 tag = f"{int(t['doc_id'][0].as_py()):016x}" if len(t) else "empty"
@@ -300,7 +307,7 @@ def merge_segments(
                 t = t.sort_by("doc_id")
                 os.makedirs(dest, exist_ok=True)
                 pq.write_table(t, os.path.join(dest, f"part-{tag}.parquet"),
-                               row_group_size=2048)
+                               row_group_size=src_rg)
                 return pa.table({"n_rows": pa.array([len(t)], pa.int64())})
 
             store_tmp = store_dir + ".tmp"

@@ -58,30 +58,43 @@ def _sha256(path: str) -> str:
     return h.hexdigest()
 
 
-def _copy_segment(seg_dir: str, dest_root: str, seg_name: str) -> list[dict]:
-    """Copy one segment into the repository (skip files already present
-    with a matching digest); return its manifest rows."""
+def _copy_hash(src: str, tmp: str) -> str:
+    """ONE streamed read: hash while copying (segments can be TBs — a
+    separate hash pass + copy pass + verify pass tripled the I/O)."""
+    h = hashlib.sha256()
+    with open(src, "rb") as f, open(tmp, "wb") as out:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+            out.write(block)
+    return h.hexdigest()
+
+
+def _copy_segment(
+    seg_dir: str, dest_root: str, seg_name: str, known: "dict[str, tuple[int, str]]"
+) -> list[dict]:
+    """Copy one segment into the repository; return its manifest rows.
+    ``known`` maps repo-relative paths already recorded by a previous
+    snapshot to (bytes, sha256) — a file whose size matches and which
+    exists in the repo is skipped WITHOUT re-reading it (immutable
+    segments make size+prior-digest sufficient; ``verify_snapshot`` is
+    the integrity audit when distrust is warranted)."""
     rows = []
     out_dir = os.path.join(dest_root, seg_name)
     os.makedirs(out_dir, exist_ok=True)
     for rel, src in _iter_segment_files(seg_dir):
-        digest = _sha256(src)
+        key = f"{seg_name}/{rel}"
+        size = os.path.getsize(src)
         dst = os.path.join(out_dir, rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        if not (os.path.exists(dst) and _sha256(dst) == digest):
+        prior = known.get(key)
+        if prior is not None and prior[0] == size and os.path.exists(dst):
+            digest = prior[1]
+        else:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
             tmp = dst + ".tmp"
-            shutil.copyfile(src, tmp)
-            if _sha256(tmp) != digest:  # torn source read / disk fault
-                os.unlink(tmp)
-                raise IOError(f"digest changed while copying {src}")
+            digest = _copy_hash(src, tmp)
             os.replace(tmp, dst)
         rows.append(
-            {
-                "segment": seg_name,
-                "file": rel,
-                "bytes": os.path.getsize(src),
-                "sha256": digest,
-            }
+            {"segment": seg_name, "file": rel, "bytes": size, "sha256": digest}
         )
     return rows
 
@@ -96,14 +109,30 @@ def snapshot_index(index_locator, snap_dir: str) -> dict:
     names = []
     for d in seg_dirs:
         man = load_manifest(d)
-        # name segments by content identity (n_docs + doc span from the
-        # manifest + basename) so two snapshots of the same segment share
-        # repository files
-        names.append(f"{os.path.basename(os.path.normpath(d))}-{man['n_docs']}")
+        # repository name = basename + n_docs + a hash of the ABSOLUTE
+        # source path: stable across re-snapshots of the same segment
+        # (incremental skip works), collision-free across distinct
+        # segments that happen to share basename + doc count
+        path_tag = hashlib.sha256(
+            os.path.abspath(d).encode()
+        ).hexdigest()[:8]
+        names.append(
+            f"{os.path.basename(os.path.normpath(d))}-{man['n_docs']}-{path_tag}"
+        )
+    if len(set(names)) != len(names):
+        raise ValueError(f"snapshot segment name collision: {names}")
+
+    # prior manifest digests enable the incremental skip without re-reads
+    known: dict[str, tuple[int, str]] = {}
+    prior_manifest = os.path.join(snap_dir, _MANIFEST)
+    if os.path.exists(prior_manifest):
+        with open(prior_manifest) as f:
+            for r in json.load(f)["files"]:
+                known[f"{r['segment']}/{r['file']}"] = (int(r["bytes"]), r["sha256"])
 
     copy = ray.remote(num_cpus=0.5)(_copy_segment)
     row_lists = ray.get(
-        [copy.remote(d, snap_dir, n) for d, n in zip(seg_dirs, names)]
+        [copy.remote(d, snap_dir, n, known) for d, n in zip(seg_dirs, names)]
     )
     all_rows = [r for rows in row_lists for r in rows]
     manifest = {

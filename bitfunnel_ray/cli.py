@@ -172,15 +172,9 @@ def cmd_restore(args):
 def cmd_warc_import(args):
     """Ingest WARC files (Common Crawl interchange, sources/warc.py)
     into a parquet pages table (url, warc_ts_s, html)."""
-    import glob as _glob
+    from bitfunnel_ray.sources.warc import find_warc_files, pages_from_warc
 
-    from bitfunnel_ray.sources.warc import pages_from_warc
-
-    paths = sorted(
-        _glob.glob(os.path.join(args.warc, "*.warc"))
-        + _glob.glob(os.path.join(args.warc, "*.warc.gz"))
-    ) or args.warc
-    pages_from_warc(paths).write_parquet(args.out)
+    pages_from_warc(find_warc_files(args.warc)).write_parquet(args.out)
     print(json.dumps({"out": args.out, "status": "ok"}))
 
 
@@ -455,15 +449,13 @@ def cmd_webindex(args):
     from bitfunnel_ray.pipelines.webindex import build_web_index
 
     if args.from_warc:
-        import glob as _glob
+        from bitfunnel_ray.sources.warc import (
+            assign_doc_ids,
+            find_warc_files,
+            pages_from_warc,
+        )
 
-        from bitfunnel_ray.sources.warc import assign_doc_ids, pages_from_warc
-
-        paths = sorted(
-            _glob.glob(os.path.join(args.pages, "*.warc"))
-            + _glob.glob(os.path.join(args.pages, "*.warc.gz"))
-        ) or args.pages
-        pages = assign_doc_ids(pages_from_warc(paths))
+        pages = assign_doc_ids(pages_from_warc(find_warc_files(args.pages)))
     else:
         pages = rd.read_parquet(args.pages)
     blocked = tuple(args.disallow or ())

@@ -298,9 +298,12 @@ def _window_batch(t: pa.Table, *, terms: "tuple[str, ...]", window: int) -> pa.T
     tokens contains ALL terms (any order); emits the per-doc MINIMUM
     covering window length.  Vectorized minimal-cover sweep: for every
     token position j, the best window ending at j starts at
-    min over terms of (latest occurrence of that term at or before j) —
-    k forward-fills (np.maximum.accumulate, reset at doc boundaries via
-    a -inf seed per doc start), one elementwise min, one segmented min."""
+    min over terms of (latest occurrence of that term at or before j).
+    Per-doc reset WITHOUT arithmetic offset tricks (an earlier
+    seg_id*2^40 shift silently wrapped int64 at >= 2^23 docs/batch): a
+    plain forward-fill can only leak an occurrence index from an EARLIER
+    position, so any filled value >= the current doc's first-token index
+    is in-doc by construction -- one extra accumulate of doc starts."""
     empty = pa.table(
         {"doc_id": pa.array([], pa.int64()), "min_window": pa.array([], pa.int64())}
     )
@@ -308,24 +311,17 @@ def _window_batch(t: pa.Table, *, terms: "tuple[str, ...]", window: int) -> pa.T
     n = len(flat)
     if not n:
         return empty
-    NEG = np.int64(-(1 << 60))
-    if n >= (1 << 39):  # seg_id * BIG must stay inside int64 (see below)
-        raise ValueError("all_terms_window batch too large; lower batch_size")
-    # doc-boundary resets: position index within the flat stream; a term's
-    # forward-fill must not leak across documents, so seed each doc start
+    NEG = np.int64(-1)
+    # index of the current document's first token, forward-filled
     doc_start = np.concatenate(([True], doc_of[1:] != doc_of[:-1]))
-    starts = np.flatnonzero(doc_start)
+    pos = np.arange(n, dtype=np.int64)
+    doc_first = np.maximum.accumulate(np.where(doc_start, pos, NEG))
     latest_min = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
     for term in terms:
         occ = pc.equal(flat, term).to_numpy(zero_copy_only=False)
-        last = np.where(occ, np.arange(n, dtype=np.int64), NEG)
-        # segmented forward-fill of the latest occurrence index
-        seg_id = np.cumsum(doc_start) - 1
-        # max-accumulate within segments: offset trick — add seg_id * BIG
-        BIG = np.int64(1 << 40)
-        shifted = last + seg_id * BIG
-        filled = np.maximum.accumulate(shifted) - seg_id * BIG
-        filled = np.where(filled < 0, NEG, filled)
+        filled = np.maximum.accumulate(np.where(occ, pos, NEG))
+        # an occurrence before this doc's first token is a leak -> reset
+        filled = np.where(filled >= doc_first, filled, NEG)
         np.minimum(latest_min, filled, out=latest_min)
     # width of the best window ending at each j (valid only where every
     # term has occurred in this doc at or before j)

@@ -54,9 +54,7 @@ class DocShardActor:
         return self.engine.n_docs, int(round(self.engine.avgdl * self.engine.n_docs))
 
     def scoring_pairs(self, query: str) -> "list[tuple[int, int]]":
-        from bitfunnel_ray.query.parser import parse_query
-
-        node = parse_query(query, self.engine.stream_map)
+        node = self.engine._parse_rewritten(query)
         return [(int(h), int(g)) for h, g in self.engine.scoring_terms(node)]
 
     def term_stats(self, pairs: "list[tuple[int, int]]") -> "list[int]":
@@ -79,10 +77,8 @@ class DocShardActor:
         build avgdl only shrinks true tfn, and above it the bound is
         inflated by the same monotone ratio the term-sharded server uses
         (query/sharded.py postings_many)."""
-        from bitfunnel_ray.query.parser import parse_query
-
         eng = self.engine
-        node = parse_query(query, eng.stream_map)
+        node = eng._parse_rewritten(query)
         boosts = eng.scoring_boosts(node)
         dfm = {(int(h), int(g)): int(v) for (h, g), v in df_map.items()}
         k1 = eng.k1

@@ -19,7 +19,6 @@ import pyarrow as pa
 import ray.data
 
 from bitfunnel_ray.query.engine import SearchEngine
-from bitfunnel_ray.query.parser import parse_query
 
 
 def eval_queries(engine, qids, nodes, parse_errs, k: int, parse_s=None) -> pa.Table:
@@ -129,7 +128,7 @@ class QueryActor:
         for q in batch["query"].to_pylist():
             t0 = time.perf_counter()
             try:
-                nodes.append(parse_query(q, self.engine.stream_map))
+                nodes.append(self.engine._parse_rewritten(q))
                 parse_errs.append(None)
             except Exception as e:
                 nodes.append(None)

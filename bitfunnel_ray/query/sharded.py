@@ -511,7 +511,7 @@ class ShardedQueryActor:
         for q in batch["query"].to_pylist():
             t0 = _time.perf_counter()
             try:
-                node = parse_query(q, self.engine.stream_map)
+                node = self.engine._parse_rewritten(q)
                 nodes.append(node)
                 parse_errs.append(None)
                 pairs.extend(self.engine.query_pairs(node))

@@ -51,6 +51,8 @@ def warc_record_bytes(url: str, ts_s: int, payload: bytes) -> bytes:
     and resumes are idempotent at the byte level)."""
     from bitfunnel_ray.functions.hashing import murmur64a
 
+    if any(c in url for c in ("\r", "\n", "\x00")):
+        raise ValueError(f"url contains WARC framing bytes: {url!r}")
     rid = f"<urn:bfr:{murmur64a(url) & 0xFFFFFFFFFFFFFFFF:016x}>"
     head = (
         b"WARC/1.0\r\n"
@@ -94,7 +96,9 @@ def parse_warc_buffer(data: bytes) -> list[tuple[str, int, bytes]]:
         fields: dict[str, str] = {}
         for line in lines[1:]:
             k, _, v = line.partition(":")
-            fields[k.strip().lower()] = v.strip()
+            # ASCII-only strip: str.strip() also eats unicode whitespace
+            # (U+0085, U+00A0, ...), corrupting URIs that carry them
+            fields[k.strip(" \t").lower()] = v.strip(" \t")
         length = int(fields["content-length"])
         body_start = end_head + 4
         payload = data[body_start : body_start + length]
@@ -116,6 +120,25 @@ def _read_file_bytes(path: str) -> bytes:
             return f.read()
     with open(path, "rb") as f:
         return f.read()
+
+
+def find_warc_files(dir_or_paths) -> "list[str]":
+    """Resolve a directory (globbing *.warc / *.warc.gz) or an explicit
+    path list to WARC file paths — raising on an empty directory instead
+    of letting a directory path crash inside a remote read task."""
+    import glob as _glob
+
+    if isinstance(dir_or_paths, (list, tuple)):
+        return sorted(str(p) for p in dir_or_paths)
+    d = str(dir_or_paths)
+    if os.path.isfile(d):
+        return [d]
+    paths = sorted(
+        _glob.glob(os.path.join(d, "*.warc")) + _glob.glob(os.path.join(d, "*.warc.gz"))
+    )
+    if not paths:
+        raise FileNotFoundError(f"no *.warc / *.warc.gz files under {d}")
+    return paths
 
 
 def pages_from_warc(paths: str | list[str]) -> "ray.data.Dataset":

@@ -156,3 +156,15 @@ def test_sharded_front_fetch(built, ray_session):
         assert a.equals(b) and len(a) == 5
     finally:
         srv.shutdown()
+
+
+def test_empty_fetch_schema_matches_hits(built):
+    """A miss must return the parts' REAL column types (an earlier
+    version hardcoded string and broke concat/join on typed fields)."""
+    store = DocStore(built)
+    hit = store.fetch([3])
+    miss = store.fetch([10**15])
+    assert miss.schema == hit.schema
+    import pyarrow as pa
+
+    assert len(pa.concat_tables([hit, miss])) == len(hit)

@@ -111,3 +111,24 @@ def test_matcher_unicode():
     assert set(m("naive", 1)) == {"naive", "naïve"}
     assert set(m("café", 1)) == {"café", "cafe"}
     assert set(m("日本語", 1)) == {"日本語", "日本人"}
+
+
+def test_query_log_serving_handles_fuzzy(engine, ray_session):
+    """Fuzzy queries in a served query log go through the shared rewrite:
+    without a vocabulary they become CLEAN error rows (not eval
+    TypeErrors); plain queries in the same log still serve."""
+    import pyarrow as pa
+
+    from bitfunnel_ray.query.runner import run_query_log
+
+    log = pa.table(
+        {
+            "query_id": pa.array([0, 1], pa.int64()),
+            "query": pa.array(["spark join", "sprak~1"], pa.string()),
+        }
+    )
+    out = run_query_log(log, engine.segments[0].dir, k=3, concurrency=1).to_pandas()
+    ok = out[out.query_id == 0]
+    assert (ok["error"] == "").all() and len(ok) == 3
+    err = out[out.query_id == 1]
+    assert len(err) == 1 and "vocabulary" in err["error"].iloc[0]
