@@ -3687,6 +3687,55 @@ SELECT doc_id, min_slop FROM m WHERE min_slop <= 12
 """
 
 
+def _geo_docs(sf_dir):
+    """Deterministic coordinates from doc_id (integer-degree grid, so the
+    synthesis itself has zero float drift and SQL reproduces it exactly):
+    lat in [-80, 79], lon in [-180, 179]."""
+
+    def coords(t: pa.Table) -> pa.Table:
+        i = t["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(i, pa.int64()),
+                "lat": pa.array(((i * 37) % 160 - 80).astype(np.float64)),
+                "lon": pa.array(((i * 91) % 360 - 180).astype(np.float64)),
+            }
+        )
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        coords, batch_format="pyarrow"
+    )
+
+
+def q_geo_distance(sf_dir):
+    """Geo-distance filter (ES geo_distance query): docs within 3000 km
+    of (40, -74), haversine in float64 rounded to whole meters — the
+    integer-meter contract both sides compare on (ops/geo.py)."""
+    from bitfunnel_ray.ops.geo import geo_distance_filter
+
+    return geo_distance_filter(_geo_docs(sf_dir), (40.0, -74.0), 3_000_000)
+
+
+SQL_GEO_DISTANCE = """
+WITH g AS (
+  SELECT doc_id,
+         CAST((doc_id * 37) % 160 - 80 AS DOUBLE) AS lat,
+         CAST((doc_id * 91) % 360 - 180 AS DOUBLE) AS lon
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         round(2 * 6371000.0 * asin(sqrt(
+             sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
+             + cos(radians(lat)) * cos(radians(40.0))
+               * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2)
+         ))) AS distance_m
+  FROM g
+)
+SELECT doc_id, distance_m FROM d WHERE distance_m <= 3000000
+"""
+
+
 def q_all_terms_window(sf_dir):
     """Unordered multi-term window (Lucene SpanNearQuery in_order=false):
     table, join, row all inside some <= 15-token span (any order), per-doc
@@ -5801,6 +5850,7 @@ REGISTRY: dict[str, tuple] = {
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "span_near": (q_span_near, SQL_SPAN_NEAR),
     "all_terms_window": (q_all_terms_window, SQL_ALL_TERMS_WINDOW),
+    "geo_distance": (q_geo_distance, SQL_GEO_DISTANCE),
     # [1704067300 TO 1704067599] inclusive == the kwarg filter's [lo, hi)
     # window — same SQL oracle
     "range_query_syntax": (q_range_query_syntax, SQL_SEARCH_TS_RANGE),
