@@ -124,6 +124,35 @@ def cmd_dedup_spans(args):
     )
 
 
+def cmd_export(args):
+    """Dump EVERY document matching a boolean query to partitioned
+    parquet (the ES scroll/export analog): the index answers the match
+    set, the candidate ids broadcast once, and the corpus streams through
+    a vectorized isin filter — no pagination loop, no driver text."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from bitfunnel_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(args.index, load_urls=False)
+    matches = eng.eval(eng._parse_rewritten(args.query))
+    ids_ref = ray.put(np.sort(matches.astype(np.int64)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        allowed = ray.get(ids_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(ids, allowed)))
+
+    out = _load_corpus(args.corpus).map_batches(keep, batch_format="pyarrow")
+    out.write_parquet(args.out)
+    print(
+        json.dumps(
+            {"out": args.out, "query": args.query, "n_matches": int(len(matches)), "status": "ok"}
+        )
+    )
+
+
 def cmd_fetch(args):
     """Stored-field point lookup (ES GET _source analog): print the
     docstore rows for the given doc ids."""
@@ -1115,6 +1144,13 @@ def main(argv=None):
     s.add_argument("out")
     s.add_argument("--k", type=int, default=50)
     s.set_defaults(fn=cmd_dedup_spans, needs_ray=True)
+
+    s = sub.add_parser("export")
+    s.add_argument("index")
+    s.add_argument("corpus")
+    s.add_argument("query")
+    s.add_argument("out")
+    s.set_defaults(fn=cmd_export, needs_ray=True)
 
     s = sub.add_parser("fetch")
     s.add_argument("index")

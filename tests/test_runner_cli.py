@@ -448,3 +448,29 @@ def test_repl_fetch_command(tmp_path):
         EngineConfig(max_gram=1, num_buckets=2),
     )
     assert "docstore" in repl_execute(SearchEngine(bare, load_urls=False), "fetch 1")
+
+
+def test_cli_export_matches(tmp_path):
+    """cli export: every matching doc (and only those) lands in parquet."""
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root", "RAY_GRAFT_CPUS": "4"}
+    idx = str(tmp_path / "idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "build",
+         "/root/testdata/sf0.001", idx, "--buckets", "2"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = str(tmp_path / "matches")
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "export",
+         idx, "/root/testdata/sf0.001", "table -join", out],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out, columns=["text"])
+    assert t.num_rows == rep["n_matches"] > 0
+    toks = [set(x.split()) for x in t["text"].to_pylist()]
+    assert all("table" in s and "join" not in s for s in toks)
