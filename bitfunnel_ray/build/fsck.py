@@ -63,7 +63,10 @@ def audit_bucket(seg_dir: str, bucket_file: str) -> dict:
     avgdl = float(man["avgdl"]) or 1.0
     k1 = float(man["config"]["k1"])
     b = float(man["config"]["b"])
-    num_buckets = len(man["buckets_completed"]) or int(man["config"]["num_buckets"])
+    # routing modulus is the CONFIGURED bucket count: an empty bucket
+    # writes no dict file, so len(buckets_completed) under-counts and
+    # would flag every term on a healthy index as misrouted
+    num_buckets = int(man["config"]["num_buckets"])
     my_bucket = int(_BUCKET_RE.search(bucket_file).group(1))
 
     t = pq.read_table(bucket_file)

@@ -469,8 +469,11 @@ def compact_segments(
             seq += 1
         out_dir = os.path.join(out_root, f"seg-merged-{seq:04d}")
         existing.add(f"seg-merged-{seq:04d}")
+        # tombstones go to EVERY round (idempotent — already-removed docs
+        # simply aren't present).  An earlier version nulled them after
+        # round 1, which RESURRECTED deleted docs living in segments that
+        # only joined a later round's merge group.
         merge_segments(group, out_dir, tombstones=tombstones)
-        tombstones = None  # applied once; merged output is already clean
         live = [d for d in live if d not in set(group)] + [out_dir]
         merges.append({"inputs": group, "output": out_dir})
     # refresh the waves manifest if this root has one (keeps

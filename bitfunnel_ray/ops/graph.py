@@ -240,15 +240,10 @@ def label_propagation(edges, *, n_rounds: int = 4):
         )
         return pa.table({"node": pa.array(vals, pa.int64())})
 
-    def uniq_finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"node": pa.array(np.unique(t["node"].to_numpy(zero_copy_only=False)), pa.int64())}
-        )
-
     state = (
         und.map_batches(uniq_block, batch_format="pyarrow")
         .repartition(num_blocks=n_parts, keys=["node"])
-        .map_batches(uniq_finish, batch_size=None, batch_format="pyarrow")
+        .map_batches(_uniq_finish, batch_size=None, batch_format="pyarrow")
         .map_batches(
             lambda t: pa.table(
                 {
@@ -413,15 +408,10 @@ def bfs_depth(edges, seed_mod: int, *, n_rounds: int = 8):
         )
         return pa.table({"node": pa.array(np.unique(vals), pa.int64())})
 
-    def uniq_finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"node": pa.array(np.unique(t["node"].to_numpy(zero_copy_only=False)), pa.int64())}
-        )
-
     state = (
         tagged_edges.map_batches(uniq_from_tagged, batch_format="pyarrow")
         .repartition(num_blocks=n_parts, keys=["node"])
-        .map_batches(uniq_finish, batch_size=None, batch_format="pyarrow")
+        .map_batches(_uniq_finish, batch_size=None, batch_format="pyarrow")
         .map_batches(
             lambda t: pa.table(
                 {
@@ -797,6 +787,33 @@ def _degree_partials(t: pa.Table) -> pa.Table:
     )
 
 
+def _uniq_finish(t: pa.Table) -> pa.Table:
+    """Post-exchange node dedup (shared by pagerank/trustrank/label
+    propagation/BFS — previously copy-pasted per function)."""
+    return pa.table(
+        {"node": pa.array(np.unique(t["node"].to_numpy(zero_copy_only=False)), pa.int64())}
+    )
+
+
+def _deg_partials_tagged(t: pa.Table) -> pa.Table:
+    """Per-block out-degree partials over a tagged edge stream (src in
+    ``key``): (node, deg) rows with zero-deg rows for dst-only nodes so
+    the exchange sees every node (shared by pagerank/trustrank)."""
+    src = t["key"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    u, c = np.unique(src, return_counts=True)
+    v = np.unique(dst)
+    return pa.table(
+        {
+            "node": pa.array(np.concatenate([u, v]), pa.int64()),
+            "deg": pa.array(
+                np.concatenate([c.astype(np.int64), np.zeros(len(v), np.int64)]),
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def _seg_sum_by(key_col: str, val_cols: tuple):
     """Per-block segmented integer sum grouped by ``key_col`` — the
     finish kernel after a hash repartition on the key.  Measured ~6×
@@ -1045,23 +1062,8 @@ def trustrank(
     n_parts = tune_hash_shuffle(edges.context)
     tagged_edges = edges.map_batches(_tag_edges, batch_format="pyarrow").materialize()
 
-    def deg_partials_tagged(t: pa.Table) -> pa.Table:
-        src = t["key"].to_numpy(zero_copy_only=False)
-        dst = t["dst"].to_numpy(zero_copy_only=False)
-        u, c = np.unique(src, return_counts=True)
-        v = np.unique(dst)
-        return pa.table(
-            {
-                "node": pa.array(np.concatenate([u, v]), pa.int64()),
-                "deg": pa.array(
-                    np.concatenate([c.astype(np.int64), np.zeros(len(v), np.int64)]),
-                    pa.int64(),
-                ),
-            }
-        )
-
     deg = (
-        tagged_edges.map_batches(deg_partials_tagged, batch_format="pyarrow")
+        tagged_edges.map_batches(_deg_partials_tagged, batch_format="pyarrow")
         .repartition(num_blocks=n_parts, keys=["node"])
         .map_batches(_seg_sum_by("node", ("deg",)), batch_size=None, batch_format="pyarrow")
         .materialize()
@@ -1182,15 +1184,10 @@ def hits(edges, *, n_iter: int = 2, scale: int = 10**6):
         ) if len(t) else np.array([], np.int64)
         return pa.table({"node": pa.array(np.unique(vals), pa.int64())})
 
-    def uniq_finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"node": pa.array(np.unique(t["node"].to_numpy(zero_copy_only=False)), pa.int64())}
-        )
-
     node_col = (
         fwd.map_batches(uniq_block, batch_format="pyarrow")
         .repartition(num_blocks=n_parts, keys=["node"])
-        .map_batches(uniq_finish, batch_size=None, batch_format="pyarrow")
+        .map_batches(_uniq_finish, batch_size=None, batch_format="pyarrow")
     )
     z64 = lambda t: pa.array(np.zeros(len(t), np.int64))  # noqa: E731
     h = node_col.map_batches(
@@ -1321,23 +1318,8 @@ def pagerank(
     # edge pipeline executes exactly once per pagerank call
     tagged_edges = edges.map_batches(_tag_edges, batch_format="pyarrow").materialize()
 
-    def deg_partials_tagged(t: pa.Table) -> pa.Table:
-        src = t["key"].to_numpy(zero_copy_only=False)
-        dst = t["dst"].to_numpy(zero_copy_only=False)
-        u, c = np.unique(src, return_counts=True)
-        v = np.unique(dst)
-        return pa.table(
-            {
-                "node": pa.array(np.concatenate([u, v]), pa.int64()),
-                "deg": pa.array(
-                    np.concatenate([c.astype(np.int64), np.zeros(len(v), np.int64)]),
-                    pa.int64(),
-                ),
-            }
-        )
-
     deg = (
-        tagged_edges.map_batches(deg_partials_tagged, batch_format="pyarrow")
+        tagged_edges.map_batches(_deg_partials_tagged, batch_format="pyarrow")
         .repartition(num_blocks=n_parts, keys=["node"])
         .map_batches(_seg_sum_by("node", ("deg",)), batch_size=None, batch_format="pyarrow")
     )

@@ -4503,7 +4503,9 @@ contrib AS (
 ),
 scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
 blend AS (SELECT s.doc_id,
-                 round(s.score, 6) * CAST(COALESCE(pr.rank, 1) AS DOUBLE) AS blended
+                 round(s.score, 6)
+                   * CAST(COALESCE(pr.rank, (SELECT MIN(rank) FROM pr)) AS DOUBLE)
+                   AS blended
           FROM scores s LEFT JOIN pr ON pr.node = s.doc_id)
 SELECT CAST(row_number() OVER (ORDER BY blended DESC, doc_id) AS BIGINT) AS rank,
        doc_id, blended

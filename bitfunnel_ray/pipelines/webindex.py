@@ -170,12 +170,16 @@ def blended_search(eng, ranks: dict, query: str, k: int = 10) -> pa.Table:
     """BM25 over the index's streams × the PageRank prior:
     blended = round(bm25, 6) * rank (one IEEE multiply, same recipe the
     static_rank_topk oracle hash-checks).  Docs absent from the rank
-    table (no in/out links survived) get prior 1 so pure-text relevance
-    still surfaces them."""
+    table (no in/out links survived) get the MINIMUM achieved rank as a
+    neutral prior — integer fixed-point ranks sit near scale/N (~1e6 for
+    a 1M-node graph at scale 1e12), so an earlier default of 1 buried
+    orphan pages ~6 orders of magnitude below every linked page instead
+    of letting pure-text relevance surface them."""
     t = eng.search(query, k=1_000_000)
     doc = t["doc_id"].to_numpy().astype(np.int64)
     score = np.round(t["score"].to_numpy(), 6)
-    prior = np.array([ranks.get(int(d), 1) for d in doc], dtype=np.float64)
+    floor = min(ranks.values()) if ranks else 1
+    prior = np.array([ranks.get(int(d), floor) for d in doc], dtype=np.float64)
     blended = score * prior
     order = np.lexsort((doc, -blended))[:k]
     return pa.table(

@@ -955,7 +955,20 @@ class SearchEngine(QueryAlgebra):
         metas = [pa.table({"doc_id": pa.array(self.all_docs, pa.uint64())})]
         if self._load_urls:
             metas[0] = metas[0].append_column("url", pa.array(self.urls.tolist(), pa.string()))
-        metas += [pq.read_table(os.path.join(d, "docmeta"), columns=cols) for d in new]
+        for d in new:
+            t = pq.read_table(os.path.join(d, "docmeta"), columns=cols)
+            # docmeta keeps the corpus doc_id dtype (int64 for user-built
+            # corpora); align to uint64 so the concat never type-clashes
+            metas.append(
+                t.set_column(
+                    t.column_names.index("doc_id"),
+                    "doc_id",
+                    pa.array(
+                        t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                        pa.uint64(),
+                    ),
+                )
+            )
         meta = pa.concat_tables(metas)
         ids = meta["doc_id"].to_numpy().astype(np.uint64)
         order = np.argsort(ids, kind="stable")

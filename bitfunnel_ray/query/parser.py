@@ -109,8 +109,11 @@ class QueryParser:
             node = self._parse_or()
             self._skip_white()
             self._expect(")")
+            save = self.pos
+            self._skip_white()  # '(a b c) ~2' is msm too, not a bare '~'
             if self._peek() == "~":
                 return self._parse_min_should_match(node)
+            self.pos = save
             return node
         return self._parse_term()
 

@@ -445,19 +445,33 @@ class ShardedSearchEngine(QueryAlgebra):
                 self._rotate(s)
         raise last
 
+    def _call_all_shards(self, method: str, *args) -> list:
+        """Scatter one RPC to EVERY shard in parallel (launch all remotes,
+        one ray.get), retrying only failed shards via the failover path —
+        a sequential _call_shard loop here made NOT/doc-values latency
+        grow linearly with shard count."""
+        errs = self._retryable_errors()
+        refs = [getattr(self.shards[s], method).remote(*args) for s in range(self.n_shards)]
+        out = [None] * self.n_shards
+        failed = []
+        for s, r in enumerate(refs):
+            try:
+                out[s] = ray.get(r)
+            except errs:
+                failed.append(s)
+        for s in failed:
+            self._rotate(s)
+            out[s] = self._call_shard(s, method, *args)
+        return out
+
     def _complement(self, sorted_docs: np.ndarray) -> np.ndarray:
         docs_ref = ray.put(np.asarray(sorted_docs, dtype=np.uint64))
-        parts = [
-            self._call_shard(s, "complement", docs_ref) for s in range(self.n_shards)
-        ]
+        parts = self._call_all_shards("complement", docs_ref)
         # shard doc slices are disjoint but not range-partitioned → one sort
         return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
 
     def _range_docs(self, col: str, lo: float, hi: float) -> np.ndarray:
-        parts = [
-            self._call_shard(s, "range_docs", col, float(lo), float(hi))
-            for s in range(self.n_shards)
-        ]
+        parts = self._call_all_shards("range_docs", col, float(lo), float(hi))
         # shard doc slices are disjoint but not range-partitioned → one sort
         return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
 
@@ -484,8 +498,7 @@ class ShardedSearchEngine(QueryAlgebra):
         if not len(sorted_ids):
             return out
         ids_ref = ray.put(np.asarray(sorted_ids, dtype=np.uint64))
-        for s in range(self.n_shards):
-            ids_p, vals_p = self._call_shard(s, "docvalue_fetch", ids_ref, col)
+        for ids_p, vals_p in self._call_all_shards("docvalue_fetch", ids_ref, col):
             if len(ids_p):
                 out[np.searchsorted(sorted_ids, ids_p)] = vals_p
         return out

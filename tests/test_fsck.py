@@ -109,3 +109,35 @@ def test_fsck_docstore_checks(tmp_path, ray_session):
     rep2 = fsck_index(out).to_pandas()
     doc_row = rep2[rep2["bucket"] == -1].iloc[0]
     assert not doc_row["ok"] and doc_row["block_meta_errors"] >= 1
+
+
+def test_fsck_tolerates_empty_buckets(tmp_path, ray_session):
+    """A healthy index with EMPTY buckets (tiny vocabulary, many buckets)
+    must pass: an earlier version derived the routing modulus from the
+    completed-bucket count and flagged every term as misrouted."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.build.fsck import fsck_index
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.sources.corpus import _lift_documents_batch
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(50)), pa.int64()),
+            "text": pa.array(["a b" if i % 2 else "a c" for i in range(50)]),
+            "lang": pa.array(["en"] * 50),
+        }
+    )
+    out = str(tmp_path / "seg")
+    build_index(
+        rd.from_arrow(_lift_documents_batch(docs)), out,
+        EngineConfig(max_gram=1, num_buckets=16),
+    )
+    import glob as _glob
+
+    n_dicts = len(_glob.glob(f"{out}/dict-*.parquet"))
+    rep = fsck_index(out).to_pandas()
+    assert rep["ok"].all(), rep[~rep["ok"]]
+    assert n_dicts < 16 or rep["misrouted_terms"].sum() == 0

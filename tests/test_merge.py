@@ -216,3 +216,35 @@ def test_engine_accepts_build_root(tmp_path, ray_session):
 
     with _pytest.raises(FileNotFoundError):
         resolve_segment_dirs(str(tmp_path))
+
+
+def test_compaction_applies_tombstones_every_round(tmp_path, ray_session):
+    """A doc tombstoned in a segment that only joins a LATER compaction
+    round must stay dead (an earlier version nulled the tombstones after
+    round 1, resurrecting such docs)."""
+    from bitfunnel_ray.build.merge import compact_segments
+    from bitfunnel_ray.query.engine import SearchEngine
+    from bitfunnel_ray.sources.corpus import _lift_documents_batch
+
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    root = str(tmp_path / "root")
+    os.makedirs(root, exist_ok=True)
+    segs = []
+    # uneven sizes force TWO rounds: the small peers merge first, the big
+    # segment only joins the second round's merge group
+    for i, (lo, n) in enumerate([(0, 50), (50, 50), (100, 400)]):
+        d = str(tmp_path / f"in-{i}")
+        build_index(
+            rd.from_arrow(_lift_documents_batch(docs.slice(lo, n))), d, CFG
+        )
+        segs.append(d)
+    dead = np.arange(0, 500, 10, dtype=np.uint64)  # spans every segment
+    res = compact_segments(
+        root, segs, max_segments=1, tier_factor=2.0, tombstones=dead
+    )
+    assert len(res["merges"]) >= 2  # multiple rounds actually happened
+    eng = SearchEngine(res["segment_dirs"], load_urls=False)  # NO tombstones
+    alive = set(eng.all_docs.astype(np.int64).tolist())
+    resurrected = alive & set(dead.astype(np.int64).tolist())
+    assert not resurrected, sorted(resurrected)[:10]
+    assert len(alive) == 500 - len(dead)

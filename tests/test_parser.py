@@ -91,3 +91,11 @@ def test_min_should_match_errors():
         parse_query("(a b)~0")  # m < 1
     with pytest.raises(ParseError):
         parse_query("(a -b)~1")  # negated clause in group
+
+
+def test_msm_allows_space_before_tilde():
+    """'(a b c) ~2' is minimum-should-match, same as without the space
+    (earlier grammars tokenized the dangling '~2')."""
+    assert parse_query("(a b c) ~2") == parse_query("(a b c)~2")
+    # a group followed by a NEW term still parses as plain AND
+    assert parse_query("(a b) c") == And((And((Term("a"), Term("b"))), Term("c")))

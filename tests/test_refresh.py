@@ -103,3 +103,30 @@ def test_sharded_refresh_parity(tmp_path, halves):
                               fresh.docvalues_for(m, "warc_ts_s"))
     finally:
         srv.shutdown()
+
+
+def test_refresh_int64_docmeta(tmp_path, ray_session):
+    """NRT refresh on an index whose corpus doc_id is int64 (user-built
+    parquet, no lift): an earlier version concat'd uint64 and int64
+    docmeta tables and always crashed."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.config import EngineConfig
+    from bitfunnel_ray.query.engine import SearchEngine
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])  # doc_id: int64, no lift
+    root = tmp_path / "root"
+    root.mkdir()
+    cfg = EngineConfig(max_gram=1, num_buckets=2)
+    build_index(rd.from_arrow(docs.slice(0, 250)), str(root / "seg-0000"), cfg)
+    eng = SearchEngine(str(root), load_urls=False)
+    assert eng.n_docs == 250
+    build_index(rd.from_arrow(docs.slice(250)), str(root / "seg-0001"), cfg)
+    assert eng.refresh() == 1
+    assert eng.n_docs == 500
+    assert len(eng.all_docs) == 500 and eng.all_docs.dtype == np.uint64
+    assert eng.match_count("table") > 0

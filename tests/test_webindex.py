@@ -195,3 +195,22 @@ def test_resolve_links_out_of_scope_dropped(ray_session):
     )
     out = resolve_links(links, pages).to_pandas().sort_values("src")
     assert list(zip(out["src"], out["dst"])) == [(1, 2), (2, 3)]
+
+
+def test_blended_orphan_prior_is_rank_floor(webidx):
+    """A matched doc missing from the rank table gets the MINIMUM
+    achieved rank as its prior (an earlier default of 1 buried orphans
+    ~6 orders of magnitude below every linked page)."""
+    eng, rank_path = webidx
+    ranks = load_static_rank(rank_path)
+    # orphan one matched doc by removing it from the rank table
+    full = blended_search(eng, ranks, "spark join", k=50).to_pandas()
+    victim = int(full["doc_id"].iloc[0])
+    orphaned = {k: v for k, v in ranks.items() if k != victim}
+    out = blended_search(eng, orphaned, "spark join", k=10**6).to_pandas()
+    row = out[out.doc_id == victim]
+    assert len(row) == 1
+    floor = min(orphaned.values())
+    bm = eng.search("spark join", k=10**6).to_pandas().set_index("doc_id")
+    expect = round(float(bm.loc[victim, "score"]), 6) * floor
+    assert float(row["blended"].iloc[0]) == expect
