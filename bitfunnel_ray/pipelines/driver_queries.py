@@ -3707,6 +3707,40 @@ def _geo_docs(sf_dir):
     )
 
 
+def q_weighted_sample(sf_dir):
+    """Deterministic weighted sampling without replacement (A-ES,
+    Efraimidis-Spirakis): 25 docs with probability proportional to
+    n_chars, keys = ln(u)/w with u from the Knuth doc_id hash — stable
+    across runs/layouts; the oracle recomputes the identical recipe and
+    takes the same top-25."""
+    from bitfunnel_ray.ops.wsample import weighted_sample
+
+    t = weighted_sample(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]),
+        25,
+        weight_col="n_chars",
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "weight": t["weight"],
+            "key": pa.array(np.round(t["key"].to_numpy(), 9), pa.float64()),
+        }
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH k AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 1.0)
+            / 4294967297.0) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, round(key, 9) AS key
+FROM k ORDER BY key DESC, doc_id LIMIT 25
+"""
+
+
 def q_geo_distance(sf_dir):
     """Geo-distance filter (ES geo_distance query): docs within 3000 km
     of (40, -74), haversine in float64 rounded to whole meters — the
@@ -5853,6 +5887,7 @@ REGISTRY: dict[str, tuple] = {
     "span_near": (q_span_near, SQL_SPAN_NEAR),
     "all_terms_window": (q_all_terms_window, SQL_ALL_TERMS_WINDOW),
     "geo_distance": (q_geo_distance, SQL_GEO_DISTANCE),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     # [1704067300 TO 1704067599] inclusive == the kwarg filter's [lo, hi)
     # window — same SQL oracle
     "range_query_syntax": (q_range_query_syntax, SQL_SEARCH_TS_RANGE),
