@@ -151,6 +151,28 @@ def snapshot_index(index_locator, snap_dir: str) -> dict:
     }
 
 
+def gc_snapshot(snap_dir: str) -> dict:
+    """Delete repository segment directories no longer referenced by the
+    CURRENT manifest (old segments accumulate as compaction/re-ingest
+    changes the live set — the manifest always describes the latest
+    snapshot, so anything outside it is garbage).  Returns
+    {"removed_segments": n, "freed_bytes": n}."""
+    with open(os.path.join(snap_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    live = set(manifest["segments"])
+    removed = 0
+    freed = 0
+    for name in sorted(os.listdir(snap_dir)):
+        p = os.path.join(snap_dir, name)
+        if not os.path.isdir(p) or name in live:
+            continue
+        for root, _dirs, files in os.walk(p):
+            freed += sum(os.path.getsize(os.path.join(root, x)) for x in files)
+        shutil.rmtree(p)
+        removed += 1
+    return {"removed_segments": removed, "freed_bytes": int(freed)}
+
+
 def verify_snapshot(snap_dir: str) -> pa.Table:
     """Re-digest every repository file against the manifest → one row per
     mismatch/missing file (empty table = healthy)."""

@@ -189,6 +189,14 @@ def cmd_snapshot_verify(args):
     return 0 if len(bad) == 0 else 1
 
 
+def cmd_snapshot_gc(args):
+    """Delete repository segments not referenced by the current snapshot
+    manifest (retention after compaction/re-ingest changed the live set)."""
+    from bitfunnel_ray.build.snapshot import gc_snapshot
+
+    print(json.dumps({**gc_snapshot(args.snap), "snap": args.snap, "status": "ok"}))
+
+
 def cmd_restore(args):
     """Restore a snapshot into a destination root (digest-verified,
     atomic per file; prints the restored segment dirs)."""
@@ -1165,6 +1173,10 @@ def main(argv=None):
     s = sub.add_parser("snapshot-verify")
     s.add_argument("snap")
     s.set_defaults(fn=cmd_snapshot_verify, needs_ray=False)
+
+    s = sub.add_parser("snapshot-gc")
+    s.add_argument("snap")
+    s.set_defaults(fn=cmd_snapshot_gc, needs_ray=False)
 
     s = sub.add_parser("restore")
     s.add_argument("snap")

@@ -71,3 +71,27 @@ def test_corruption_detected_and_restore_refuses(built, tmp_path):
     # a missing file is reported too
     os.unlink(p)
     assert verify_snapshot(snap)["reason"][0].as_py() == "missing"
+
+
+def test_snapshot_gc_removes_unreferenced_segments(built, tmp_path):
+    """After the live segment set changes, gc drops repo segments the
+    current manifest no longer references — and never a live one."""
+    import shutil
+
+    from bitfunnel_ray.build.snapshot import gc_snapshot
+
+    snap = str(tmp_path / "repo")
+    snapshot_index(built, snap)
+    # simulate an old snapshot's leftover segment dir
+    stale = os.path.join(snap, "seg-old-999-deadbeef")
+    shutil.copytree(
+        os.path.join(snap, json.load(open(os.path.join(snap, "snapshot.json")))["segments"][0]),
+        stale,
+    )
+    res = gc_snapshot(snap)
+    assert res["removed_segments"] == 1 and res["freed_bytes"] > 0
+    assert not os.path.exists(stale)
+    # live segments intact: verify + restore still work
+    assert len(verify_snapshot(snap)) == 0
+    dirs = restore_index(snap, str(tmp_path / "rest"))
+    assert SearchEngine(dirs, load_urls=False).n_docs == 500
