@@ -193,6 +193,15 @@ def merge_segments(
                     f"segments disagree on {key}: {c.get(key)} vs {c0.get(key)} "
                     "— bucket-aligned merge requires identical hashing/bucketing config"
                 )
+        # store_fields must match too: the docstore merge reads every
+        # source part through one read_parquet, and DocStore assumes the
+        # first part's field list for all parts — mixed schemas would
+        # fail or silently drop fields for one source's docs.
+        if tuple(c.get("store_fields") or ()) != tuple(c0.get("store_fields") or ()):
+            raise ValueError(
+                f"segments disagree on store_fields: {c.get('store_fields')} vs "
+                f"{c0.get('store_fields')} — rebuild with identical store_fields"
+            )
     bands = c0.get("treatment_bands")
     cfg = EngineConfig(
         max_gram=int(c0["max_gram"]),
@@ -205,6 +214,7 @@ def merge_segments(
         streams=tuple(tuple(s) for s in c0["streams"]),
         facts=tuple(tuple(f) for f in c0.get("facts", []) or []),
         treatment_bands=tuple(tuple(b) for b in bands) if bands else None,
+        store_fields=tuple(c0.get("store_fields") or ()),
     )
     existing = seglib.load_manifest(out_dir)
     if existing is not None and existing.get("complete"):
@@ -297,13 +307,19 @@ def merge_segments(
             ) if first_meta.num_row_groups else 2048
 
             def store_rewrite(t: pa.Table, *, dest: str) -> pa.Table:
-                tag = f"{int(t['doc_id'][0].as_py()):016x}" if len(t) else "empty"
                 if dead_ref is not None:
                     dd = ray.get(dead_ref)
                     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
                     pos = np.searchsorted(dd, ids)
                     pos[pos == len(dd)] = 0
                     t = t.filter(pa.array(dd[pos] != ids))
+                # A 0-row parquet part has a row group with statistics=None,
+                # which DocStore.__init__ can't range-index — skip the write
+                # entirely when tombstones (or an empty input batch) leave
+                # nothing.  Also avoids name collisions on "part-empty".
+                if len(t) == 0:
+                    return pa.table({"n_rows": pa.array([0], pa.int64())})
+                tag = f"{int(t['doc_id'][0].as_py()):016x}"
                 t = t.sort_by("doc_id")
                 os.makedirs(dest, exist_ok=True)
                 pq.write_table(t, os.path.join(dest, f"part-{tag}.parquet"),
@@ -312,6 +328,7 @@ def merge_segments(
 
             store_tmp = store_dir + ".tmp"
             shutil.rmtree(store_tmp, ignore_errors=True)
+            os.makedirs(store_tmp, exist_ok=True)  # all-empty batches write no parts
             rows = (
                 ray.data.read_parquet(store_files)
                 .map_batches(partial(store_rewrite, dest=store_tmp), batch_format="pyarrow")
@@ -376,6 +393,9 @@ def merge_segments(
             "head_df_threshold": cfg.head_df_threshold,
             "salt_shift": cfg.salt_shift,
             "streams": [list(s) for s in cfg.streams],
+            "facts": [list(f) for f in cfg.facts],
+            "treatment_bands": [list(b) for b in cfg.treatment_bands] if cfg.treatment_bands else None,
+            "store_fields": list(cfg.store_fields),
         },
         "n_head_terms": n_head_terms,
         "merged_from": [os.path.abspath(d) for d in seg_dirs],

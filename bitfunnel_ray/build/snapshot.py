@@ -74,19 +74,28 @@ def _copy_segment(
 ) -> list[dict]:
     """Copy one segment into the repository; return its manifest rows.
     ``known`` maps repo-relative paths already recorded by a previous
-    snapshot to (bytes, sha256) — a file whose size matches and which
-    exists in the repo is skipped WITHOUT re-reading it (immutable
-    segments make size+prior-digest sufficient; ``verify_snapshot`` is
-    the integrity audit when distrust is warranted)."""
+    snapshot to (bytes, sha256, mtime_ns) — a file whose size AND source
+    mtime both match and which exists in the repo is skipped WITHOUT
+    re-reading it.  The mtime guards against a segment rebuilt in place
+    (same path, same doc count, same byte size but different content —
+    e.g. rebuilt with different treatment bands), which a size-only key
+    would silently snapshot stale; ``verify_snapshot`` remains the
+    integrity audit when distrust is warranted."""
     rows = []
     out_dir = os.path.join(dest_root, seg_name)
     os.makedirs(out_dir, exist_ok=True)
     for rel, src in _iter_segment_files(seg_dir):
         key = f"{seg_name}/{rel}"
-        size = os.path.getsize(src)
+        st = os.stat(src)
+        size, mtime_ns = st.st_size, st.st_mtime_ns
         dst = os.path.join(out_dir, rel)
         prior = known.get(key)
-        if prior is not None and prior[0] == size and os.path.exists(dst):
+        if (
+            prior is not None
+            and prior[0] == size
+            and prior[2] == mtime_ns  # None (pre-mtime manifest) never matches
+            and os.path.exists(dst)
+        ):
             digest = prior[1]
         else:
             os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -94,7 +103,13 @@ def _copy_segment(
             digest = _copy_hash(src, tmp)
             os.replace(tmp, dst)
         rows.append(
-            {"segment": seg_name, "file": rel, "bytes": size, "sha256": digest}
+            {
+                "segment": seg_name,
+                "file": rel,
+                "bytes": size,
+                "sha256": digest,
+                "src_mtime_ns": mtime_ns,
+            }
         )
     return rows
 
@@ -123,12 +138,17 @@ def snapshot_index(index_locator, snap_dir: str) -> dict:
         raise ValueError(f"snapshot segment name collision: {names}")
 
     # prior manifest digests enable the incremental skip without re-reads
-    known: dict[str, tuple[int, str]] = {}
+    known: dict[str, tuple[int, str, "int | None"]] = {}
     prior_manifest = os.path.join(snap_dir, _MANIFEST)
     if os.path.exists(prior_manifest):
         with open(prior_manifest) as f:
             for r in json.load(f)["files"]:
-                known[f"{r['segment']}/{r['file']}"] = (int(r["bytes"]), r["sha256"])
+                mt = r.get("src_mtime_ns")
+                known[f"{r['segment']}/{r['file']}"] = (
+                    int(r["bytes"]),
+                    r["sha256"],
+                    int(mt) if mt is not None else None,
+                )
 
     copy = ray.remote(num_cpus=0.5)(_copy_segment)
     row_lists = ray.get(

@@ -149,13 +149,19 @@ def _strip(t: pa.Table, *, k: int) -> pa.Table:
     keep_idx = np.flatnonzero(~covered)
     kept_counts = np.bincount(doc_of[keep_idx], minlength=len(d_ids)).astype(np.int64)
     values = flat.take(pa.array(keep_idx))
-    lists = pa.ListArray.from_arrays(
-        pa.array(np.concatenate(([0], np.cumsum(kept_counts))), pa.int32()), values
+    # int64 LargeList offsets: a strip partition can hold > 2^31 surviving
+    # tokens at web scale, which would overflow int32 ListArray offsets
+    # (pc.binary_join accepts large lists)
+    lists = pa.LargeListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(kept_counts))), pa.int64()),
+        values.cast(pa.large_string()),
     )
     return pa.table(
         {
             "doc_id": pa.array(d_ids, pa.int64()),
-            "text": pc.binary_join(lists, " "),
+            "text": pc.binary_join(lists, pa.scalar(" ", pa.large_string())).cast(
+                pa.string()
+            ),
         }
     )
 

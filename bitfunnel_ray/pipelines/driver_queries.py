@@ -40,6 +40,23 @@ _ENGINES: dict[str, SearchEngine] = {}
 SHARD_BOUNDARIES = (32, 64, 128)  # ShardDefinition-style posting-count splits
 
 
+def _i64_out(ds):
+    """Cast unsigned-int columns (the corpus's carried uint64 DocIds) to
+    int64 bit-views at the output boundary.  The driver's value hash is
+    dtype-sensitive (oracle doc_id is BIGINT), and uint64 columns degrade
+    Ray shuffles to the pickled-object fallback (see build/stats.py)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        cols, changed = [], False
+        for name, col in zip(t.column_names, t.columns):
+            if pa.types.is_unsigned_integer(col.type):
+                col, changed = pc.cast(col, pa.int64(), safe=False), True
+            cols.append(col)
+        return pa.table(dict(zip(t.column_names, cols))) if changed else t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def get_engine(sf_dir: str) -> SearchEngine:
     """Build (cached) and load the index segment for a testdata dir."""
     eng = _ENGINES.get(sf_dir)
@@ -161,7 +178,7 @@ def q_doc_meta(sf_dir):
     # light=True: only doclen/n_bytes are selected, so skip the full
     # tokenize+dedup pass (the whitespace split alone yields doclen)
     ds = doc_meta(corpus_from_documents(sf_dir), EngineConfig(max_gram=1), light=True)
-    return ds.select_columns(["doc_id", "doclen", "n_bytes"])
+    return _i64_out(ds.select_columns(["doc_id", "doclen", "n_bytes"]))
 
 
 SQL_DOC_META = """
@@ -918,7 +935,7 @@ def q_normalize_text(sf_dir):
     """Canonical text normalization (lowercase + collapse non-alnum runs
     + trim): map-only Arrow kernels; RE2 on both sides so the oracle is
     byte-identical."""
-    return textstats.normalize_text(corpus_from_documents(sf_dir))
+    return _i64_out(textstats.normalize_text(corpus_from_documents(sf_dir)))
 
 
 SQL_NORMALIZE_TEXT = """
@@ -1282,7 +1299,7 @@ FROM (SELECT doc_id, count(DISTINCT term) AS np FROM ({_tokens_sql()}) GROUP BY 
 
 
 def q_token_count(sf_dir):
-    return textstats.token_count(corpus_from_documents(sf_dir))
+    return _i64_out(textstats.token_count(corpus_from_documents(sf_dir)))
 
 
 SQL_TOKEN_COUNT = "SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM documents"
@@ -2768,7 +2785,7 @@ def q_lang_id(sf_dir):
     generated vote SQL (``textstats.lang_id_sql``) — argmax tie-break and
     the confidence division mirrored bit-exactly.  Script routing for
     non-ASCII text is pytest-covered."""
-    return textstats.lang_id(corpus_from_documents(sf_dir))
+    return _i64_out(textstats.lang_id(corpus_from_documents(sf_dir)))
 
 
 def q_fingerprint(sf_dir):
@@ -3732,7 +3749,10 @@ def q_weighted_sample(sf_dir):
 SQL_WEIGHTED_SAMPLE = """
 WITH k AS (
   SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
-         ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 1.0)
+         -- HUGEINT keeps the product exact for 63-bit doc ids (e.g. WARC
+         -- url-hash ids); the op's uint64 wrap mod 2^64 then % 2^32 equals
+         -- the true product mod 2^32, so the recipes agree for all int64 ids
+         ln((CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS DOUBLE) + 1.0)
             / 4294967297.0) / CAST(n_chars AS DOUBLE) AS key
   FROM documents WHERE n_chars > 0
 )
@@ -4199,7 +4219,7 @@ nd AS (SELECT nodes.node, COALESCE(deg.outdeg, 0) AS outdeg FROM nodes LEFT JOIN
 p AS (SELECT COUNT(*) AS n FROM nd),
 r0 AS (SELECT nd.node, nd.outdeg, 1000000000000 // p.n AS rank FROM nd CROSS JOIN p),"""
     + ",".join(_pagerank_iter_cte(i) for i in (1, 2, 3))
-    + "\nSELECT node, rank FROM r3"
+    + "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3"
 )
 
 
@@ -5418,7 +5438,7 @@ r0 AS (SELECT nd.node, nd.outdeg,
               CASE WHEN nd.node % 7 = 0 THEN 1000000000000 // ns.k ELSE 0 END AS rank
        FROM nd CROSS JOIN ns),"""
     + ",".join(_trust_iter_cte(i) for i in (1, 2, 3))
-    + "\nSELECT node, rank FROM r3"
+    + "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3"
 )
 
 
@@ -5456,7 +5476,7 @@ SQL_HITS = (
 nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
 h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v FROM nodes),"""
     + ",".join(_hits_iter_cte(i) for i in (1, 2))
-    + "\nSELECT h2.node, h2.v AS hub, a2.v AS authority FROM h2 JOIN a2 USING(node)"
+    + "\nSELECT h2.node, CAST(h2.v AS BIGINT) AS hub, CAST(a2.v AS BIGINT) AS authority FROM h2 JOIN a2 USING(node)"
 )
 
 
@@ -5616,7 +5636,7 @@ def q_lm_perplexity(sf_dir):
 
     corpus = corpus_from_documents(sf_dir)
     model = lm.train_bigram_lm(corpus)
-    return lm.perplexity_scores(corpus, model)
+    return _i64_out(lm.perplexity_scores(corpus, model))
 
 
 SQL_LM_PERPLEXITY = """
@@ -5742,7 +5762,7 @@ def q_dsir_weights(sf_dir):
         return t.filter(pc.equal(t["lang"], "en"))
 
     target = corpus.map_batches(only_en, batch_format="pyarrow")
-    return lm.dsir_weights(corpus, target)
+    return _i64_out(lm.dsir_weights(corpus, target))
 
 
 SQL_DSIR_WEIGHTS = """

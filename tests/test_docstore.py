@@ -168,3 +168,52 @@ def test_empty_fetch_schema_matches_hits(built):
     import pyarrow as pa
 
     assert len(pa.concat_tables([hit, miss])) == len(hit)
+
+
+def test_merge_docstore_skips_empty_parts(tmp_path, ray_session):
+    """Tombstones covering an entire source segment must not emit 0-row
+    docstore parts: a 0-row parquet part has a row group with
+    statistics=None, which DocStore range-indexing can't load (and two
+    empty batches would collide on one part name)."""
+    import ray.data as rd
+
+    from bitfunnel_ray.build.merge import merge_segments
+    from bitfunnel_ray.sources.corpus import _lift_documents_batch
+
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    cfg = EngineConfig(max_gram=1, num_buckets=2, store_fields=("text",))
+    s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    build_index(rd.from_arrow(_lift_documents_batch(docs.slice(0, 250))), s1, cfg)
+    build_index(rd.from_arrow(_lift_documents_batch(docs.slice(250))), s2, cfg)
+    dead = np.arange(0, 250, dtype=np.uint64)  # all of s1
+    out = str(tmp_path / "merged")
+    merge_segments([s1, s2], out, tombstones=dead)
+    store = os.path.join(out, "docstore")
+    parts = [p for p in os.listdir(store) if p.endswith(".parquet")]
+    assert parts and all(pq.read_metadata(os.path.join(store, p)).num_rows > 0 for p in parts)
+    eng = SearchEngine(out, load_urls=False)  # DocStore.__init__ must not crash
+    got = eng.fetch(list(range(250, 500)), fields=["text"])
+    assert len(got) == 250
+    assert len(eng.fetch([0, 100, 249])) == 0
+
+
+def test_merge_rejects_store_fields_mismatch(tmp_path, ray_session):
+    """Segments built with different store_fields must refuse to merge —
+    mixed-schema docstore parts would fail or silently drop fields."""
+    import ray.data as rd
+
+    from bitfunnel_ray.build.merge import merge_segments
+    from bitfunnel_ray.sources.corpus import _lift_documents_batch
+
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    build_index(
+        rd.from_arrow(_lift_documents_batch(docs.slice(0, 100))), s1,
+        EngineConfig(max_gram=1, num_buckets=2, store_fields=("text",)),
+    )
+    build_index(
+        rd.from_arrow(_lift_documents_batch(docs.slice(100, 100))), s2,
+        EngineConfig(max_gram=1, num_buckets=2, store_fields=("text", "lang")),
+    )
+    with pytest.raises(ValueError, match="store_fields"):
+        merge_segments([s1, s2], str(tmp_path / "merged"))

@@ -54,6 +54,16 @@ def test_query_matches_oracle(name):
     assert list(got.columns) == list(want.columns), f"{name}: columns differ"
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
     for c in got.columns:
+        # Dtype-strict on numeric kind: the driver's value hash is
+        # dtype-sensitive, so an int64 engine column vs a float64 oracle
+        # column (e.g. DuckDB HUGEINT sums materializing as float) must
+        # fail here, not at the driver.  _canon already widens within a
+        # kind (any int -> int64, any float -> float64), so comparing
+        # the canonical dtypes is exactly a kind check.
+        assert got[c].dtype == want[c].dtype, (
+            f"{name}: column {c} dtype {got[c].dtype} != oracle {want[c].dtype}"
+        )
+    for c in got.columns:
         if got[c].dtype == np.float64:
             # BIT-exact, mirroring the driver's value-hash comparison:
             # any float column an operator emits must be computed with

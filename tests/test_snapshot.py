@@ -95,3 +95,38 @@ def test_snapshot_gc_removes_unreferenced_segments(built, tmp_path):
     assert len(verify_snapshot(snap)) == 0
     dirs = restore_index(snap, str(tmp_path / "rest"))
     assert SearchEngine(dirs, load_urls=False).n_docs == 500
+
+
+def test_resnapshot_detects_in_place_rebuild(built, tmp_path):
+    """A segment file rebuilt in place with the SAME byte size but
+    different content must be re-copied on the next snapshot: the
+    incremental skip keys on (size, source mtime), not size alone."""
+    snap = str(tmp_path / "repo")
+    snapshot_index(built, snap)
+    # simulate an in-place rebuild: same size, different bytes, new mtime
+    victim = None
+    for root, _, files in os.walk(built):
+        for f in files:
+            if f.endswith(".parquet"):
+                victim = os.path.join(root, f)
+                break
+        if victim:
+            break
+    orig = open(victim, "rb").read()
+    try:
+        mutated = bytes([orig[0] ^ 0xFF]) + orig[1:]
+        with open(victim, "wb") as fh:
+            fh.write(mutated)
+        res = snapshot_index(built, snap)
+        assert res["segments"] == 1
+        assert len(verify_snapshot(snap)) == 0  # repo matches its manifest
+        # the repo copy carries the NEW bytes, not the stale ones
+        man = json.load(open(os.path.join(snap, "snapshot.json")))
+        rel = os.path.relpath(victim, built)
+        row = next(r for r in man["files"] if r["file"] == rel)
+        import hashlib
+
+        assert row["sha256"] == hashlib.sha256(mutated).hexdigest()
+    finally:
+        with open(victim, "wb") as fh:
+            fh.write(orig)
