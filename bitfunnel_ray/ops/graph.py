@@ -903,7 +903,9 @@ def _contrib_block(t: pa.Table) -> pa.Table:
     )
 
 
-def _update_block(t: pa.Table, *, base: int, dang: int, num: int, den: int) -> pa.Table:
+def _update_block(
+    t: pa.Table, *, base: int, dang: int, num: int, den: int, acc=None, it: int = 0
+) -> pa.Table:
     if len(t) == 0:
         return _STATE_SCHEMA.empty_table()
     dst = t["dst"].to_numpy(zero_copy_only=False)
@@ -919,6 +921,10 @@ def _update_block(t: pa.Table, *, base: int, dang: int, num: int, den: int) -> p
     if not (n_state == 1).all():
         raise ValueError("pagerank: node missing or duplicated in state stream")
     rank = base + dang + (inflow * num) // den
+    if acc is not None:
+        # next iteration's dangling mass rides this pass: blocks are
+        # disjoint by dst, so min-node is a stable idempotency key
+        _acc_put(acc, it, int(d[starts[0]]), int(np.sum(rank[odeg == 0])))
     return pa.table(
         {
             "node": pa.array(d[starts], pa.int64()),
@@ -965,7 +971,7 @@ def _prop_contrib_block(t: pa.Table) -> pa.Table:
     )
 
 
-def _prop_sum_block(t: pa.Table) -> pa.Table:
+def _prop_sum_block(t: pa.Table, *, acc=None, it: int = 0) -> pa.Table:
     if len(t) == 0:
         return _STATE_SCHEMA.empty_table()
     dst = t["dst"].to_numpy(zero_copy_only=False)
@@ -978,6 +984,8 @@ def _prop_sum_block(t: pa.Table) -> pa.Table:
     n_state = np.add.reduceat(is_state[order], starts)
     if not (n_state == 1).all():
         raise ValueError("propagate: node missing or duplicated in state stream")
+    if acc is not None:
+        _acc_put(acc, it, int(d[starts[0]]), int(np.sum(inflow)))
     return pa.table(
         {
             "node": pa.array(d[starts], pa.int64()),
@@ -1010,11 +1018,15 @@ def _tag_edges_directed(edges, *, reverse: bool):
     return edges.map_batches(tag, batch_format="pyarrow")
 
 
-def _propagate(state, tagged_edges, *, n_parts: int):
+def _propagate(state, tagged_edges, *, n_parts: int, acc=None, it: int = 0):
     """One distributed value propagation along pre-tagged edges:
     Dataset(node, rank) → Dataset(node, rank=sum of incoming values).
     The node universe is preserved (zero rows for nodes with no inflow).
-    Two hash exchanges, same layout contract as pagerank."""
+    Two hash exchanges, same layout contract as pagerank.  When ``acc``
+    is given, each sum block side-puts its Σ rank partial so the caller
+    reads the global total without a separate pass (HITS normalize)."""
+    from functools import partial as _partial
+
     stream = (
         state.map_batches(_tag_state, batch_format="pyarrow")
         .union(tagged_edges)
@@ -1023,7 +1035,11 @@ def _propagate(state, tagged_edges, *, n_parts: int):
     return (
         stream.map_batches(_prop_contrib_block, batch_size=None, batch_format="pyarrow")
         .repartition(num_blocks=n_parts, keys=["dst"])
-        .map_batches(_prop_sum_block, batch_size=None, batch_format="pyarrow")
+        .map_batches(
+            _partial(_prop_sum_block, acc=acc, it=it),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -1105,15 +1121,23 @@ def trustrank(
     ).materialize()
     base = (scale * (damping_den - damping_num)) // damping_den // n_seeds
 
-    def update_trust(t: pa.Table, *, base: int, dang: int, num: int, den: int) -> pa.Table:
+    def update_trust(
+        t: pa.Table, *, base: int, dang: int, num: int, den: int, acc=None, it: int = 0
+    ) -> pa.Table:
         out = _update_block(t, base=0, dang=0, num=num, den=den)
         node = out["node"].to_numpy(zero_copy_only=False)
         seed = (node % seed_mod == 0).astype(np.int64)
         rank = out["rank"].to_numpy(zero_copy_only=False) + seed * (base + dang)
+        if acc is not None and len(node):
+            odeg = out["outdeg"].to_numpy(zero_copy_only=False)
+            _acc_put(acc, it, int(node[0]), int(np.sum(rank[odeg == 0])))
         return out.set_column(1, "rank", pa.array(rank, pa.int64()))
 
-    for _ in range(n_iter):
-        dangling = _scalar_sum_where_zero_outdeg(state)
+    import ray as _ray
+
+    acc = _new_acc()
+    dangling = _scalar_sum_where_zero_outdeg(state)
+    for it in range(n_iter):
         dang = (dangling * damping_num) // damping_den // n_seeds
         stream = (
             state.map_batches(_tag_state, batch_format="pyarrow")
@@ -1127,12 +1151,14 @@ def trustrank(
             contribs.repartition(num_blocks=n_parts, keys=["dst"])
             .map_batches(
                 partial(update_trust, base=base, dang=dang,
-                        num=damping_num, den=damping_den),
+                        num=damping_num, den=damping_den, acc=acc, it=it),
                 batch_size=None,
                 batch_format="pyarrow",
             )
             .materialize()
         )
+        if it + 1 < n_iter:
+            dangling = _ray.get(acc.total.remote(it))
     return state.select_columns(["node", "rank"])
 
 
@@ -1214,9 +1240,7 @@ def hits(edges, *, n_iter: int = 2, scale: int = 10**6):
             )
         )
 
-    def normalize(raw):
-        raw = raw.materialize()
-        total = _scalar_sum_col(raw, "rank")
+    def normalize(raw, total):
         if total <= 0:
             return raw
         return raw.map_batches(
@@ -1231,10 +1255,15 @@ def hits(edges, *, n_iter: int = 2, scale: int = 10**6):
             batch_format="pyarrow",
         ).materialize()
 
+    import ray as _ray
+
+    acc = _new_acc()
     a = None
-    for _ in range(n_iter):
-        a = normalize(_propagate(h, fwd, n_parts=n_parts))
-        h = normalize(_propagate(a, rev, n_parts=n_parts))
+    for i in range(n_iter):
+        raw = _propagate(h, fwd, n_parts=n_parts, acc=acc, it=2 * i).materialize()
+        a = normalize(raw, _ray.get(acc.total.remote(2 * i)))
+        raw = _propagate(a, rev, n_parts=n_parts, acc=acc, it=2 * i + 1).materialize()
+        h = normalize(raw, _ray.get(acc.total.remote(2 * i + 1)))
 
     hub = h.map_batches(
         lambda t: pa.table({"node": t["node"], "hub": t["rank"]}),
@@ -1246,6 +1275,40 @@ def hits(edges, *, n_iter: int = 2, scale: int = 10**6):
     )
     n_j = max(2, n_parts // 2)
     return hub.join(auth, "inner", num_partitions=n_j, on=("node",))
+
+
+class _ScalarParts:
+    """Zero-CPU accumulator actor: per-iteration integer partials keyed
+    by (iteration, block_key).  Keyed puts make Ray task retries
+    idempotent (a re-executed block overwrites its own slot), and the
+    integer sum is order-independent, so ``total`` is deterministic.
+    Lets an iteration's update pass emit the scalar the NEXT iteration
+    needs (dangling mass / normalization total) as a side effect,
+    instead of paying a separate full pass + take_all per iteration."""
+
+    def __init__(self):
+        self._parts: dict = {}
+
+    def put(self, it: int, key: int, value: int) -> None:
+        self._parts[(it, key)] = int(value)
+
+    def total(self, it: int) -> int:
+        return sum(v for (i, _k), v in self._parts.items() if i == it)
+
+
+def _new_acc():
+    import ray
+
+    return ray.remote(num_cpus=0)(_ScalarParts).remote()
+
+
+def _acc_put(acc, it: int, key: int, value: int) -> None:
+    """Synchronous put from inside a map task: the ray.get barrier
+    guarantees the actor recorded the partial before the task (and thus
+    the iteration's materialize) completes."""
+    import ray
+
+    ray.get(acc.put.remote(it, key, value))
 
 
 def _scalar_sum_where_zero_outdeg(state) -> int:
@@ -1347,8 +1410,13 @@ def pagerank(
     ).materialize()
     base = (scale * (damping_den - damping_num)) // damping_den // n_nodes
 
-    for _ in range(n_iter):
-        dangling = _scalar_sum_where_zero_outdeg(state)
+    import ray as _ray
+
+    acc = _new_acc()
+    # iteration 0 reads the uniform r0 state — one scalar pass; every
+    # later iteration's dangling mass rides the previous update pass
+    dangling = _scalar_sum_where_zero_outdeg(state)
+    for it in range(n_iter):
         dang = (dangling * damping_num) // damping_den // n_nodes
         stream = (
             state.map_batches(_tag_state, batch_format="pyarrow")
@@ -1367,10 +1435,14 @@ def pagerank(
                     dang=dang,
                     num=damping_num,
                     den=damping_den,
+                    acc=acc,
+                    it=it,
                 ),
                 batch_size=None,
                 batch_format="pyarrow",
             )
             .materialize()
         )
+        if it + 1 < n_iter:
+            dangling = _ray.get(acc.total.remote(it))
     return state.select_columns(["node", "rank"])
