@@ -143,6 +143,71 @@ class DocShardActor:
         finally:
             eng.n_docs, eng.avgdl, eng.df_override = old
 
+    def search_topk_sorted(
+        self,
+        query: str,
+        k: int,
+        df_map: "dict[tuple[int, int], int]",
+        n_docs: int,
+        avgdl: float,
+        sort_by: "tuple[str, str]",
+    ) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+        """Local sort-by-field top-k under GLOBAL statistics.  Returns
+        (doc_ids, scores, keys) — keys are the RAW doc-values (NaN for
+        null) so the front can merge shards in the same total order the
+        local engine uses (key direction, nulls last, doc_id asc)."""
+        eng = self.engine
+        old = (eng.n_docs, eng.avgdl, eng.df_override)
+        try:
+            eng.n_docs, eng.avgdl = int(n_docs), float(avgdl)
+            eng.df_override = {(int(h), int(g)): int(v) for (h, g), v in df_map.items()}
+            t = eng.search(query, k=k, sort_by=sort_by)
+            doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keys = eng.docvalues_for(doc_ids.astype(np.uint64), sort_by[0])
+            return (doc_ids, t["score"].to_numpy(zero_copy_only=False), keys)
+        finally:
+            eng.n_docs, eng.avgdl, eng.df_override = old
+
+    # --- aggregation partials (facets / histograms / field stats) --------
+
+    def match_docs(self, query: str) -> np.ndarray:
+        """Sorted local match ids (boolean eval only — no global stats
+        needed, matching is score-free)."""
+        eng = self.engine
+        return np.sort(eng.eval(eng._parse_rewritten(query)).astype(np.int64))
+
+    def agg_histogram(
+        self, query: str, interval_s: int, col: str, origin_s: int
+    ) -> pa.Table:
+        """Local date_histogram partial — per-shard buckets merge by
+        summing counts (doc sets are disjoint)."""
+        from bitfunnel_ray.query.aggs import date_histogram
+
+        return date_histogram(
+            self.engine, query, interval_s=interval_s, col=col, origin_s=origin_s
+        )
+
+    def agg_field_partials(self, query: str, col: str) -> "tuple[int, float, float, float]":
+        """(n, min, max, sum) of the doc-values column over the local
+        match set, nulls excluded — the mergeable form of the ES
+        ``stats`` aggregation."""
+        eng = self.engine
+        matches = eng.eval(eng._parse_rewritten(query))
+        v = eng.docvalues_for(matches, col)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return 0, float("inf"), float("-inf"), 0.0
+        return int(len(v)), float(v.min()), float(v.max()), float(np.sum(v))
+
+    def agg_field_values(self, query: str, col: str) -> np.ndarray:
+        """Matched non-null doc-values (for exact percentiles: the front
+        concatenates shard values and takes one global quantile — ships
+        O(local matches) float64, same order as a local docvalues read)."""
+        eng = self.engine
+        matches = eng.eval(eng._parse_rewritten(query))
+        v = eng.docvalues_for(matches, col)
+        return v[~np.isnan(v)]
+
 
 class DocShardedServer:
     """Segment-partitioned serving with exact global BM25.
@@ -160,6 +225,7 @@ class DocShardedServer:
         num_cpus_per_shard: float = 1.0,
     ):
         segs = seglib.resolve_segment_dirs(index_dirs)
+        self.index_dirs = segs  # fetch() opens docstore sidecars here
         self.n_shards = max(1, min(int(n_shards), len(segs)))
         groups = [segs[i :: self.n_shards] for i in range(self.n_shards)]
         self.shards = [
@@ -174,15 +240,25 @@ class DocShardedServer:
             sum(s for _, s in stats) / self.n_docs if self.n_docs else 1.0
         )
 
-    def search(self, query: str, k: int = 10) -> pa.Table:
+    def _stats_round(self, query: str) -> "dict[tuple[int, int], int]":
         # phase 1: global df for the query's scoring terms (any shard can
         # derive the pair set — the parse is config-determined)
         pairs = ray.get(self.shards[0].scoring_pairs.remote(query))
         per_shard = ray.get([s.term_stats.remote(pairs) for s in self.shards])
-        df_map = {
+        return {
             p: sum(shard_dfs[i] for shard_dfs in per_shard)
             for i, p in enumerate(pairs)
         }
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        sort_by: "tuple[str, str] | None" = None,
+    ) -> pa.Table:
+        df_map = self._stats_round(query)
+        if sort_by is not None:
+            return self._search_sorted(query, k, df_map, sort_by)
         # phase 2: local top-k under global stats, merged deterministically
         parts = ray.get(
             [
@@ -200,6 +276,157 @@ class DocShardedServer:
                 "score": pa.array(scores[order], pa.float64()),
             }
         )
+
+    def _search_sorted(
+        self,
+        query: str,
+        k: int,
+        df_map: "dict[tuple[int, int], int]",
+        sort_by: "tuple[str, str]",
+    ) -> pa.Table:
+        """Sort-by-field: per-shard sorted top-k merged on the raw key in
+        the engine's total order (direction, nulls last, doc_id asc) —
+        the global top-k equals the top-k of per-shard top-ks because a
+        doc lives in exactly one shard.  Bit-identical to the local
+        engine's ``search(sort_by=...)`` (pytest)."""
+        col, direction = sort_by
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"sort_by direction {direction!r}")
+        parts = ray.get(
+            [
+                s.search_topk_sorted.remote(
+                    query, k, df_map, self.n_docs, self.avgdl, sort_by
+                )
+                for s in self.shards
+            ]
+        )
+        doc_ids = np.concatenate([d for d, _, _ in parts]) if parts else np.empty(0, np.uint64)
+        scores = np.concatenate([s for _, s, _ in parts]) if parts else np.empty(0, np.float64)
+        keys = np.concatenate([v for _, _, v in parts]) if parts else np.empty(0, np.float64)
+        if direction == "desc":
+            keys = -keys
+        keys = np.where(np.isnan(keys), np.inf, keys)  # nulls last, as local
+        order = np.lexsort((doc_ids, keys))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.uint32)),
+                "doc_id": pa.array(doc_ids[order], pa.uint64()),
+                "score": pa.array(scores[order], pa.float64()),
+            }
+        )
+
+    # --- serving aggregations (parity with the term-sharded front) -------
+
+    _docstore = None
+
+    def fetch(self, doc_ids, fields: "list[str] | None" = None) -> pa.Table:
+        """Stored-field rows (ES _source analog): docstore sidecars live
+        on the shared filesystem beside the segments, so the front does
+        the row-group-pruned point lookups directly — no shard RPC (same
+        shape as the term-sharded front's fetch)."""
+        if self._docstore is None:
+            from bitfunnel_ray.build.docstore import DocStore
+
+            self._docstore = DocStore(self.index_dirs)
+        return self._docstore.fetch(doc_ids, fields)
+
+    def date_histogram(
+        self,
+        query: str,
+        interval_s: int = 86400,
+        col: str = "warc_ts_s",
+        origin_s: int = 0,
+    ) -> pa.Table:
+        """Per-shard histogram partials summed per bucket (doc sets are
+        disjoint, so local counts add exactly)."""
+        parts = ray.get(
+            [
+                s.agg_histogram.remote(query, interval_s, col, origin_s)
+                for s in self.shards
+            ]
+        )
+        nonempty = [t for t in parts if len(t)]
+        merged = pa.concat_tables(nonempty) if nonempty else None
+        if merged is None or not len(merged):
+            return pa.table(
+                {
+                    "bucket_start_s": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        out = merged.group_by(["bucket_start_s"]).aggregate([("n_docs", "sum")])
+        out = out.rename_columns(["bucket_start_s", "n_docs"])
+        return out.set_column(
+            1, "n_docs", out["n_docs"].cast(pa.int64())
+        ).sort_by([("bucket_start_s", "ascending")])
+
+    def field_stats(self, query: str, col: str = "warc_ts_s") -> pa.Table:
+        """Mergeable (n, min, max, sum) partials per shard; avg = sum/n
+        at the front.  Exact for integer-valued doc-values columns (sums
+        stay below 2^53, so float64 addition is lossless in any order)."""
+        parts = ray.get(
+            [s.agg_field_partials.remote(query, col) for s in self.shards]
+        )
+        n = sum(p[0] for p in parts)
+        if n == 0:
+            return pa.table(
+                {
+                    "n_docs": pa.array([0], pa.int64()),
+                    "min_v": pa.array([None], pa.float64()),
+                    "max_v": pa.array([None], pa.float64()),
+                    "avg_v": pa.array([None], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "n_docs": pa.array([n], pa.int64()),
+                "min_v": pa.array([min(p[1] for p in parts if p[0])], pa.float64()),
+                "max_v": pa.array([max(p[2] for p in parts if p[0])], pa.float64()),
+                "avg_v": pa.array([sum(p[3] for p in parts) / n], pa.float64()),
+            }
+        )
+
+    def field_percentiles(
+        self,
+        query: str,
+        col: str = "warc_ts_s",
+        qs: "tuple[float, ...]" = (0.25, 0.5, 0.75),
+    ) -> pa.Table:
+        """Exact percentiles: shards return their matched values, the
+        front takes one global quantile (quantile is order-insensitive,
+        so this is bit-identical to the local engine's)."""
+        parts = ray.get(
+            [s.agg_field_values.remote(query, col) for s in self.shards]
+        )
+        v = np.concatenate(parts) if parts else np.empty(0, np.float64)
+        out = (
+            np.quantile(v, qs, method="linear")
+            if len(v)
+            else np.full(len(qs), np.nan)
+        )
+        return pa.table(
+            {
+                "q": pa.array(np.asarray(qs, np.float64), pa.float64()),
+                "value": pa.array(out, pa.float64()),
+            }
+        )
+
+    def facet_counts(
+        self,
+        meta,
+        query: str,
+        facet_cols: "tuple[str, ...]" = ("lang", "source"),
+    ) -> pa.Table:
+        """Facet counts over the global match set: per-shard match ids
+        gathered (disjoint, so concatenate+sort is the exact union), then
+        the shared broadcast-partial reduce from query/facets.py."""
+        from bitfunnel_ray.query.facets import facet_counts_for_matches
+
+        parts = ray.get([s.match_docs.remote(query) for s in self.shards])
+        match = (
+            np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        )
+        return facet_counts_for_matches(match, meta, facet_cols)
 
     def match_count(self, query: str) -> int:
         """Sum of shard-local match counts (doc sets are disjoint)."""
@@ -222,12 +449,7 @@ class DocShardedServer:
         selective query touches the few shards that can matter instead of
         fanning to all of them; ``self.last_shards_probed`` records the
         count for observability."""
-        pairs = ray.get(self.shards[0].scoring_pairs.remote(query))
-        per_shard = ray.get([s.term_stats.remote(pairs) for s in self.shards])
-        df_map = {
-            p: sum(shard_dfs[i] for shard_dfs in per_shard)
-            for i, p in enumerate(pairs)
-        }
+        df_map = self._stats_round(query)
         bounds = ray.get(
             [
                 s.score_bound.remote(query, df_map, self.n_docs, self.avgdl)

@@ -39,7 +39,18 @@ def facet_counts(
     Returns (*facet_cols, n_docs) sorted by the facet columns."""
     node = parse_query(query, engine.stream_map)
     match = np.sort(engine.eval(node).astype(np.int64))
-    match_ref = ray.put(match)
+    return facet_counts_for_matches(match, meta, facet_cols)
+
+
+def facet_counts_for_matches(
+    match: np.ndarray,
+    meta: "ray.data.Dataset",
+    facet_cols: tuple[str, ...] = ("lang", "source"),
+) -> pa.Table:
+    """``facet_counts`` over a precomputed SORTED match-id array — the
+    shared reduce both serving fronts use (the doc-sharded front gathers
+    per-shard match ids first; the local engine evals in-process)."""
+    match_ref = ray.put(np.asarray(match, dtype=np.int64))
     cols = list(facet_cols)
 
     def partial(t: pa.Table) -> pa.Table:

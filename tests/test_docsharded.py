@@ -164,3 +164,102 @@ def test_docsharded_range_query_parity(tmp_path_factory, ray_session):
         assert srv.match_count(q) == local.match_count(q)
     finally:
         srv.shutdown() if hasattr(srv, "shutdown") else None
+
+
+@pytest.fixture(scope="module")
+def lifted_pair(tmp_path_factory, ray_session):
+    """Two segments built from the LIFTED corpus (carries the warc_ts_s
+    fast field and a text docstore) — the fixture for sort/agg/fetch
+    parity."""
+    import ray.data as rd
+
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.sources.corpus import _lift_documents_batch
+
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    tmp = tmp_path_factory.mktemp("docsharded_lifted")
+    cfg = EngineConfig(max_gram=2, num_buckets=2, store_fields=("text",))
+    s1, s2 = str(tmp / "s1"), str(tmp / "s2")
+    build_index(rd.from_arrow(_lift_documents_batch(docs.slice(0, 250))), s1, cfg)
+    build_index(rd.from_arrow(_lift_documents_batch(docs.slice(250))), s2, cfg)
+    return [s1, s2]
+
+
+def test_docsharded_sort_by_field_parity(lifted_pair):
+    """Sort-by-field on the doc-sharded front: per-shard sorted top-ks
+    merged on the raw key must be BIT-IDENTICAL to the single-process
+    engine's ``search(sort_by=...)`` (global top-k == top-k of per-shard
+    top-ks; a doc lives in exactly one shard)."""
+    local = SearchEngine(lifted_pair, load_urls=False)
+    srv = DocShardedServer(lifted_pair, n_shards=2, num_cpus_per_shard=0.25)
+    try:
+        for q in ["spark join", "table", "merge | window", "zzz_nonexistent_term"]:
+            for direction in ("desc", "asc"):
+                a = local.search(q, k=10, sort_by=("warc_ts_s", direction))
+                b = srv.search(q, k=10, sort_by=("warc_ts_s", direction))
+                assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (q, direction)
+                assert a["score"].to_pylist() == b["score"].to_pylist(), (q, direction)
+    finally:
+        srv.shutdown()
+
+
+def test_docsharded_aggs_parity(lifted_pair):
+    """date_histogram / field_stats / field_percentiles merged from
+    per-shard partials must equal the local aggregation exactly (integer
+    doc-values make every float sum lossless in any order)."""
+    from bitfunnel_ray.query.aggs import date_histogram, field_percentiles, field_stats
+
+    local = SearchEngine(lifted_pair, load_urls=False)
+    srv = DocShardedServer(lifted_pair, n_shards=2, num_cpus_per_shard=0.25)
+    try:
+        for q in ["spark", "spark join", "zzz_nonexistent_term"]:
+            a = date_histogram(local, q, interval_s=100)
+            b = srv.date_histogram(q, interval_s=100)
+            assert a.to_pydict() == b.to_pydict(), q
+            a = field_stats(local, q)
+            b = srv.field_stats(q)
+            assert a.to_pydict() == b.to_pydict(), q
+            a = field_percentiles(local, q)
+            b = srv.field_percentiles(q)
+            ga, gb = a["value"].to_numpy(), b["value"].to_numpy()
+            assert np.array_equal(ga, gb, equal_nan=True), q
+    finally:
+        srv.shutdown()
+
+
+def test_docsharded_facet_counts_parity(lifted_pair):
+    """Facet counts from the gathered global match set equal the local
+    engine's facet_counts (same shared reduce, same match union)."""
+    import ray.data as rd
+
+    from bitfunnel_ray.query.facets import facet_counts
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    meta = rd.from_arrow(docs)
+    local = SearchEngine(lifted_pair, load_urls=False)
+    srv = DocShardedServer(lifted_pair, n_shards=2, num_cpus_per_shard=0.25)
+    try:
+        a = facet_counts(local, meta, "spark join", facet_cols=("lang",))
+        b = srv.facet_counts(meta, "spark join", facet_cols=("lang",))
+        assert a.to_pydict() == b.to_pydict()
+    finally:
+        srv.shutdown()
+
+
+def test_docsharded_stored_fields_fetch(lifted_pair):
+    """Stored-field fetch on the doc-sharded front: byte-identical to the
+    source rows, served via the front-side docstore point lookups."""
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    srv = DocShardedServer(lifted_pair, n_shards=2, num_cpus_per_shard=0.25)
+    try:
+        ids = [3, 200, 260, 499]
+        got = srv.fetch(ids, fields=["text"])
+        assert got["doc_id"].to_pylist() == sorted(ids)
+        want = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+        assert all(
+            want[i] == s
+            for i, s in zip(got["doc_id"].to_pylist(), got["text"].to_pylist())
+        )
+        assert len(srv.fetch([10**12])) == 0
+    finally:
+        srv.shutdown()
