@@ -294,8 +294,32 @@ def cmd_build(args):
     from bitfunnel_ray.config import EngineConfig
 
     cfg = EngineConfig(max_gram=args.gram, num_buckets=args.buckets)
+    out = {}
+    if getattr(args, "auto_bands", False):
+        # TreatmentOptimal analog (build/treatopt.py): statistics pass →
+        # df distribution → cost-driven per-band (codec, block size) plan,
+        # then build under the derived bands.  Results are identical to a
+        # default-band build (bands change the storage plan only).
+        from bitfunnel_ray.build.stats import document_frequency_table
+        from bitfunnel_ray.build.treatopt import optimal_bands_from_df
+
+        corpus = _load_corpus(args.corpus)
+        dft = document_frequency_table(corpus, cfg, emit_text=False)
+        import pyarrow as _pa
+
+        dfs = _pa.concat_tables(
+            [b for b in dft.select_columns(["df"]).iter_batches(
+                batch_format="pyarrow", batch_size=65536)]
+        )["df"].to_numpy()
+        n_docs_est = corpus.count()
+        bands = optimal_bands_from_df(dfs, n_docs_est)
+        cfg = EngineConfig(
+            max_gram=args.gram, num_buckets=args.buckets, treatment_bands=bands
+        )
+        out["auto_bands"] = [list(b) for b in bands]
     manifest = build_index(_load_corpus(args.corpus), args.index, cfg)
-    print(json.dumps({k: manifest[k] for k in ("n_docs", "avgdl", "build_seconds", "complete")}))
+    out.update({k: manifest[k] for k in ("n_docs", "avgdl", "build_seconds", "complete")})
+    print(json.dumps(out))
 
 
 def cmd_group(args):
@@ -1010,6 +1034,9 @@ def main(argv=None):
     s = sub.add_parser("build")
     s.add_argument("corpus"); s.add_argument("index")
     s.add_argument("--gram", type=int, default=2); s.add_argument("--buckets", type=int, default=16)
+    s.add_argument("--auto-bands", action="store_true",
+                   help="derive treatment bands from the corpus df distribution "
+                        "(TreatmentOptimal analog) before building")
     s.set_defaults(fn=cmd_build, needs_ray=True)
 
     s = sub.add_parser("links")

@@ -365,6 +365,49 @@ def q_bm25_topk(sf_dir):
     )
 
 
+_AUTO_ENGINES: dict[str, SearchEngine] = {}
+
+
+def get_engine_auto_bands(sf_dir: str) -> SearchEngine:
+    """Engine over a segment built with COST-DERIVED treatment bands
+    (build/treatopt.py, the TreatmentOptimal analog): bands come from the
+    default-band segment's real posting lists, then the corpus is
+    rebuilt under them.  Deterministic (sampling is dict-file-ordered,
+    decode costs are the documented constants), so the cache resumes."""
+    eng = _AUTO_ENGINES.get(sf_dir)
+    if eng is None:
+        from bitfunnel_ray.build.treatopt import optimal_bands_for_segment
+        import dataclasses
+
+        base = get_engine(sf_dir)  # ensures the default segment exists
+        bands = optimal_bands_for_segment(base.segments[0].dir)
+        tag = sf_dir.strip("/").replace("/", "_")
+        idx_dir = f"/tmp/bfr_idx_cache/{tag}-autobands-v1"
+        build_index(
+            corpus_from_documents(sf_dir),
+            idx_dir,
+            dataclasses.replace(_CFG, treatment_bands=bands),
+        )
+        eng = SearchEngine(idx_dir, load_urls=False)
+        _AUTO_ENGINES[sf_dir] = eng
+    return eng
+
+
+def q_search_auto_bands(sf_dir):
+    """BM25 top-10 served from the auto-band segment — same oracle as
+    ``bm25_topk``: cost-driven treatments change the storage plan (codec
+    + skip-block size per df band), never results."""
+    eng = get_engine_auto_bands(sf_dir)
+    t = eng.search(" ".join(_BM25_TERMS), k=10)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
 _QLD_TERMS = ("spark", "vector", "join")
 
 
@@ -5938,6 +5981,7 @@ REGISTRY: dict[str, tuple] = {
     "search_phrase": (q_search_phrase, SQL_SEARCH_PHRASE),
     "search_boolean_mix": (q_search_boolean_mix, SQL_SEARCH_BOOLEAN_MIX),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "search_auto_bands": (q_search_auto_bands, SQL_BM25_TOPK),
     "qld_topk": (q_qld_topk, SQL_QLD_TOPK),
     "ltr_features": (q_ltr_features, SQL_LTR_FEATURES),
     "docsharded_bm25_topk": (q_docsharded_bm25_topk, SQL_BM25_TOPK),
