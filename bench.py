@@ -222,6 +222,64 @@ def run_bench() -> dict:
             extras["n_head_terms"] = int(res["waves"][0].get("n_head_terms", 0))
             extras["n_build_waves"] = n_waves
 
+    # --- auto-bands storage plan (TreatmentOptimal analog): derive bands
+    # from the built segment's real posting lists, rebuild under them, and
+    # report payload bytes/posting default vs auto.  extras-only.
+    if want("index_build") and os.environ.get("BFR_BENCH_AUTOBANDS", "1") != "0":
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        from bitfunnel_ray.build.treatopt import optimal_bands_for_segment
+
+        t0 = time.perf_counter()
+        auto_bands = optimal_bands_for_segment(seg_dirs[0])
+        auto_dir = "/tmp/bfr_bench_idx_autobands"
+        shutil.rmtree(auto_dir, ignore_errors=True)
+        import dataclasses as _dc
+
+        build_index(
+            rd.read_parquet(parquet_files, override_num_blocks=128),
+            auto_dir,
+            _dc.replace(
+                cfg,
+                treatment_bands=auto_bands,
+                # never re-emit fused stats partials from the A/B rebuild
+                extra={k: v for k, v in cfg.extra.items() if k != "fused_stats_dir"},
+            ),
+        )
+
+        def _seg_bytes_postings(d):
+            import pyarrow.compute as _pc
+
+            files = sorted(_glob.glob(os.path.join(d, "dict-*.parquet")))
+            file_b = sum(os.path.getsize(f) for f in files)
+            pay_b = 0
+            np_total = 0
+            for f in files:
+                t = _pq.read_table(
+                    f, columns=["n_postings", "docs_payload", "last_docs"]
+                )
+                np_total += int(t["n_postings"].to_numpy().sum())
+                # the quantity the cost model optimizes: doc-delta payload
+                # + 16 B (last_doc + max_tfn) per skip block
+                pay_b += int(_pc.sum(_pc.binary_length(t["docs_payload"])).as_py())
+                pay_b += 16 * int(
+                    _pc.sum(_pc.list_value_length(t["last_docs"])).as_py()
+                )
+            return file_b, pay_b, max(1, np_total)
+
+        db, dpay, dp = _seg_bytes_postings(seg_dirs[0])
+        ab, apay, ap = _seg_bytes_postings(auto_dir)
+        extras["auto_bands"] = [list(b) for b in auto_bands]
+        extras["auto_bands_sec"] = round(time.perf_counter() - t0, 3)
+        extras["bytes_per_posting_default"] = round(db / dp, 3)
+        extras["bytes_per_posting_auto"] = round(ab / ap, 3)
+        extras["payload_bytes_per_posting_default"] = round(dpay / dp, 3)
+        extras["payload_bytes_per_posting_auto"] = round(apay / ap, 3)
+        extras["auto_bands_payload_saved_pct"] = round(100.0 * (1.0 - apay / dpay), 2)
+        shutil.rmtree(auto_dir, ignore_errors=True)
+
     # --- statistics finish (df table; the 'BitFunnel statistics' analog) -
     # fused mode: the corpus walk already happened inside the build; this
     # stage is the partial-shard combine (one small hash exchange over
@@ -299,6 +357,63 @@ def run_bench() -> dict:
             extras["wide_or_16_champion_ms"] = round(t_ch * 1000, 2)
             extras["wide_or_16_champion_overlap_at_10"] = round(ov / 10, 2)
         server.shutdown()
+
+        # --- serve UNDER ingest (NRT): QPS/p99 while a wave build and a
+        # compaction run concurrently, then refresh() picks the new
+        # segment up with zero errors (the reference's REPL serves while
+        # `load` ingests, IngestCommands.cpp:71-147).  extras-only.
+        if os.environ.get("BFR_SERVE_UNDER_INGEST", "1") != "0":
+            import threading
+
+            from bitfunnel_ray.build.builder import build_index as _bi2
+            from bitfunnel_ray.build.merge import merge_segments as _ms
+
+            nrt_root = "/tmp/bfr_bench_nrt"
+            shutil.rmtree(nrt_root, ignore_errors=True)
+            os.makedirs(nrt_root)
+            os.symlink(os.path.abspath(seg_dirs[0]), os.path.join(nrt_root, "seg-0000"))
+            srv2 = ShardedServer(nrt_root, n_shards=4)
+            n_docs_before = srv2.engine().n_docs
+            ing_err = []
+
+            def _ingest():
+                try:
+                    seg1 = os.path.join(nrt_root, "seg-0001")
+                    _bi2(
+                        rd.read_parquet(parquet_files[: max(1, len(parquet_files) // 8)]),
+                        seg1,
+                        cfg,
+                    )
+                    # compaction churn while queries keep flowing
+                    _ms(
+                        [os.path.join(nrt_root, "seg-0000"), seg1],
+                        "/tmp/bfr_bench_nrt_compacted",
+                    )
+                except Exception as e:  # surfaced after join
+                    ing_err.append(repr(e))
+
+            th = threading.Thread(target=_ingest)
+            th.start()
+            t0 = time.perf_counter()
+            st_under = summarize(
+                srv2.run(qlog, k=10, concurrency=serve_conc, batch_size=128)
+            )
+            dt_under = time.perf_counter() - t0
+            th.join()
+            extras["qps_during_ingest"] = round(n_queries / dt_under, 1)
+            extras["query_p99_ms_during_ingest"] = round(st_under["p99_ms"], 3)
+            extras["query_errors_during_ingest"] = st_under["n_errors"] + len(ing_err)
+            t0 = time.perf_counter()
+            n_new = srv2.refresh()
+            extras["nrt_refresh_sec"] = round(time.perf_counter() - t0, 3)
+            extras["nrt_refresh_new_segments"] = n_new
+            st_post = summarize(
+                srv2.run(qlog, k=10, concurrency=serve_conc, batch_size=128)
+            )
+            extras["query_errors_post_refresh"] = st_post["n_errors"]
+            extras["nrt_docs_grown"] = srv2.engine().n_docs - n_docs_before
+            srv2.shutdown()
+            shutil.rmtree("/tmp/bfr_bench_nrt_compacted", ignore_errors=True)
 
     # --- training-data ops (dedup over the big synthetic corpus so the
     # band shuffle has real work; ann over the sf dir embeddings) --------
@@ -536,8 +651,55 @@ def run_scaling() -> dict:
     }
 
 
+def run_2m_extras() -> dict:
+    """Second headline at 2M docs (the scale the r3 tuning targets) in a
+    fresh process/Ray session: build-side stages + dedup + the graph
+    extras over the 2M zipf corpus.  Merged into extras["at_2m"]."""
+    env = dict(
+        os.environ,
+        BFR_BENCH_DOCS="2000000",
+        BFR_BENCH_ONLY="stats_df,index_build,dedup_minhash,graph",
+        BFR_BENCH_AUTOBANDS="0",
+        BFR_SERVE_UNDER_INGEST="0",
+        BFR_BENCH_2M="0",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    child = json.loads(out.strip().splitlines()[-1])
+    keep = (
+        "build_docs_per_sec",
+        "dedup_pairs",
+        "pagerank_sec",
+        "pagerank_nodes",
+        "pagerank_node_iters_per_sec",
+        "anchor_join_sec",
+        "anchor_join_rows",
+    )
+    return {
+        "bench_docs": child["bench_docs"],
+        "queries": child["queries"],
+        **{k: child["extras"][k] for k in keep if k in child["extras"]},
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        result = run_bench()
+        if (
+            os.environ.get("BFR_BENCH_2M", "1") != "0"
+            and not os.environ.get("BFR_BENCH_ONLY")
+        ):
+            result["extras"]["at_2m"] = run_2m_extras()
+            result["extras"]["at_2m"]["docs_per_sec_ratio_vs_600k"] = round(
+                result["extras"]["at_2m"].get("build_docs_per_sec", 0)
+                / max(1e-9, result["extras"].get("build_docs_per_sec", 1)),
+                3,
+            )
+        print(json.dumps(result))
