@@ -31,20 +31,46 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def _resolve_image_backend(backend: str) -> str:
+    """``auto`` → ``pil`` when Pillow imports, else a clear error naming
+    the alternatives.  Resolution happens ONCE per actor (``__init__``),
+    never per batch."""
+    if backend != "auto":
+        return backend
+    try:
+        import PIL.Image  # noqa: F401
+
+        return "pil"
+    except ImportError as exc:
+        raise ImportError(
+            "backend='auto' found no image codec (Pillow not installed); "
+            "install pillow, or use backend='fake' for deterministic "
+            "plumbing tests"
+        ) from exc
+
+
 class DecodeFeatures:
     """Actor stage: binary payload → fixed-dim feature vector.
 
     ``backend="stub"`` raises NotImplementedError (the honest default);
     ``backend="fake"`` produces a deterministic hash-derived vector so the
-    downstream plumbing (ANN, dedup) is testable end-to-end.
-    A real deployment loads its model ONCE here in ``__init__``.
+    downstream plumbing (ANN, dedup) is testable end-to-end;
+    ``backend="pil"`` decodes real images with Pillow (loaded once here)
+    and emits a mean-pooled luminance vector; ``backend="auto"`` picks
+    ``pil`` when Pillow is importable and errors clearly otherwise.
+    A real deployment swaps in its model the same way.
     """
 
     def __init__(self, backend: str = "stub", dim: int = 16):
+        backend = _resolve_image_backend(backend)
         self.backend = backend
         self.dim = dim
-        if backend not in ("stub", "fake"):
+        if backend not in ("stub", "fake", "pil"):
             raise ValueError(f"unknown backend {backend!r}")
+        if backend == "pil":
+            import PIL.Image as _Image  # once per actor
+
+            self._Image = _Image
 
     def _decode_stub(self, payloads):
         raise NotImplementedError(
@@ -63,11 +89,27 @@ class DecodeFeatures:
             out[i] = (vals.astype(np.float64) / float(1 << 53) - 0.5).astype(np.float32)
         return out
 
+    def _decode_pil(self, payloads) -> np.ndarray:
+        import io
+
+        out = np.empty((len(payloads), self.dim), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            img = self._Image.open(io.BytesIO(bytes(p or b"")))
+            # dim-pixel luminance strip: a real (if minimal) content
+            # feature — resize does the mean pooling
+            strip = img.convert("L").resize((self.dim, 1))
+            v = np.asarray(strip, dtype=np.float32).ravel()[: self.dim]
+            out[i] = v / 255.0 - 0.5
+        return out
+
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
-        feats = (
-            self._decode_fake(payloads) if self.backend == "fake" else self._decode_stub(payloads)
-        )
+        if self.backend == "fake":
+            feats = self._decode_fake(payloads)
+        elif self.backend == "pil":
+            feats = self._decode_pil(payloads)
+        else:
+            feats = self._decode_stub(payloads)
         return pa.table(
             {
                 "media_id": t["media_id"],
@@ -93,9 +135,9 @@ def extract_features(
     concurrency: int = 2,
     batch_size: int = 64,
 ) -> "ray.data.Dataset":
-    import functools
-
-    cls = functools.partial(DecodeFeatures, backend=backend, dim=dim)
+    # resolve driver-side so a missing codec raises the clear ImportError
+    # here, not as an ActorDiedError from the pool constructor
+    backend = _resolve_image_backend(backend)
     # callable-class actor pool: decode state loads once per actor
     return media.map_batches(
         DecodeFeatures,
@@ -223,10 +265,15 @@ class ResizeImages:
     """
 
     def __init__(self, target_w: int = 224, target_h: int = 224, backend: str = "stub"):
-        if backend not in ("stub", "fake"):
+        backend = _resolve_image_backend(backend)
+        if backend not in ("stub", "fake", "pil"):
             raise ValueError(f"unknown backend {backend!r}")
         self.target_w, self.target_h = int(target_w), int(target_h)
         self.backend = backend
+        if backend == "pil":
+            import PIL.Image as _Image  # once per actor
+
+            self._Image = _Image
 
     def _resize_fake(self, payload: bytes) -> bytes:
         # deterministic pseudo-resample: tile/truncate the source bytes to
@@ -236,12 +283,21 @@ class ResizeImages:
         reps = -(-n // len(src))
         return (src * reps)[:n]
 
+    def _resize_pil(self, payload: bytes) -> bytes:
+        import io
+
+        img = self._Image.open(io.BytesIO(bytes(payload or b"")))
+        buf = io.BytesIO()
+        img.resize((self.target_w, self.target_h)).save(buf, format="PNG")
+        return buf.getvalue()
+
     def __call__(self, t: pa.Table) -> pa.Table:
         if self.backend == "stub":
             raise NotImplementedError(
                 "no image codec in this environment; use backend='fake'"
             )
-        out = [self._resize_fake(p) for p in t["payload"].to_pylist()]
+        fn = self._resize_pil if self.backend == "pil" else self._resize_fake
+        out = [fn(p) for p in t["payload"].to_pylist()]
         return pa.table(
             {
                 "media_id": t["media_id"],
@@ -262,6 +318,7 @@ def resize_images(
     concurrency: int = 2,
     batch_size: int = 32,
 ) -> "ray.data.Dataset":
+    backend = _resolve_image_backend(backend)  # clear error driver-side
     return media.map_batches(
         ResizeImages,
         fn_constructor_kwargs={

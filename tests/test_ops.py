@@ -1536,3 +1536,66 @@ def test_significant_terms_vs_brute():
     np.testing.assert_allclose(
         got["score"].to_numpy(), [s for *_, s in want], rtol=1e-12
     )
+
+
+def test_multimodal_auto_backend_resolution(monkeypatch):
+    """backend='auto' resolves to Pillow when importable (glue exercised
+    via a minimal in-process PIL stand-in — no codec in this container)
+    and raises a CLEAR ImportError when it is not."""
+    import io
+    import sys
+    import types
+
+    from bitfunnel_ray.ops import multimodal as mm
+
+    # no Pillow in this container: auto must fail with the helpful message
+    with pytest.raises(ImportError, match="pillow|fake"):
+        mm.DecodeFeatures(backend="auto")
+
+    # minimal PIL.Image stand-in: open() returns an object supporting
+    # convert/resize/save — enough to drive the real pil code path
+    class _Img:
+        def __init__(self, data):
+            self.data = data
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            self.wh = wh
+            return self
+
+        def save(self, buf, format=None):
+            buf.write(b"PNG" + bytes(self.data[:8]))
+
+        def __array__(self, dtype=None):
+            w, h = self.wh
+            src = np.frombuffer((bytes(self.data) * ((w * h) // max(1, len(self.data)) + 1))[: w * h], np.uint8)
+            return src.reshape(h, w).astype(dtype or np.uint8)
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = lambda b: _Img(b.getvalue() if isinstance(b, io.BytesIO) else b)
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.uint64()),
+            "media_type": pa.array(["image", "image"]),
+            "payload": pa.array([b"abcdefgh", b" zyxwvuts"], pa.large_binary()),
+            "width": pa.array([8, 8], pa.int32()),
+            "height": pa.array([1, 1], pa.int32()),
+            "duration_ms": pa.array([0, 0], pa.int32()),
+        }
+    )
+    dec = mm.DecodeFeatures(backend="auto", dim=4)
+    assert dec.backend == "pil"
+    out = dec(t)
+    assert len(out) == 2 and len(out["features"][0]) == 4
+    rs = mm.ResizeImages(target_w=4, target_h=4, backend="auto")
+    assert rs.backend == "pil"
+    rt = rs(t)
+    assert rt["payload"][0].as_py().startswith(b"PNG")
+    assert rt["width"].to_pylist() == [4, 4]
