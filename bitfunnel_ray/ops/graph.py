@@ -468,7 +468,7 @@ def bfs_depth(edges, seed_mod: int, *, n_rounds: int = 8):
             schema=relax_schema,
         )
 
-    def min_block(t: pa.Table) -> pa.Table:
+    def min_block(t: pa.Table, *, acc=None, it: int = 0) -> pa.Table:
         if len(t) == 0:
             return pa.schema(
                 [("node", pa.int64()), ("rank", pa.int64()),
@@ -487,30 +487,41 @@ def bfs_depth(edges, seed_mod: int, *, n_rounds: int = 8):
         own = np.full(len(starts), _BFS_INF, np.int64)
         so = np.flatnonzero(is_state[order] == 1)
         own[np.searchsorted(starts, so, side="right") - 1] = depth[order][so]
+        changed = (newd < own).astype(np.int64)
+        if acc is not None:
+            # convergence count rides the reduce pass (no extra scalar
+            # pass per round); min-node keys make retries idempotent
+            _acc_put(acc, it, int(d[starts[0]]), int(changed.sum()))
         return pa.table(
             {
                 "node": pa.array(d[starts], pa.int64()),
                 "rank": pa.array(newd, pa.int64()),
                 "outdeg": pa.array(np.zeros(len(starts), np.int64)),
-                "changed": pa.array((newd < own).astype(np.int64), pa.int64()),
+                "changed": pa.array(changed, pa.int64()),
             }
         )
 
-    for _ in range(n_rounds):
+    import ray as _ray
+    from functools import partial as _partial
+
+    acc = _new_acc()
+    for it in range(n_rounds):
         stream = (
             state.map_batches(_tag_state, batch_format="pyarrow")
             .union(tagged_edges)
             .repartition(num_blocks=n_parts, keys=["key"])
         )
-        nxt = (
+        state = (
             stream.map_batches(relax_block, batch_size=None, batch_format="pyarrow")
             .repartition(num_blocks=n_parts, keys=["dst"])
-            .map_batches(min_block, batch_size=None, batch_format="pyarrow")
+            .map_batches(
+                _partial(min_block, acc=acc, it=it),
+                batch_size=None,
+                batch_format="pyarrow",
+            )
             .materialize()
         )
-        n_changed = _scalar_sum_col(nxt, "changed")
-        state = nxt.select_columns(["node", "rank", "outdeg"]).materialize()
-        if n_changed == 0:
+        if _ray.get(acc.total.remote(it)) == 0:
             break
 
     return state.map_batches(
@@ -1336,18 +1347,6 @@ def _scalar_sum_where_zero_outdeg(state) -> int:
         batch_format="pyarrow",
     ).take_all()
     return sum(r["d"] for r in parts)
-
-
-def _scalar_sum_col(ds, col: str) -> int:
-    """Σ col as per-block partials + take_all (same rationale as above)."""
-    parts = ds.map_batches(
-        lambda t: pa.table(
-            {"s": pa.array([int(np.sum(t[col].to_numpy(zero_copy_only=False)))], pa.int64())}
-        ),
-        batch_size=None,
-        batch_format="pyarrow",
-    ).take_all()
-    return sum(r["s"] for r in parts)
 
 
 def pagerank(
