@@ -408,6 +408,27 @@ def q_search_auto_bands(sf_dir):
     )
 
 
+def q_suggest_prefix(sf_dir):
+    """Prefix autocomplete over the unigram dictionary (ops/suggest.py):
+    top-10 completions of 's' ranked by df desc, term asc — the map-side
+    top-k shape (≤ k rows leave each block, never the vocabulary)."""
+    from bitfunnel_ray.ops.suggest import suggest_terms
+
+    dft = document_frequency_table(
+        corpus_from_documents(sf_dir), EngineConfig(max_gram=1)
+    )
+    return suggest_terms(dft, "s", k=10)
+
+
+SQL_SUGGEST_PREFIX = f"""
+WITH uc AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM ({_tokens_sql()}) WHERE term LIKE 's%' GROUP BY term
+)
+SELECT term, CAST(df AS BIGINT) AS df FROM uc ORDER BY df DESC, term LIMIT 10
+"""
+
+
 _QLD_TERMS = ("spark", "vector", "join")
 
 
@@ -5982,6 +6003,7 @@ REGISTRY: dict[str, tuple] = {
     "search_boolean_mix": (q_search_boolean_mix, SQL_SEARCH_BOOLEAN_MIX),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "search_auto_bands": (q_search_auto_bands, SQL_BM25_TOPK),
+    "suggest_prefix": (q_suggest_prefix, SQL_SUGGEST_PREFIX),
     "qld_topk": (q_qld_topk, SQL_QLD_TOPK),
     "ltr_features": (q_ltr_features, SQL_LTR_FEATURES),
     "docsharded_bm25_topk": (q_docsharded_bm25_topk, SQL_BM25_TOPK),
