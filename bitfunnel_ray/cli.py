@@ -543,6 +543,7 @@ _REPL_HELP = """commands (BitFunnel Environment registry analog):
   status         index totals (docs, avgdl, segments, dict rows)
   script <file>  execute commands from a file (reproducible sessions)
   fetch <doc_id> stored-field row for one document (needs a docstore)
+  suggest <pfx>  df-ranked prefix completions (needs a suggest vocabulary)
   help           this text
   exit / quit    leave"""
 
@@ -570,6 +571,16 @@ def repl_execute(eng, line: str, *, _depth: int = 0) -> str:
                 "dict_rows": int(rows),
                 "max_gram": eng.max_gram,
             }
+        )
+    if cmd == "suggest":
+        if not rest:
+            return "usage: suggest <prefix>"
+        try:
+            t = eng.suggest(rest, k=10)
+        except RuntimeError as e:
+            return str(e)
+        return json.dumps(
+            [{"term": a, "df": b} for a, b in zip(t["term"].to_pylist(), t["df"].to_pylist())]
         )
     if cmd == "fetch":
         try:

@@ -255,6 +255,30 @@ class QueryAlgebra:
 
         self.fuzzy_matcher = VocabFuzzyMatcher(terms)
 
+    # --- prefix autocomplete ----------------------------------------------
+    # same lifecycle as the fuzzy vocabulary: dictionaries store hashes,
+    # not text, so serving installs the (term, df) vocabulary once (df
+    # table / TermToText sidecar) and answers keystrokes locally
+    suggest_index = None
+
+    def set_suggest_vocabulary(self, terms, dfs) -> None:
+        """Install the unigram (term, df) vocabulary behind ``suggest``
+        (typically the df table's term/df columns)."""
+        from bitfunnel_ray.ops.suggest import SuggestIndex
+
+        self.suggest_index = SuggestIndex(terms, dfs)
+
+    def suggest(self, prefix: str, k: int = 10) -> pa.Table:
+        """Top-k prefix completions (df desc, term asc) — search-as-you-
+        type over the installed vocabulary."""
+        if self.suggest_index is None:
+            raise RuntimeError(
+                "no suggest vocabulary installed — call "
+                "set_suggest_vocabulary(terms, dfs) with the df table / "
+                "TermToText sidecar"
+            )
+        return self.suggest_index.complete(prefix, k)
+
     # --- result cache -------------------------------------------------------
     # bounded LRU over (query, k) for the static-argument search path; a
     # hit skips parse/eval/score entirely.  Engines clear it on refresh()

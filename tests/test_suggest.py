@@ -61,3 +61,30 @@ def test_index_edge_cases():
     assert len(idx.complete("zzz")) == 0
     # empty prefix ranks the whole unigram vocab
     assert idx.complete("", k=2)["term"].to_pylist() == ["beta", "alp"]
+
+
+def test_engine_suggest_surface(dft, tmp_path, ray_session):
+    """QueryAlgebra.suggest: install the df-table vocabulary once (the
+    fuzzy-vocabulary lifecycle), then complete locally; the REPL command
+    routes to the same surface."""
+    from bitfunnel_ray.build.builder import build_index
+    from bitfunnel_ray.cli import repl_execute
+    from bitfunnel_ray.query.engine import SearchEngine
+
+    out = str(tmp_path / "seg")
+    build_index(
+        corpus_from_documents(SF), out, EngineConfig(max_gram=1, num_buckets=2)
+    )
+    eng = SearchEngine(out, load_urls=False)
+    with pytest.raises(RuntimeError, match="suggest vocabulary"):
+        eng.suggest("s")
+    assert "vocabulary" in repl_execute(eng, "suggest sp")
+    t = dft.to_pandas()
+    eng.set_suggest_vocabulary(t["term"].to_numpy(), t["df"].to_numpy())
+    got = eng.suggest("s", k=10)
+    want = suggest_terms(dft, "s", k=10)
+    assert got.to_pydict() == want.to_pydict()
+    import json
+
+    rows = json.loads(repl_execute(eng, "suggest s"))
+    assert rows[0]["term"] == want["term"][0].as_py()
