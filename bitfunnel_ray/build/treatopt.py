@@ -202,7 +202,13 @@ def optimal_bands_for_segment(
     """Derive treatment bands from a BUILT segment's real posting lists:
     per idf band, decode up to ``sample_chunks_per_band`` chunks' doc
     payloads and trial-encode the actual deltas with every codec.
-    Deterministic: chunks are taken in dict-file order."""
+    Deterministic: chunks are taken in dict-file order.
+
+    Two passes so the driver never holds payload columns for the whole
+    dictionary (they are the bulk of a segment): pass 1 reads ONLY the
+    fixed-width ``n_postings`` column to band every chunk and pick the
+    sample rows; pass 2 reads payload bytes for just the sampled rows,
+    one row group at a time (parquet's pruning unit)."""
     from bitfunnel_ray.build import segment as seglib
     from bitfunnel_ray.build.encode import CODEC_EF, CODEC_PFOR
 
@@ -210,44 +216,74 @@ def optimal_bands_for_segment(
     if man is None:
         raise FileNotFoundError(f"no manifest in {seg_dir}")
     n_docs = max(1, int(man["n_docs"]))
+    files = sorted(glob.glob(os.path.join(seg_dir, "dict-*.parquet")))
+
+    # pass 1: band every chunk from n_postings alone; choose sample rows
     samples: dict[int, list[np.ndarray]] = {}
     n_chunks: dict[int, int] = {}
     sum_len: dict[int, int] = {}
-    for f in sorted(glob.glob(os.path.join(seg_dir, "dict-*.parquet"))):
-        t = pq.read_table(f, columns=["n_postings", "codec", "docs_payload"])
-        lens = t["n_postings"].to_numpy()
-        codecs = (
-            t["codec"].to_numpy(zero_copy_only=False)
-            if "codec" in t.column_names
-            else np.zeros(len(t), np.uint8)
-        )
+    wanted: dict[str, list[int]] = {}  # file -> sorted row ordinals to decode
+    for f in files:
+        lens = pq.read_table(f, columns=["n_postings"])["n_postings"].to_numpy()
         idf = np.clip(
             np.round(10.0 * np.log10(n_docs / np.maximum(lens.astype(np.float64), 1.0))),
             0,
             60,
         ).astype(np.int64)
-        payloads = t["docs_payload"]
-        for j in range(len(t)):
-            b = int(idf[j])
-            n_chunks[b] = n_chunks.get(b, 0) + 1
-            sum_len[b] = sum_len.get(b, 0) + int(lens[j])
-            bucket = samples.setdefault(b, [])
-            if len(bucket) >= sample_chunks_per_band:
-                continue
-            buf = np.frombuffer(payloads[j].as_py(), dtype=np.uint8)
-            n = int(lens[j])
-            cd = int(codecs[j])
-            if cd == CODEC_PFOR:
-                from bitfunnel_ray.functions.pfor import decode_pfor
+        for b in np.unique(idf):
+            rows_b = np.flatnonzero(idf == b)
+            bi = int(b)
+            n_chunks[bi] = n_chunks.get(bi, 0) + len(rows_b)
+            sum_len[bi] = sum_len.get(bi, 0) + int(lens[rows_b].sum())
+            have = len(samples.setdefault(bi, []))
+            take = rows_b[: max(0, sample_chunks_per_band - have)]
+            if len(take):
+                wanted.setdefault(f, []).extend(int(r) for r in take)
+                # reserve the slots; filled with real deltas in pass 2
+                samples[bi].extend([None] * len(take))
 
-                deltas = decode_pfor(buf, n)
-            elif cd == CODEC_EF:
-                from bitfunnel_ray.functions.ef import decode_ef
+    # pass 2: decode ONLY the sampled rows, row group by row group
+    fills: dict[int, list[np.ndarray]] = {b: [] for b in samples}
+    for f, rows in wanted.items():
+        rows_sorted = sorted(rows)
+        pf = pq.ParquetFile(f)
+        rg_sizes = [pf.metadata.row_group(i).num_rows for i in range(pf.metadata.num_row_groups)]
+        rg_starts = np.concatenate([[0], np.cumsum(rg_sizes)]).astype(np.int64)
+        by_rg: dict[int, list[int]] = {}
+        for r in rows_sorted:
+            g = int(np.searchsorted(rg_starts, r, side="right") - 1)
+            by_rg.setdefault(g, []).append(r - int(rg_starts[g]))
+        for g, local_rows in by_rg.items():
+            t = pf.read_row_group(g, columns=["n_postings", "codec", "docs_payload"])
+            lens = t["n_postings"].to_numpy()
+            codecs = (
+                t["codec"].to_numpy(zero_copy_only=False)
+                if "codec" in t.column_names
+                else np.zeros(len(t), np.uint8)
+            )
+            idf = np.clip(
+                np.round(
+                    10.0 * np.log10(n_docs / np.maximum(lens.astype(np.float64), 1.0))
+                ),
+                0,
+                60,
+            ).astype(np.int64)
+            for j in local_rows:
+                buf = np.frombuffer(t["docs_payload"][j].as_py(), dtype=np.uint8)
+                n = int(lens[j])
+                cd = int(codecs[j])
+                if cd == CODEC_PFOR:
+                    from bitfunnel_ray.functions.pfor import decode_pfor
 
-                deltas = decode_ef(buf, n)
-            else:
-                deltas = varint.decode(buf, count=n)
-            bucket.append(deltas.astype(np.uint64))
+                    deltas = decode_pfor(buf, n)
+                elif cd == CODEC_EF:
+                    from bitfunnel_ray.functions.ef import decode_ef
+
+                    deltas = decode_ef(buf, n)
+                else:
+                    deltas = varint.decode(buf, count=n)
+                fills[int(idf[j])].append(deltas.astype(np.uint64))
+    samples = fills
     counts = {
         b: (n_chunks[b], sum_len[b] / n_chunks[b]) for b in n_chunks
     }
