@@ -269,7 +269,12 @@ def run_bench() -> dict:
                 )
             return file_b, pay_b, max(1, np_total)
 
-        db, dpay, dp = _seg_bytes_postings(seg_dirs[0])
+        # sum across ALL wave segments: with BFR_BUILD_WAVES>1 each
+        # segment holds a corpus slice, and the auto rebuild is the whole
+        # corpus — totals must compare like for like
+        sums = [_seg_bytes_postings(d) for d in seg_dirs]
+        db, dpay, dp = (sum(x[0] for x in sums), sum(x[1] for x in sums),
+                        sum(x[2] for x in sums))
         ab, apay, ap = _seg_bytes_postings(auto_dir)
         extras["auto_bands"] = [list(b) for b in auto_bands]
         extras["auto_bands_sec"] = round(time.perf_counter() - t0, 3)
@@ -378,9 +383,25 @@ def run_bench() -> dict:
 
             def _ingest():
                 try:
+                    import pyarrow as _pa2
+
+                    def _shift_ids(t: "_pa2.Table") -> "_pa2.Table":
+                        # the base corpus is ALREADY in seg-0000 — shift the
+                        # ids so the wave ingests NEW documents, not
+                        # duplicates (duplicate doc_ids would double df and
+                        # let one doc appear twice in a top-k)
+                        ids = t["doc_id"].to_numpy() + n_corpus
+                        return t.set_column(
+                            t.schema.get_field_index("doc_id"),
+                            "doc_id",
+                            _pa2.array(ids.astype(np.uint64), _pa2.uint64()),
+                        )
+
                     seg1 = os.path.join(nrt_root, "seg-0001")
                     _bi2(
-                        rd.read_parquet(parquet_files[: max(1, len(parquet_files) // 8)]),
+                        rd.read_parquet(
+                            parquet_files[: max(1, len(parquet_files) // 8)]
+                        ).map_batches(_shift_ids, batch_format="pyarrow"),
                         seg1,
                         cfg,
                     )
@@ -572,6 +593,10 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             BFR_BENCH_ONLY="stats_df,index_build",
             BFR_BENCH_DOCS=os.environ.get("BFR_SCALING_DOCS", "2000000"),
+            # the auto-bands A/B and the 2M recursion re-build the corpus —
+            # untimed but they would double each child's wall-clock
+            BFR_BENCH_AUTOBANDS="0",
+            BFR_BENCH_2M="0",
         )
         # Identical per-node config at BOTH cluster sizes (a real N- vs
         # 4N-node cluster runs the same per-node settings; only the node

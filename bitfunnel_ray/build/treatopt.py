@@ -253,12 +253,14 @@ def optimal_bands_for_segment(
         for r in rows_sorted:
             g = int(np.searchsorted(rg_starts, r, side="right") - 1)
             by_rg.setdefault(g, []).append(r - int(rg_starts[g]))
+        has_codec = "codec" in pf.schema_arrow.names  # pre-codec segments
+        cols = ["n_postings", "docs_payload"] + (["codec"] if has_codec else [])
         for g, local_rows in by_rg.items():
-            t = pf.read_row_group(g, columns=["n_postings", "codec", "docs_payload"])
+            t = pf.read_row_group(g, columns=cols)
             lens = t["n_postings"].to_numpy()
             codecs = (
                 t["codec"].to_numpy(zero_copy_only=False)
-                if "codec" in t.column_names
+                if has_codec
                 else np.zeros(len(t), np.uint8)
             )
             idf = np.clip(

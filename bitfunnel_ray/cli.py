@@ -303,21 +303,31 @@ def cmd_build(args):
         from bitfunnel_ray.build.stats import document_frequency_table
         from bitfunnel_ray.build.treatopt import optimal_bands_from_df
 
-        corpus = _load_corpus(args.corpus)
-        dft = document_frequency_table(corpus, cfg, emit_text=False)
+        import numpy as _np
         import pyarrow as _pa
 
-        dfs = _pa.concat_tables(
-            [b for b in dft.select_columns(["df"]).iter_batches(
-                batch_format="pyarrow", batch_size=65536)]
-        )["df"].to_numpy()
+        corpus = _load_corpus(args.corpus)
+        dft = document_frequency_table(corpus, cfg, emit_text=False)
+        batches = [
+            b for b in dft.select_columns(["df"]).iter_batches(
+                batch_format="pyarrow", batch_size=65536)
+        ]
+        # empty corpus → no batches; optimal_bands_from_df's own fallback
+        # emits the (None, 128, varint) catch-all
+        dfs = (
+            _pa.concat_tables(batches)["df"].to_numpy()
+            if batches
+            else _np.empty(0, _np.int64)
+        )
         n_docs_est = corpus.count()
         bands = optimal_bands_from_df(dfs, n_docs_est)
         cfg = EngineConfig(
             max_gram=args.gram, num_buckets=args.buckets, treatment_bands=bands
         )
         out["auto_bands"] = [list(b) for b in bands]
-    manifest = build_index(_load_corpus(args.corpus), args.index, cfg)
+    else:
+        corpus = _load_corpus(args.corpus)
+    manifest = build_index(corpus, args.index, cfg)
     out.update({k: manifest[k] for k in ("n_docs", "avgdl", "build_seconds", "complete")})
     print(json.dumps(out))
 

@@ -470,10 +470,7 @@ def bfs_depth(edges, seed_mod: int, *, n_rounds: int = 8):
 
     def min_block(t: pa.Table, *, acc=None, it: int = 0) -> pa.Table:
         if len(t) == 0:
-            return pa.schema(
-                [("node", pa.int64()), ("rank", pa.int64()),
-                 ("outdeg", pa.int64()), ("changed", pa.int64())]
-            ).empty_table()
+            return _STATE_SCHEMA.empty_table()
         dst = t["dst"].to_numpy(zero_copy_only=False)
         depth = t["depth"].to_numpy(zero_copy_only=False)
         is_state = t["is_state"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -487,18 +484,17 @@ def bfs_depth(edges, seed_mod: int, *, n_rounds: int = 8):
         own = np.full(len(starts), _BFS_INF, np.int64)
         so = np.flatnonzero(is_state[order] == 1)
         own[np.searchsorted(starts, so, side="right") - 1] = depth[order][so]
-        changed = (newd < own).astype(np.int64)
         if acc is not None:
             # convergence count rides the reduce pass (no extra scalar
             # pass per round); min-node keys make retries idempotent
-            _acc_put(acc, it, int(d[starts[0]]), int(changed.sum()))
+            _acc_put(acc, it, int(d[starts[0]]), int((newd < own).sum()))
         return pa.table(
             {
                 "node": pa.array(d[starts], pa.int64()),
                 "rank": pa.array(newd, pa.int64()),
                 "outdeg": pa.array(np.zeros(len(starts), np.int64)),
-                "changed": pa.array(changed, pa.int64()),
-            }
+            },
+            schema=_STATE_SCHEMA,
         )
 
     import ray as _ray

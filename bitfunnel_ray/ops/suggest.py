@@ -55,14 +55,10 @@ def suggest_terms(dft, prefix: str, k: int = 10) -> pa.Table:
             return pa.table(
                 {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
             )
-        terms = np.asarray(sub["term"].to_pylist())
-        dfs = sub["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((terms, -dfs))[:k]
-        return pa.table(
-            {
-                "term": pa.array(terms[order].tolist(), pa.string()),
-                "df": pa.array(dfs[order], pa.int64()),
-            }
+        return _finish(
+            np.asarray(sub["term"].to_pylist()),
+            sub["df"].to_numpy(zero_copy_only=False).astype(np.int64),
+            k,
         )
 
     batches = list(

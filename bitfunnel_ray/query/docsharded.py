@@ -172,9 +172,15 @@ class DocShardActor:
 
     def match_docs(self, query: str) -> np.ndarray:
         """Sorted local match ids (boolean eval only — no global stats
-        needed, matching is score-free)."""
+        needed, matching is score-free).  Parses with ``parse_query``,
+        exactly like the local aggs in query/aggs.py and query/facets.py,
+        so shard partials and the single-process reference path see the
+        same AST (a ``_parse_rewritten`` here would diverge on fuzzy
+        queries, which need the serving vocabulary)."""
+        from bitfunnel_ray.query.parser import parse_query
+
         eng = self.engine
-        return np.sort(eng.eval(eng._parse_rewritten(query)).astype(np.int64))
+        return np.sort(eng.eval(parse_query(query, eng.stream_map)).astype(np.int64))
 
     def agg_histogram(
         self, query: str, interval_s: int, col: str, origin_s: int
@@ -191,8 +197,10 @@ class DocShardActor:
         """(n, min, max, sum) of the doc-values column over the local
         match set, nulls excluded — the mergeable form of the ES
         ``stats`` aggregation."""
+        from bitfunnel_ray.query.parser import parse_query
+
         eng = self.engine
-        matches = eng.eval(eng._parse_rewritten(query))
+        matches = eng.eval(parse_query(query, eng.stream_map))
         v = eng.docvalues_for(matches, col)
         v = v[~np.isnan(v)]
         if not len(v):
@@ -203,8 +211,10 @@ class DocShardActor:
         """Matched non-null doc-values (for exact percentiles: the front
         concatenates shard values and takes one global quantile — ships
         O(local matches) float64, same order as a local docvalues read)."""
+        from bitfunnel_ray.query.parser import parse_query
+
         eng = self.engine
-        matches = eng.eval(eng._parse_rewritten(query))
+        matches = eng.eval(parse_query(query, eng.stream_map))
         v = eng.docvalues_for(matches, col)
         return v[~np.isnan(v)]
 
