@@ -408,6 +408,33 @@ def q_search_auto_bands(sf_dir):
     )
 
 
+def q_seeded_shuffle(sf_dir):
+    """Deterministic seeded global shuffle (ops/shuffleout.py): the
+    (shard, pos) every doc gets in the shuffled training-shard output —
+    a pure function of (seed, num_shards, ids), reproduced exactly by
+    the oracle's HUGEINT arithmetic.  Small-id note: the oracle's
+    128-bit product requires doc_id + seed < 2^63 (all fixtures and any
+    sane id space; the op itself wraps mod 2^64 for the full range)."""
+    from bitfunnel_ray.ops.shuffleout import shuffle_order
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return shuffle_order(docs, seed=42, num_shards=4)
+
+
+SQL_SEEDED_SHUFFLE = """
+WITH k AS (
+  SELECT doc_id,
+         ((CAST(doc_id AS HUGEINT) + 42) * 11400714819323198485)
+           % 18446744073709551616 AS key
+  FROM documents
+)
+SELECT CAST(key % 4 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY key % 4 ORDER BY key) - 1 AS BIGINT) AS pos,
+       doc_id
+FROM k
+"""
+
+
 def q_suggest_prefix(sf_dir):
     """Prefix autocomplete over the unigram dictionary (ops/suggest.py):
     top-10 completions of 's' ranked by df desc, term asc — the map-side
@@ -6004,6 +6031,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "search_auto_bands": (q_search_auto_bands, SQL_BM25_TOPK),
     "suggest_prefix": (q_suggest_prefix, SQL_SUGGEST_PREFIX),
+    "seeded_shuffle": (q_seeded_shuffle, SQL_SEEDED_SHUFFLE),
     "qld_topk": (q_qld_topk, SQL_QLD_TOPK),
     "ltr_features": (q_ltr_features, SQL_LTR_FEATURES),
     "docsharded_bm25_topk": (q_docsharded_bm25_topk, SQL_BM25_TOPK),

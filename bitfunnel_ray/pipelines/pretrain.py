@@ -108,9 +108,16 @@ def pretrain_pipeline(
     minhash_bands: int = 16,
     jaccard_threshold: float = 0.8,
     split_fractions: tuple[float, float] = (0.9, 0.05),
+    shuffle_seed: "int | None" = None,
+    shuffle_shards: int = 64,
 ) -> dict:
     """Run the full cleaning pipeline; returns the per-stage report dict
-    and writes split-partitioned parquet under ``out_dir``."""
+    and writes split-partitioned parquet under ``out_dir``.
+
+    ``shuffle_seed``: when set, each split is written as deterministic
+    seeded-shuffled shards (ops/shuffleout.py) instead of arbitrary-order
+    parquet — the training-loader-ready layout (reproducible global
+    permutation, resumable per-shard writes)."""
     from bitfunnel_ray.build.builder import tune_hash_shuffle
     from bitfunnel_ray.ops.cc import dedup_canonical
     from bitfunnel_ray.ops.dedup import content_hash_batch, minhash_dedup_pairs
@@ -177,6 +184,34 @@ def pretrain_pipeline(
     final = budgeted.map_batches(
         partial(_stamp_split_batch, fractions=split_fractions), batch_format="pyarrow"
     )
-    final.write_parquet(out_dir, partition_cols=["split"])
-    report["written"] = report["after_budget"]
+    if shuffle_seed is None:
+        final.write_parquet(out_dir, partition_cols=["split"])
+        report["written"] = report["after_budget"]
+    else:
+        import os as _os
+
+        import pyarrow.compute as _pc
+
+        from bitfunnel_ray.ops.shuffleout import write_shuffled_shards
+
+        final = final.materialize()  # one upstream execution for all splits
+        written = 0
+        for split in ("train", "val", "test"):
+            part = final.map_batches(
+                lambda t, sp=split: t.filter(_pc.equal(t["split"], sp)),
+                batch_format="pyarrow",
+            ).materialize()
+            if part.count() == 0:
+                # a groupby over an empty dataset has no schema to key on
+                report[f"shards_{split}"] = 0
+                continue
+            res = write_shuffled_shards(
+                part,
+                _os.path.join(out_dir, f"split={split}"),
+                seed=shuffle_seed,
+                num_shards=shuffle_shards,
+            )
+            report[f"shards_{split}"] = res["shards"]
+            written += res["rows"]
+        report["written"] = written
     return report
