@@ -436,6 +436,26 @@ def run_bench() -> dict:
             srv2.shutdown()
             shutil.rmtree("/tmp/bfr_bench_nrt_compacted", ignore_errors=True)
 
+    # --- shuffled-shard output (the training-data writer): seeded
+    # deterministic global shuffle of the full corpus into 64 shards.
+    # extras-only; /dev/shm keeps the measurement about the exchange +
+    # sort, not this box's disk write-back.
+    if want("index_build") and os.environ.get("BFR_BENCH_SHUFOUT", "1") != "0":
+        from bitfunnel_ray.ops.shuffleout import write_shuffled_shards
+
+        shuf_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+        shuf_dir = os.path.join(shuf_root, "bfr_bench_shufout")
+        shutil.rmtree(shuf_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        sres = write_shuffled_shards(
+            rd.read_parquet(parquet_files), shuf_dir, seed=1234, num_shards=64
+        )
+        dt = time.perf_counter() - t0
+        extras["shuffle_out_sec"] = round(dt, 3)
+        extras["shuffle_out_docs_per_sec"] = round(sres["rows"] / dt, 1)
+        extras["shuffle_out_shards"] = sres["shards"]
+        shutil.rmtree(shuf_dir, ignore_errors=True)
+
     # --- training-data ops (dedup over the big synthetic corpus so the
     # band shuffle has real work; ann over the sf dir embeddings) --------
     if want("dedup_minhash"):
