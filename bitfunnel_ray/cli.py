@@ -163,6 +163,18 @@ def cmd_fetch(args):
     print(t.to_pandas().to_string(index=False))
 
 
+def cmd_shuffle_out(args):
+    """Seeded deterministic shuffled-shard writer (ops/shuffleout.py) —
+    the training-loader output layout: byte-identical reruns, per-shard
+    resume."""
+    from bitfunnel_ray.ops.shuffleout import write_shuffled_shards
+
+    res = write_shuffled_shards(
+        _load_corpus(args.corpus), args.out, seed=args.seed, num_shards=args.shards
+    )
+    print(json.dumps(res))
+
+
 def cmd_snapshot(args):
     """Snapshot an index (any locator) into a repository directory —
     incremental: unchanged segment files are skipped by digest."""
@@ -1212,6 +1224,12 @@ def main(argv=None):
     s.add_argument("index")
     s.add_argument("doc_ids", nargs="+")
     s.set_defaults(fn=cmd_fetch, needs_ray=False)
+
+    s = sub.add_parser("shuffle-out")
+    s.add_argument("corpus"); s.add_argument("out")
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--shards", type=int, default=64)
+    s.set_defaults(fn=cmd_shuffle_out, needs_ray=True)
 
     s = sub.add_parser("snapshot")
     s.add_argument("index")

@@ -120,3 +120,20 @@ def test_pretrain_shuffled_output(tmp_path, ray_session):
             assert (np.diff(k.astype(np.uint64)) > 0).all() or len(k) < 2
             ids.extend(tt["doc_id"].to_pylist())
     assert sorted(ids) == list(range(40))
+
+
+def test_cli_shuffle_out(tmp_path, ray_session):
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "shards")
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "shuffle-out",
+         f"{SF}/documents.parquet", out, "--seed", "5", "--shards", "4"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res == {"shards": 4, "rows": 500, "skipped": 0}
+    assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 4
