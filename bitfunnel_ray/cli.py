@@ -727,6 +727,19 @@ def cmd_repl(args):
     from bitfunnel_ray.query.engine import SearchEngine
 
     eng = SearchEngine(args.index)
+    if getattr(args, "vocab", None):
+        # df-table sidecar (`cli statistics` → <out>/docfreq): installs
+        # the term-TEXT vocabulary that dictionaries don't store, enabling
+        # the `suggest` command and `term~d` fuzzy queries in this session
+        import numpy as _np
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        vt = _pq.read_table(args.vocab, columns=["term", "df", "gram_size"])
+        vt = vt.filter(_pc.equal(vt["gram_size"], 1))
+        terms = _np.asarray(vt["term"].to_pylist())
+        eng.set_suggest_vocabulary(terms, vt["df"].to_numpy(zero_copy_only=False))
+        eng.set_fuzzy_vocabulary(vt["term"])
     if getattr(args, "script", None):
         out = repl_execute(eng, f"script {args.script}")
         if out:
@@ -1136,6 +1149,9 @@ def main(argv=None):
     s = sub.add_parser("repl")
     s.add_argument("index")
     s.add_argument("--script", default=None, help="command file to execute")
+    s.add_argument("--vocab", default=None,
+                   help="df-table parquet (cli statistics <out>/docfreq): "
+                        "enables `suggest` + fuzzy queries")
     s.set_defaults(fn=cmd_repl, needs_ray=False)
 
     s = sub.add_parser("verify")

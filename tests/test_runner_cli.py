@@ -474,3 +474,30 @@ def test_cli_export_matches(tmp_path):
     assert t.num_rows == rep["n_matches"] > 0
     toks = [set(x.split()) for x in t["text"].to_pylist()]
     assert all("table" in s and "join" not in s for s in toks)
+
+
+def test_repl_vocab_enables_suggest_and_fuzzy(idx, tmp_path):
+    """cli repl --vocab <df-table>: the statistics sidecar installs the
+    term-text vocabulary, enabling `suggest` and `term~d` in the REPL."""
+    from bitfunnel_ray.build.stats import document_frequency_table
+    from bitfunnel_ray.cli import repl_execute
+    from bitfunnel_ray.query.engine import SearchEngine
+    import pyarrow.compute as pc
+
+    stats = str(tmp_path / "docfreq")
+    document_frequency_table(
+        corpus_from_documents("/root/testdata/sf0.001"), EngineConfig(max_gram=1)
+    ).write_parquet(stats)
+    import subprocess, sys
+
+    script = tmp_path / "script.txt"
+    script.write_text("suggest sp\nquery spurk~1\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "repl", idx,
+         "--vocab", stats, "--script", str(script)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    out = r.stdout
+    assert '"term": "spark"' in out          # suggest completion
+    assert "doc_id" in out                   # fuzzy query matched and ranked
