@@ -226,6 +226,7 @@ def run_bench() -> dict:
     # from the built segment's real posting lists, rebuild under them, and
     # report payload bytes/posting default vs auto.  extras-only.
     if want("index_build") and os.environ.get("BFR_BENCH_AUTOBANDS", "1") != "0":
+      try:  # an extras failure must not sink the whole bench run
         import glob as _glob
 
         import pyarrow.parquet as _pq
@@ -284,6 +285,8 @@ def run_bench() -> dict:
         extras["payload_bytes_per_posting_auto"] = round(apay / ap, 3)
         extras["auto_bands_payload_saved_pct"] = round(100.0 * (1.0 - apay / dpay), 2)
         shutil.rmtree(auto_dir, ignore_errors=True)
+      except Exception as e:  # noqa: BLE001
+        extras["auto_bands_error"] = repr(e)
 
     # --- statistics finish (df table; the 'BitFunnel statistics' analog) -
     # fused mode: the corpus walk already happened inside the build; this
@@ -368,6 +371,7 @@ def run_bench() -> dict:
         # segment up with zero errors (the reference's REPL serves while
         # `load` ingests, IngestCommands.cpp:71-147).  extras-only.
         if os.environ.get("BFR_SERVE_UNDER_INGEST", "1") != "0":
+          try:  # an extras failure must not sink the whole bench run
             import threading
 
             from bitfunnel_ray.build.builder import build_index as _bi2
@@ -435,12 +439,15 @@ def run_bench() -> dict:
             extras["nrt_docs_grown"] = srv2.engine().n_docs - n_docs_before
             srv2.shutdown()
             shutil.rmtree("/tmp/bfr_bench_nrt_compacted", ignore_errors=True)
+          except Exception as e:  # noqa: BLE001
+            extras["serve_under_ingest_error"] = repr(e)
 
     # --- shuffled-shard output (the training-data writer): seeded
     # deterministic global shuffle of the full corpus into 64 shards.
     # extras-only; /dev/shm keeps the measurement about the exchange +
     # sort, not this box's disk write-back.
     if want("index_build") and os.environ.get("BFR_BENCH_SHUFOUT", "1") != "0":
+      try:  # an extras failure must not sink the whole bench run
         from bitfunnel_ray.ops.shuffleout import write_shuffled_shards
 
         shuf_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
@@ -455,6 +462,8 @@ def run_bench() -> dict:
         extras["shuffle_out_docs_per_sec"] = round(sres["rows"] / dt, 1)
         extras["shuffle_out_shards"] = sres["shards"]
         shutil.rmtree(shuf_dir, ignore_errors=True)
+      except Exception as e:  # noqa: BLE001
+        extras["shuffle_out_error"] = repr(e)
 
     # --- training-data ops (dedup over the big synthetic corpus so the
     # band shuffle has real work; ann over the sf dir embeddings) --------
@@ -741,10 +750,13 @@ if __name__ == "__main__":
             os.environ.get("BFR_BENCH_2M", "1") != "0"
             and not os.environ.get("BFR_BENCH_ONLY")
         ):
-            result["extras"]["at_2m"] = run_2m_extras()
-            result["extras"]["at_2m"]["docs_per_sec_ratio_vs_600k"] = round(
-                result["extras"]["at_2m"].get("build_docs_per_sec", 0)
-                / max(1e-9, result["extras"].get("build_docs_per_sec", 1)),
-                3,
-            )
+            try:  # the 600k headline must survive a 2M child failure
+                result["extras"]["at_2m"] = run_2m_extras()
+                result["extras"]["at_2m"]["docs_per_sec_ratio_vs_600k"] = round(
+                    result["extras"]["at_2m"].get("build_docs_per_sec", 0)
+                    / max(1e-9, result["extras"].get("build_docs_per_sec", 1)),
+                    3,
+                )
+            except Exception as e:  # noqa: BLE001
+                result["extras"]["at_2m"] = {"error": repr(e)}
         print(json.dumps(result))
