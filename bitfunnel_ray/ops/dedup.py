@@ -680,6 +680,152 @@ def minhash_dedup_pairs_table(
 
 
 
+# --- cross-corpus (incremental) dedup --------------------------------------
+
+
+def _cross_pairs_from_block(t: pa.Table, *, max_group: int) -> pa.Table:
+    """Side-aware variant of ``_pairs_from_block``: within each equal
+    (band_id, band_key) run, emit only NEW×REF pairs (side 1 × side 0) —
+    the incremental-dedup shape, where new-new collisions are regular
+    dedup's job and ref-ref collisions are already settled history.
+    Output (doc_a = new id, doc_b = ref id)."""
+    from bitfunnel_ray.functions.mem import tune_allocator
+
+    tune_allocator()
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    if len(t) == 0:
+        return empty
+    bid = t["band_id"].to_numpy(zero_copy_only=False)
+    key = t["band_key"].to_numpy(zero_copy_only=False)
+    doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    side = t["side"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, side, key, bid))
+    bid, key, doc, side = bid[order], key[order], doc[order], side[order]
+    new = np.empty(len(bid), dtype=bool)
+    new[0] = True
+    new[1:] = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(bid)))
+    out_new, out_ref = [], []
+    for L in np.unique(lens):
+        if L < 2 or L > max_group:
+            continue
+        sgrp = starts[lens == L]
+        ai, bj = np.triu_indices(int(L), k=1)
+        abs_a = (sgrp[:, None] + ai[None, :]).ravel()
+        abs_b = (sgrp[:, None] + bj[None, :]).ravel()
+        sa, sb = side[abs_a], side[abs_b]
+        cross = sa != sb
+        if not cross.any():
+            continue
+        da, db = doc[abs_a][cross], doc[abs_b][cross]
+        is_new_a = sa[cross] == 1
+        out_new.append(np.where(is_new_a, da, db))
+        out_ref.append(np.where(is_new_a, db, da))
+    if not out_new:
+        return empty
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(out_new), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_ref), pa.int64()),
+        }
+    )
+
+
+def minhash_cross_candidates(
+    new: "ray.data.Dataset",
+    ref: "ray.data.Dataset",
+    k: int = 3,
+    bands: int = 16,
+    max_group: int = 256,
+) -> "ray.data.Dataset":
+    """Distinct NEW×REF candidate pairs from LSH band collisions.
+    Requires globally unique doc_ids across the two corpora (the usual
+    url-hash id space); doc_a is always the new-side id."""
+    from functools import partial
+
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    def with_side(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(len(t), v, np.int8))
+            )
+
+        return f
+
+    band_rows = (
+        new.select_columns(["doc_id", "text"])
+        .map_batches(MinhashBands(k, bands), batch_format="pyarrow")
+        .map_batches(with_side(1), batch_format="pyarrow")
+        .union(
+            ref.select_columns(["doc_id", "text"])
+            .map_batches(MinhashBands(k, bands), batch_format="pyarrow")
+            .map_batches(with_side(0), batch_format="pyarrow")
+        )
+    )
+    n_blocks = tune_hash_shuffle(band_rows.context)
+    pairs = band_rows.repartition(
+        num_blocks=n_blocks, keys=["band_id", "band_key"]
+    ).map_batches(
+        partial(_cross_pairs_from_block, max_group=max_group),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    return pairs.repartition(num_blocks=n_blocks, keys=["doc_a", "doc_b"]).map_batches(
+        _dedup_pairs_block, batch_size=None, batch_format="pyarrow"
+    )
+
+
+def minhash_cross_dedup(
+    new: "ray.data.Dataset",
+    ref: "ray.data.Dataset",
+    k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_group: int = 256,
+    exact: bool = True,
+) -> "ray.data.Dataset":
+    """Incremental dedup: drop from ``new`` every document that is an
+    exact (content hash) or near (MinHash→exact-Jaccard-verified)
+    duplicate of some ``ref`` document; return the surviving new rows.
+    The rolling-crawl shape: dedupe this week's crawl against everything
+    already kept, without re-deduping history.  All stages distributed
+    (hash co-partition joins, pair-keyed verify); requires globally
+    unique doc_ids across the corpora."""
+    from bitfunnel_ray.ops.joins import anti_join
+
+    survivors = new
+    if exact:
+        def with_hash(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "content_hash", content_hash_batch(t)["content_hash"]
+            )
+
+        ref_hashes = ref.map_batches(
+            content_hash_batch, batch_format="pyarrow"
+        ).select_columns(["content_hash"])
+        survivors = anti_join(
+            survivors.map_batches(with_hash, batch_format="pyarrow"),
+            ref_hashes,
+            key="content_hash",
+            broadcast=False,
+        ).map_batches(
+            lambda t: t.drop_columns(["content_hash"]), batch_format="pyarrow"
+        )
+    cands = minhash_cross_candidates(survivors, ref, k, bands, max_group)
+    union_slim = survivors.select_columns(["doc_id", "text"]).union(
+        ref.select_columns(["doc_id", "text"])
+    )
+    pairs = jaccard_verify(union_slim, cands, k, threshold)
+    drop = pairs.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_a"]}), batch_format="pyarrow"
+    )
+    return anti_join(survivors, drop, key="doc_id", broadcast=False)
+
+
 # --- simhash --------------------------------------------------------------
 
 

@@ -408,6 +408,94 @@ def q_search_auto_bands(sf_dir):
     )
 
 
+def q_cross_dedup(sf_dir):
+    """Incremental dedup (cross-corpus): treat odd doc_ids as this
+    week's crawl and even ones as the kept corpus; drop new docs that
+    exactly (content hash) or nearly (exact 3-gram Jaccard ≥ 0.5)
+    duplicate a kept doc; return surviving new ids.  This oracle entry
+    uses the EXACT sketch-free pair path (SQL-expressible); the scale
+    path is ``dedup.minhash_cross_dedup`` (LSH candidates + exact
+    verify), pytest-proven equivalent on planted duplicates."""
+    import ray as _ray
+
+    from bitfunnel_ray.ops.dedup import content_hash_batch, ngram_jaccard_pairs
+    from bitfunnel_ray.ops.joins import anti_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def parity(p: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            return t.filter(pa.array(ids % 2 == p))
+
+        return f
+
+    new = docs.map_batches(parity(1), batch_format="pyarrow")
+    ref = docs.map_batches(parity(0), batch_format="pyarrow")
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        return t.append_column("content_hash", content_hash_batch(t)["content_hash"])
+
+    survivors = anti_join(
+        new.map_batches(with_hash, batch_format="pyarrow"),
+        ref.map_batches(content_hash_batch, batch_format="pyarrow").select_columns(
+            ["content_hash"]
+        ),
+        key="content_hash",
+        broadcast=False,
+    )
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=1024)
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    cross = (a % 2) != (b % 2)
+    drop = np.unique(np.where(a[cross] % 2 == 1, a[cross], b[cross]))
+    drop_ref = _ray.put(drop)
+
+    def not_dropped(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        return t.filter(pa.array(~np.isin(ids, _ray.get(drop_ref))))
+
+    out = survivors.map_batches(not_dropped, batch_format="pyarrow").select_columns(
+        ["doc_id"]
+    )
+    return _i64_out(out).sort("doc_id")
+
+
+SQL_CROSS_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM toks CROSS JOIN unnest(range(1, len(a)-1)) AS t(i)
+  WHERE len(a) >= 3
+),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1024),
+sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS da, s2.doc_id AS db, count(*) AS i
+  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT da, db FROM inter
+  JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5 AND da % 2 <> db % 2
+),
+exact_drop AS (
+  SELECT n.doc_id FROM documents n JOIN documents r
+  ON r.text = n.text AND n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+),
+near_drop AS (
+  SELECT CASE WHEN da % 2 = 1 THEN da ELSE db END AS doc_id FROM near
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (SELECT doc_id FROM exact_drop)
+  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
+ORDER BY doc_id
+"""
+
+
 def q_seeded_shuffle(sf_dir):
     """Deterministic seeded global shuffle (ops/shuffleout.py): the
     (shard, pos) every doc gets in the shuffled training-shard output —
@@ -6032,6 +6120,7 @@ REGISTRY: dict[str, tuple] = {
     "search_auto_bands": (q_search_auto_bands, SQL_BM25_TOPK),
     "suggest_prefix": (q_suggest_prefix, SQL_SUGGEST_PREFIX),
     "seeded_shuffle": (q_seeded_shuffle, SQL_SEEDED_SHUFFLE),
+    "cross_dedup": (q_cross_dedup, SQL_CROSS_DEDUP),
     "qld_topk": (q_qld_topk, SQL_QLD_TOPK),
     "ltr_features": (q_ltr_features, SQL_LTR_FEATURES),
     "docsharded_bm25_topk": (q_docsharded_bm25_topk, SQL_BM25_TOPK),
