@@ -389,6 +389,28 @@ def cmd_filter(args):
     print(json.dumps({"out": args.out, "status": "ok"}))
 
 
+def cmd_cross_dedup(args):
+    """Incremental dedup: drop from CORPUS every doc that exactly or
+    nearly duplicates a doc in REF (ops/dedup.py minhash_cross_dedup) —
+    dedupe a fresh crawl against the already-kept corpus."""
+    from bitfunnel_ray.ops.dedup import minhash_cross_dedup
+
+    new_c = _load_corpus(args.corpus)
+    n_in = new_c.count()
+    out = minhash_cross_dedup(
+        new_c,
+        _load_corpus(args.ref),
+        k=args.shingle,
+        bands=args.bands,
+        threshold=args.threshold,
+    )
+    out.write_parquet(args.out)
+    import ray.data as _rd
+
+    n_out = _rd.read_parquet(args.out).count()
+    print(json.dumps({"docs_in": n_in, "kept": n_out, "dropped": n_in - n_out}))
+
+
 def cmd_dedup(args):
     """Near-dup-free corpus copy: MinHash+LSH candidate pairs →
     distributed exact-Jaccard verify → connected components → keep each
@@ -1109,6 +1131,13 @@ def main(argv=None):
     s.add_argument("--bands", type=int, default=8)
     s.add_argument("--threshold", type=float, default=0.9)
     s.set_defaults(fn=cmd_dedup, needs_ray=True)
+
+    s = sub.add_parser("cross-dedup")
+    s.add_argument("corpus"); s.add_argument("ref"); s.add_argument("out")
+    s.add_argument("--shingle", type=int, default=5)
+    s.add_argument("--bands", type=int, default=8)
+    s.add_argument("--threshold", type=float, default=0.9)
+    s.set_defaults(fn=cmd_cross_dedup, needs_ray=True)
 
     s = sub.add_parser("percolate")
     s.add_argument("corpus"); s.add_argument("queries"); s.add_argument("out")

@@ -110,6 +110,7 @@ def pretrain_pipeline(
     split_fractions: tuple[float, float] = (0.9, 0.05),
     shuffle_seed: "int | None" = None,
     shuffle_shards: int = 64,
+    ref_corpus: "ray.data.Dataset | None" = None,
 ) -> dict:
     """Run the full cleaning pipeline; returns the per-stage report dict
     and writes split-partitioned parquet under ``out_dir``.
@@ -117,7 +118,12 @@ def pretrain_pipeline(
     ``shuffle_seed``: when set, each split is written as deterministic
     seeded-shuffled shards (ops/shuffleout.py) instead of arbitrary-order
     parquet — the training-loader-ready layout (reproducible global
-    permutation, resumable per-shard writes)."""
+    permutation, resumable per-shard writes).
+
+    ``ref_corpus``: when set, docs duplicating this already-kept corpus
+    (exact hash or near MinHash) are dropped right after cleaning — the
+    incremental / rolling-crawl shape (requires globally unique doc_ids
+    across the corpora)."""
     from bitfunnel_ray.build.builder import tune_hash_shuffle
     from bitfunnel_ray.ops.cc import dedup_canonical
     from bitfunnel_ray.ops.dedup import content_hash_batch, minhash_dedup_pairs
@@ -142,6 +148,19 @@ def pretrain_pipeline(
         .materialize()  # slim 3-col table reused by both dedup stages
     )
     report["after_clean"] = cleaned.count()
+
+    # --- cross-corpus (incremental) dedup against the kept corpus -------
+    if ref_corpus is not None:
+        from bitfunnel_ray.ops.dedup import minhash_cross_dedup
+
+        cleaned = minhash_cross_dedup(
+            cleaned,
+            ref_corpus.select_columns(["doc_id", "text"]),
+            k=minhash_k,
+            bands=minhash_bands,
+            threshold=jaccard_threshold,
+        ).materialize()
+        report["after_cross_dedup"] = cleaned.count()
 
     # --- exact dedup ------------------------------------------------------
     key_type = cleaned.schema().base_schema.field("doc_id").type

@@ -75,3 +75,49 @@ def test_no_dups_is_identity(ray_session):
     ref = _mk(range(5), [" ".join(f"b{i}_{j}" for j in range(20)) for i in range(5)])
     out = minhash_cross_dedup(new, ref, k=3, bands=16, threshold=0.5).to_pandas()
     assert sorted(out["doc_id"].tolist()) == list(range(100, 105))
+
+
+def test_cli_cross_dedup(planted, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    new, ref = planted
+    new_p, ref_p = str(tmp_path / "new.parquet"), str(tmp_path / "ref.parquet")
+    pq.write_table(pa.concat_tables([b for b in new.iter_batches(batch_format="pyarrow")]), new_p)
+    pq.write_table(pa.concat_tables([b for b in ref.iter_batches(batch_format="pyarrow")]), ref_p)
+    out = str(tmp_path / "kept")
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "cross-dedup", new_p, ref_p, out,
+         "--shingle", "3", "--bands", "32", "--threshold", "0.5"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res == {"docs_in": 12, "kept": 10, "dropped": 2}
+
+
+def test_pretrain_with_ref_corpus(planted, tmp_path):
+    """pretrain_pipeline(ref_corpus=...) drops cross dups after cleaning
+    and reports the stage."""
+    from bitfunnel_ray.pipelines.pretrain import pretrain_pipeline
+    from bitfunnel_ray.sources.corpus import _lift_documents_batch
+
+    new, ref = planted
+    new_t = pa.concat_tables([b for b in new.iter_batches(batch_format="pyarrow")])
+    lifted = rd.from_arrow(
+        _lift_documents_batch(new_t.append_column("lang", pa.array(["en"] * len(new_t))))
+    )
+    rep = pretrain_pipeline(
+        lifted,
+        str(tmp_path / "out"),
+        min_tokens=5,
+        minhash_k=3,
+        minhash_bands=32,
+        jaccard_threshold=0.5,
+        ref_corpus=ref,
+    )
+    assert rep["after_cross_dedup"] == rep["after_clean"] - 2  # 100 + 101
