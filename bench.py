@@ -371,6 +371,7 @@ def run_bench() -> dict:
         # segment up with zero errors (the reference's REPL serves while
         # `load` ingests, IngestCommands.cpp:71-147).  extras-only.
         if os.environ.get("BFR_SERVE_UNDER_INGEST", "1") != "0":
+          th = srv2 = None
           try:  # an extras failure must not sink the whole bench run
             import threading
 
@@ -437,10 +438,20 @@ def run_bench() -> dict:
             )
             extras["query_errors_post_refresh"] = st_post["n_errors"]
             extras["nrt_docs_grown"] = srv2.engine().n_docs - n_docs_before
-            srv2.shutdown()
             shutil.rmtree("/tmp/bfr_bench_nrt_compacted", ignore_errors=True)
           except Exception as e:  # noqa: BLE001
             extras["serve_under_ingest_error"] = repr(e)
+          finally:
+            # never leak the concurrent build or the shard actors into the
+            # next TIMED stages — that would corrupt the numbers this try
+            # protects
+            if th is not None and th.is_alive():
+                th.join()
+            if srv2 is not None:
+                try:
+                    srv2.shutdown()
+                except Exception:  # noqa: BLE001
+                    pass
 
     # --- shuffled-shard output (the training-data writer): seeded
     # deterministic global shuffle of the full corpus into 64 shards.

@@ -396,18 +396,16 @@ def cmd_cross_dedup(args):
     from bitfunnel_ray.ops.dedup import minhash_cross_dedup
 
     new_c = _load_corpus(args.corpus)
-    n_in = new_c.count()
+    n_in = new_c.count()  # metadata-only for parquet corpora
     out = minhash_cross_dedup(
         new_c,
         _load_corpus(args.ref),
         k=args.shingle,
         bands=args.bands,
         threshold=args.threshold,
-    )
+    ).materialize()  # one execution serves both the count and the write
+    n_out = out.count()
     out.write_parquet(args.out)
-    import ray.data as _rd
-
-    n_out = _rd.read_parquet(args.out).count()
     print(json.dumps({"docs_in": n_in, "kept": n_out, "dropped": n_in - n_out}))
 
 

@@ -157,28 +157,43 @@ class MinhashBands:
         )
 
 
-def _pairs_from_block(t: pa.Table, *, max_group: int) -> pa.Table:
+def _pairs_from_block(t: pa.Table, *, max_group: int, cross: bool = False) -> pa.Table:
     """Vectorized all-pairs within equal (band_id, band_key) runs of one
     hash-partitioned block.  No per-group python: runs are found by sort +
     diff; pairs are emitted per run-LENGTH class with one broadcasted index
     template each (millions of tiny groups cost ~zero python calls).
     Oversized runs (> max_group, degenerate boilerplate keys) are skipped
-    — a deliberate, documented coverage cap."""
+    — a deliberate coverage cap, surfaced as one (-1, -1) marker row per
+    skipped run (the pair-dedup pass collapses them into a single
+    counter row callers can read or filter).
+
+    ``cross=True`` (rows carry a ``side`` int8 column, 1=new / 0=ref):
+    emit only side-1 × side-0 pairs with doc_a = the NEW id — the
+    incremental-dedup shape."""
     from bitfunnel_ray.functions.mem import tune_allocator
 
     tune_allocator()
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
     if len(t) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+        return empty
     bid = t["band_id"].to_numpy(zero_copy_only=False)
     key = t["band_key"].to_numpy(zero_copy_only=False)
     doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((doc, key, bid))
-    bid, key, doc = bid[order], key[order], doc[order]
+    side = (
+        t["side"].to_numpy(zero_copy_only=False)
+        if cross
+        else np.zeros(len(t), np.int8)
+    )
+    order = np.lexsort((doc, side, key, bid))
+    bid, key, doc, side = bid[order], key[order], doc[order], side[order]
     new = np.empty(len(bid), dtype=bool)
     new[0] = True
     new[1:] = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
     starts = np.flatnonzero(new)
     lens = np.diff(np.append(starts, len(bid)))
+    n_skipped = int((lens > max_group).sum())
     out_a, out_b = [], []
     for L in np.unique(lens):
         if L < 2 or L > max_group:
@@ -187,14 +202,30 @@ def _pairs_from_block(t: pa.Table, *, max_group: int) -> pa.Table:
         ai, bj = np.triu_indices(int(L), k=1)
         abs_a = (s[:, None] + ai[None, :]).ravel()
         abs_b = (s[:, None] + bj[None, :]).ravel()
-        out_a.append(doc[abs_a])
-        out_b.append(doc[abs_b])
+        a, b = doc[abs_a], doc[abs_b]
+        if cross:
+            sa, sb = side[abs_a], side[abs_b]
+            keep = sa != sb
+            if not keep.any():
+                continue
+            is_new_a = sa[keep] == 1
+            a, b = a[keep], b[keep]
+            out_a.append(np.where(is_new_a, a, b))
+            out_b.append(np.where(is_new_a, b, a))
+        else:
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+    if n_skipped:
+        out_a.append(np.full(n_skipped, -1, np.int64))
+        out_b.append(np.full(n_skipped, -1, np.int64))
     if not out_a:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-    a = np.concatenate(out_a)
-    b = np.concatenate(out_b)
-    lo, hi = np.minimum(a, b), np.maximum(a, b)
-    return pa.table({"doc_a": pa.array(lo, pa.int64()), "doc_b": pa.array(hi, pa.int64())})
+        return empty
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
+    )
 
 
 def _dedup_pairs_block(t: pa.Table) -> pa.Table:
@@ -683,67 +714,23 @@ def minhash_dedup_pairs_table(
 # --- cross-corpus (incremental) dedup --------------------------------------
 
 
-def _cross_pairs_from_block(t: pa.Table, *, max_group: int) -> pa.Table:
-    """Side-aware variant of ``_pairs_from_block``: within each equal
-    (band_id, band_key) run, emit only NEW×REF pairs (side 1 × side 0) —
-    the incremental-dedup shape, where new-new collisions are regular
-    dedup's job and ref-ref collisions are already settled history.
-    Output (doc_a = new id, doc_b = ref id)."""
-    from bitfunnel_ray.functions.mem import tune_allocator
-
-    tune_allocator()
-    empty = pa.table(
-        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-    )
-    if len(t) == 0:
-        return empty
-    bid = t["band_id"].to_numpy(zero_copy_only=False)
-    key = t["band_key"].to_numpy(zero_copy_only=False)
-    doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    side = t["side"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((doc, side, key, bid))
-    bid, key, doc, side = bid[order], key[order], doc[order], side[order]
-    new = np.empty(len(bid), dtype=bool)
-    new[0] = True
-    new[1:] = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
-    starts = np.flatnonzero(new)
-    lens = np.diff(np.append(starts, len(bid)))
-    out_new, out_ref = [], []
-    for L in np.unique(lens):
-        if L < 2 or L > max_group:
-            continue
-        sgrp = starts[lens == L]
-        ai, bj = np.triu_indices(int(L), k=1)
-        abs_a = (sgrp[:, None] + ai[None, :]).ravel()
-        abs_b = (sgrp[:, None] + bj[None, :]).ravel()
-        sa, sb = side[abs_a], side[abs_b]
-        cross = sa != sb
-        if not cross.any():
-            continue
-        da, db = doc[abs_a][cross], doc[abs_b][cross]
-        is_new_a = sa[cross] == 1
-        out_new.append(np.where(is_new_a, da, db))
-        out_ref.append(np.where(is_new_a, db, da))
-    if not out_new:
-        return empty
-    return pa.table(
-        {
-            "doc_a": pa.array(np.concatenate(out_new), pa.int64()),
-            "doc_b": pa.array(np.concatenate(out_ref), pa.int64()),
-        }
-    )
-
-
 def minhash_cross_candidates(
     new: "ray.data.Dataset",
     ref: "ray.data.Dataset",
     k: int = 3,
     bands: int = 16,
-    max_group: int = 256,
+    max_group: int = 1024,
 ) -> "ray.data.Dataset":
     """Distinct NEW×REF candidate pairs from LSH band collisions.
     Requires globally unique doc_ids across the two corpora (the usual
-    url-hash id space); doc_a is always the new-side id."""
+    url-hash id space); doc_a is always the new-side id.
+
+    ``max_group`` defaults HIGHER than the single-corpus path: in
+    incremental use a band group fills with kept-corpus HISTORY, so a
+    cap sized for one crawl silently drops exactly the new×ref pairs
+    this op exists to find.  Skipped oversized groups surface as one
+    (doc_a=-1, doc_b=-1, n_bands=count) marker row — callers filter it
+    (``minhash_cross_dedup`` warns with the count)."""
     from functools import partial
 
     from bitfunnel_ray.build.builder import tune_hash_shuffle
@@ -770,7 +757,7 @@ def minhash_cross_candidates(
     pairs = band_rows.repartition(
         num_blocks=n_blocks, keys=["band_id", "band_key"]
     ).map_batches(
-        partial(_cross_pairs_from_block, max_group=max_group),
+        partial(_pairs_from_block, max_group=max_group, cross=True),
         batch_size=None,
         batch_format="pyarrow",
     )
@@ -785,7 +772,7 @@ def minhash_cross_dedup(
     k: int = 3,
     bands: int = 16,
     threshold: float = 0.7,
-    max_group: int = 256,
+    max_group: int = 1024,
     exact: bool = True,
 ) -> "ray.data.Dataset":
     """Incremental dedup: drop from ``new`` every document that is an
@@ -815,7 +802,25 @@ def minhash_cross_dedup(
         ).map_batches(
             lambda t: t.drop_columns(["content_hash"]), batch_format="pyarrow"
         )
-    cands = minhash_cross_candidates(survivors, ref, k, bands, max_group)
+    # materialize: survivors feed the candidate bands, the verify payload
+    # join AND the final anti-join — lazy, the exact-stage exchange would
+    # re-execute three times
+    survivors = survivors.materialize()
+    cands = minhash_cross_candidates(survivors, ref, k, bands, max_group).materialize()
+    skipped = cands.filter(expr="doc_a < 0")
+    n_skipped_groups = sum(
+        r["n_bands"] for r in skipped.take_all()
+    )  # one tiny counter row per pair partition at most
+    if n_skipped_groups:
+        import warnings
+
+        warnings.warn(
+            f"cross-dedup skipped {n_skipped_groups} oversized band groups "
+            f"(> max_group={max_group}) — new docs colliding only inside "
+            "those groups were NOT checked; raise max_group to cover them",
+            stacklevel=2,
+        )
+    cands = cands.filter(expr="doc_a >= 0")
     union_slim = survivors.select_columns(["doc_id", "text"]).union(
         ref.select_columns(["doc_id", "text"])
     )

@@ -121,11 +121,29 @@ def write_shuffled_shards(
     (resume after a partial failure re-does only the missing shards).
     Pick ``num_shards`` so a shard fits a worker heap — the usual
     shard-size knob.  Returns {"shards", "rows", "skipped"}."""
+    import json
+
     from functools import partial
 
     from bitfunnel_ray.build.builder import tune_hash_shuffle
 
     os.makedirs(out_dir, exist_ok=True)
+    # config manifest: a rerun with a DIFFERENT seed/num_shards into the
+    # same dir must fail loudly, not silently keep stale shards while
+    # reporting current-run row counts
+    man_path = os.path.join(out_dir, "_shuffle_manifest.json")
+    cfg = {"seed": int(seed), "num_shards": int(num_shards)}
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            prior = json.load(f)
+        if prior != cfg:
+            raise ValueError(
+                f"{out_dir} was written with {prior}, rerun requests {cfg} — "
+                "clear the output dir to reshuffle under the new config"
+            )
+    else:
+        with open(man_path, "w") as f:
+            json.dump(cfg, f)
 
     def write_block(t: pa.Table, *, dest: str) -> pa.Table:
         empty = pa.table(
@@ -150,6 +168,17 @@ def write_shuffled_shards(
             path = os.path.join(dest, f"shard-{sid:05d}.parquet")
             sub = t.slice(s0, e - s0).drop_columns(["_shuffle_key", "_shard"])
             if os.path.exists(path):  # a prior (partial) run published it
+                # resume-safety: the skip is only valid if the prior run
+                # had the same (seed, num_shards, input) — the manifest
+                # check in the driver catches config drift, and the row
+                # count catches a changed input (deterministic sharding
+                # ⇒ same input must yield the same per-shard count)
+                if pq.read_metadata(path).num_rows != len(sub):
+                    raise ValueError(
+                        f"{path} exists with a different row count than this "
+                        "run produces — the input changed since the previous "
+                        "(partial) write; clear the output dir to rewrite"
+                    )
                 rows.append({"shard": sid, "rows": len(sub), "skipped": 1})
                 continue
             tmp = path + ".tmp"

@@ -215,7 +215,11 @@ def pretrain_pipeline(
 
         final = final.materialize()  # one upstream execution for all splits
         written = 0
+        data_cols = [c for c in final.schema().base_schema.names if c != "split"]
         for split in ("train", "val", "test"):
+            # split is the directory partition — drop the redundant
+            # per-row copy inside the shard files (matches the
+            # partition_cols layout of the non-shuffled path)
             part = final.map_batches(
                 lambda t, sp=split: t.filter(_pc.equal(t["split"], sp)),
                 batch_format="pyarrow",
@@ -229,6 +233,7 @@ def pretrain_pipeline(
                 _os.path.join(out_dir, f"split={split}"),
                 seed=shuffle_seed,
                 num_shards=shuffle_shards,
+                columns=data_cols,
             )
             report[f"shards_{split}"] = res["shards"]
             written += res["rows"]

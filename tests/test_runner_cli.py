@@ -480,9 +480,6 @@ def test_repl_vocab_enables_suggest_and_fuzzy(idx, tmp_path):
     """cli repl --vocab <df-table>: the statistics sidecar installs the
     term-text vocabulary, enabling `suggest` and `term~d` in the REPL."""
     from bitfunnel_ray.build.stats import document_frequency_table
-    from bitfunnel_ray.cli import repl_execute
-    from bitfunnel_ray.query.engine import SearchEngine
-    import pyarrow.compute as pc
 
     stats = str(tmp_path / "docfreq")
     document_frequency_table(

@@ -137,3 +137,29 @@ def test_cli_shuffle_out(tmp_path, ray_session):
     res = json.loads(r.stdout.strip().splitlines()[-1])
     assert res == {"shards": 4, "rows": 500, "skipped": 0}
     assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 4
+
+
+def test_rerun_with_different_config_rejected(tmp_path, ray_session):
+    """A rerun into an existing output dir with a different seed or shard
+    count must fail loudly — a silent skip would keep stale shards while
+    reporting current-run counts."""
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    out = str(tmp_path / "out")
+    write_shuffled_shards(docs, out, seed=1, num_shards=4)
+    with pytest.raises(ValueError, match="seed"):
+        write_shuffled_shards(docs, out, seed=2, num_shards=4)
+    with pytest.raises(ValueError, match="num_shards"):
+        write_shuffled_shards(docs, out, seed=1, num_shards=8)
+
+
+def test_rerun_with_changed_input_rejected(tmp_path, ray_session):
+    """Same config but a changed input corpus: the per-shard row-count
+    check refuses to silently keep the stale shard."""
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    out = str(tmp_path / "out")
+    write_shuffled_shards(docs, out, seed=1, num_shards=2)
+    import pyarrow as pa
+
+    half = rd.from_arrow(pa.table({"doc_id": pa.array(range(100), pa.int64())}))
+    with pytest.raises(Exception, match="row count|input changed"):
+        write_shuffled_shards(half, out, seed=1, num_shards=2)
