@@ -118,7 +118,11 @@ def bloom_from_dataset(
         return pa.table({"words": pa.array([b.words.tobytes()], pa.binary())})
 
     rows = ds.select_columns([key]).map_batches(per_block, batch_format="pyarrow")
-    for t in ray.get(rows.to_arrow_refs()):
+    # one ref at a time: driver peak stays 2·m/8 even with many blocks
+    for ref in rows.to_arrow_refs():
+        t = ray.get(ref)
+        if "words" not in t.column_names:  # zero-column empty block (Ray 2.49)
+            continue
         for blob in t["words"].to_pylist():
             np.bitwise_or(
                 proto.words, np.frombuffer(blob, dtype=np.uint64), out=proto.words

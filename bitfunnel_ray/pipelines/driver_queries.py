@@ -418,7 +418,7 @@ def q_cross_dedup(sf_dir):
     verify), pytest-proven equivalent on planted duplicates."""
     import ray as _ray
 
-    from bitfunnel_ray.ops.dedup import content_hash_batch, ngram_jaccard_pairs
+    from bitfunnel_ray.ops.dedup import content_hash_batch, ngram_jaccard_pairs_table
     from bitfunnel_ray.ops.joins import anti_join
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -444,7 +444,7 @@ def q_cross_dedup(sf_dir):
         key="content_hash",
         broadcast=False,
     )
-    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=1024)
+    pairs = ngram_jaccard_pairs_table(docs, k=3, threshold=0.5, max_df=1024)
     a = pairs["doc_a"].to_numpy()
     b = pairs["doc_b"].to_numpy()
     cross = (a % 2) != (b % 2)
@@ -1968,7 +1968,19 @@ FROM s GROUP BY user_id, sid
 
 def q_ngram_jaccard(sf_dir):
     """Exact n-gram Jaccard near-dup pairs — the sketch-free dedup path
-    (fully SQL-expressible, unlike MinHash/SimHash)."""
+    (fully SQL-expressible, unlike MinHash/SimHash).  Deterministic
+    driver-Table form (audits/tests)."""
+    return dedup.ngram_jaccard_pairs_table(
+        corpus_from_documents(sf_dir), k=3, threshold=0.8, max_df=1024
+    )
+
+
+def q_ngram_jaccard_ds(sf_dir):
+    """Same exact-Jaccard pairs as ``ngram_jaccard`` but through the
+    composable Dataset-returning API (``dedup.ngram_jaccard_pairs``) —
+    the form a 100 TB run consumes (write to parquet / feed connected
+    components) without any driver gather.  Shares the SQL oracle with
+    the Table twin, so both forms are driver-checked."""
     return dedup.ngram_jaccard_pairs(
         corpus_from_documents(sf_dir), k=3, threshold=0.8, max_df=1024
     )
@@ -6161,6 +6173,7 @@ REGISTRY: dict[str, tuple] = {
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "term_to_text": (q_term_to_text, SQL_TERM_TO_TEXT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ngram_jaccard_ds": (q_ngram_jaccard_ds, SQL_NGRAM_JACCARD),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),

@@ -10,7 +10,7 @@ import ray.data as rd
 from bitfunnel_ray.ops.dedup import (
     minhash_cross_candidates,
     minhash_cross_dedup,
-    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_table,
 )
 
 
@@ -59,7 +59,7 @@ def test_minhash_path_matches_exact_path(planted):
         .to_pandas()["doc_id"]
     )
     union = new.union(ref)
-    pairs = ngram_jaccard_pairs(union, k=3, threshold=0.5, max_df=1024)
+    pairs = ngram_jaccard_pairs_table(union, k=3, threshold=0.5, max_df=1024)
     a, b = pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
     cross = (a >= 100) != (b >= 100)
     drop = {int(x) if x >= 100 else int(y) for x, y in zip(a[cross], b[cross])}
