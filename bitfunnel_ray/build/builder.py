@@ -288,14 +288,19 @@ class TokenizeSpill:
     ):
         # stats_dir: fused-statistics sidecar — each batch also writes its
         # df/cf partial shard there (deterministic name, retry-overwrites),
-        # so the df table needs NO second corpus read (combine_fused_stats)
+        # so the df table needs NO second corpus read (combine_fused_stats).
+        # May be a LIST of dirs: the same partial table is written to each
+        # (tiny parquet writes) — lets one spill pass feed both a shared
+        # fused-stats dir and the per-segment vocab-sidecar partials.
         self.tp = TokenizePostings(
             cfg, head_ref, skip_buckets,
             stats_max_gram=stats_max_gram if stats_dir else None,
         )
         self.spill_dir = spill_dir
         self.meta_dir = meta_dir
-        self.stats_dir = stats_dir
+        self.stats_dirs = (
+            [stats_dir] if isinstance(stats_dir, str) else list(stats_dir or [])
+        )
         # stored-fields sidecar (build/docstore.py) — staged beside the
         # docmeta tmp dir and published atomically with it
         self.store_dir = (meta_dir + "-docstore") if cfg.store_fields else None
@@ -339,11 +344,12 @@ class TokenizeSpill:
         meta = pa.table(meta_cols)
         os.makedirs(self.meta_dir, exist_ok=True)
         _pq.write_table(meta, os.path.join(self.meta_dir, f"part-{batch_tag}.parquet"))
-        if stats_tbl is not None and self.stats_dir:
-            os.makedirs(self.stats_dir, exist_ok=True)
-            _pq.write_table(
-                stats_tbl, os.path.join(self.stats_dir, f"part-{batch_tag}.parquet")
-            )
+        if stats_tbl is not None:
+            for sd in self.stats_dirs:
+                os.makedirs(sd, exist_ok=True)
+                _pq.write_table(
+                    stats_tbl, os.path.join(sd, f"part-{batch_tag}.parquet")
+                )
         if self.store_dir and len(batch):
             # stored-fields sidecar (build/docstore.py): doc_id-sorted so
             # parquet row-group stats give tight ranges for point lookups;
@@ -805,6 +811,18 @@ def build_index(
             _shutil.rmtree(meta_tmp, ignore_errors=True)
             _shutil.rmtree(meta_tmp + "-docstore", ignore_errors=True)
             stats_dir = cfg.extra.get("fused_stats_dir")
+            # vocab sidecar (cfg.extra["vocab_sidecar"]): the SAME spill
+            # pass also writes per-segment df/cf partials, combined after
+            # the spill into <out>/vocab — the (term, df, bucket) text
+            # stripes the serving fronts load for autocomplete + fuzzy
+            # (build/stats.write_vocab_sidecar).  No second corpus read.
+            vocab_partials = (
+                os.path.join(out_dir, "_vocab_partials")
+                if cfg.extra.get("vocab_sidecar")
+                else None
+            )
+            if vocab_partials:
+                stats_dir = [d for d in (stats_dir, vocab_partials) if d]
             try:
                 ok = False
                 schema_names = corpus.schema().names
@@ -904,6 +922,19 @@ def build_index(
                     os.replace(store_tmp, store_dir)
                 with open(meta_done, "w") as f:
                     f.write("ok")
+                if vocab_partials and os.path.isdir(vocab_partials):
+                    from bitfunnel_ray.build.stats import (
+                        combine_fused_stats,
+                        write_vocab_sidecar,
+                    )
+
+                    write_vocab_sidecar(
+                        out_dir,
+                        combine_fused_stats(vocab_partials, emit_text=True),
+                        eff_buckets,
+                    )
+                    _shutil.rmtree(vocab_partials, ignore_errors=True)
+                    t1 = _mark("vocab_sidecar", t1)
                 # per-bucket expected row counts: the encode side cross-checks
                 # rows actually read vs these acks and fails loudly on loss
                 bucket_acks = acks[acks.bucket >= 0]

@@ -306,6 +306,13 @@ def cmd_build(args):
     from bitfunnel_ray.config import EngineConfig
 
     cfg = EngineConfig(max_gram=args.gram, num_buckets=args.buckets)
+    if getattr(args, "vocab", False):
+        # per-segment (term, df, bucket) text stripes, written from the
+        # SAME spill pass (no second corpus read) — enables suggest +
+        # fuzzy on the local engine AND both sharded serving fronts
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, extra={**cfg.extra, "vocab_sidecar": True})
     out = {}
     if getattr(args, "auto_bands", False):
         # TreatmentOptimal analog (build/treatopt.py): statistics pass →
@@ -1103,6 +1110,10 @@ def main(argv=None):
     s.add_argument("--auto-bands", action="store_true",
                    help="derive treatment bands from the corpus df distribution "
                         "(TreatmentOptimal analog) before building")
+    s.add_argument("--vocab", action="store_true",
+                   help="write the per-segment vocab sidecar (term/df/bucket "
+                        "text stripes) enabling suggest + fuzzy on every "
+                        "serving front")
     s.set_defaults(fn=cmd_build, needs_ray=True)
 
     s = sub.add_parser("links")

@@ -218,6 +218,25 @@ class DocShardActor:
         v = eng.docvalues_for(matches, col)
         return v[~np.isnan(v)]
 
+    # --- vocabulary services (autocomplete + fuzzy expansion) ------------
+
+    def suggest_range(self, prefix: str, cap: int = 4096):
+        """This shard's FULL prefix-matching (terms, dfs) slice (df-desc
+        capped at ``cap``), or None without a vocab sidecar.  Doc shards
+        hold PARTIAL dfs (a term's docs span shards), so the front must
+        sum per term before the top-k cut — hence a range, not a top-k."""
+        si = self.engine.suggest_index
+        if si is None:
+            return None
+        terms, dfs = si.prefix_range(prefix, cap)
+        return (terms.tolist(), dfs.tolist())
+
+    def fuzzy_match(self, text: str, dist: int):
+        """Local-vocabulary fuzzy expansion members (or None without a
+        sidecar) — the front unions shards to get the global expansion."""
+        m = self.engine.fuzzy_matcher
+        return None if m is None else m(text, int(dist))
+
 
 class DocShardedServer:
     """Segment-partitioned serving with exact global BM25.
@@ -251,9 +270,17 @@ class DocShardedServer:
         )
 
     def _stats_round(self, query: str) -> "dict[tuple[int, int], int]":
-        # phase 1: global df for the query's scoring terms (any shard can
-        # derive the pair set — the parse is config-determined)
-        pairs = ray.get(self.shards[0].scoring_pairs.remote(query))
+        # phase 1: global df for the query's scoring terms.  The pair set
+        # is the UNION across shards, not shard 0's alone: with per-shard
+        # vocab sidecars a fuzzy term's expansion is vocabulary-dependent,
+        # and a member that exists only in another shard's docs must still
+        # get a global-df entry (its score contribution there needs it).
+        # For plain queries every shard derives the identical set (the
+        # parse is config-determined) and the union is a no-op.
+        per_shard_pairs = ray.get(
+            [s.scoring_pairs.remote(query) for s in self.shards]
+        )
+        pairs = sorted({p for sp in per_shard_pairs for p in sp})
         per_shard = ray.get([s.term_stats.remote(pairs) for s in self.shards])
         return {
             p: sum(shard_dfs[i] for shard_dfs in per_shard)
@@ -442,6 +469,34 @@ class DocShardedServer:
         """Sum of shard-local match counts (doc sets are disjoint)."""
         return sum(ray.get([s.match_count.remote(query) for s in self.shards]))
 
+    def suggest(self, prefix: str, k: int = 10, cap: int = 4096) -> pa.Table:
+        """Top-k prefix completions over the doc-sharded corpus: every
+        shard returns its full prefix range (partial dfs — its docs
+        only), the front SUMS df per term and cuts to k — exact global
+        ranking because a document lives in exactly one shard, as long
+        as no shard's range hit ``cap`` (raise it for very short
+        prefixes over huge vocabularies).  Needs segments built with
+        EngineConfig.extra['vocab_sidecar']; raises if none carry one."""
+        from bitfunnel_ray.ops.suggest import merge_suggest_partials
+
+        parts = ray.get(
+            [s.suggest_range.remote(prefix, int(cap)) for s in self.shards]
+        )
+        if all(p is None for p in parts):
+            raise RuntimeError(
+                "no vocab sidecar in any shard's segments — build with "
+                "EngineConfig.extra['vocab_sidecar']=True (cli build --vocab)"
+            )
+        return merge_suggest_partials(
+            [
+                None
+                if p is None
+                else (np.asarray(p[0], dtype=str), np.asarray(p[1], np.int64))
+                for p in parts
+            ],
+            k,
+        )
+
     def search_selective(self, query: str, k: int = 10, wave: int = 2) -> pa.Table:
         """Exact top-k probing as FEW shards as the scores allow — the
         selective-search / shard-selection discipline (Taily: Aly, Hiemstra
@@ -565,7 +620,15 @@ class _DocShardedFront:
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["query_id"].to_pylist()
         qs = batch["query"].to_pylist()
-        per_q_pairs = ray.get(self.shards[0].scoring_pairs_many.remote(qs))
+        # union of every shard's pair derivation (see _stats_round: fuzzy
+        # expansion is vocabulary-dependent per shard)
+        per_shard_q_pairs = ray.get(
+            [s.scoring_pairs_many.remote(qs) for s in self.shards]
+        )
+        per_q_pairs = [
+            sorted({p for sp in per_shard_q_pairs for p in sp[qi]})
+            for qi in range(len(qs))
+        ]
         need = sorted(
             {p for pairs in per_q_pairs for p in pairs if p not in self._df_cache}
         )

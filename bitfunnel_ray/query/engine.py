@@ -952,6 +952,36 @@ class SearchEngine(QueryAlgebra):
         )
         self._cache: dict[tuple[int, int], Postings] = {}
         self._docvalues: dict[str, np.ndarray] = {}
+        # vocab sidecar (built with EngineConfig.extra["vocab_sidecar"]):
+        # segments carry their (term, df) text stripes — install suggest +
+        # fuzzy automatically, and re-merge on refresh() so NRT-ingested
+        # terms become completable/fuzzy-matchable without a rebuild
+        self._vocab_from_sidecar = self._install_vocab_sidecars()
+
+    def _install_vocab_sidecars(self) -> bool:
+        """Merge every segment's ``vocab/`` sidecar (term, df; df sums per
+        term across segments) into the suggest + fuzzy vocabularies.
+        Returns False (and installs nothing) when no segment has one."""
+        parts = []
+        for s in self.segments:
+            vdir = os.path.join(s.dir, "vocab")
+            if os.path.isdir(vdir):
+                parts.append(pq.read_table(vdir, columns=["term", "df"]))
+        if not parts:
+            return False
+        t = pa.concat_tables(parts)
+        terms = np.asarray(t["term"].to_pylist())
+        dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(terms, kind="stable")
+        terms, dfs = terms[order], dfs[order]
+        if len(terms):
+            starts = np.flatnonzero(
+                np.concatenate([[True], terms[1:] != terms[:-1]])
+            )
+            terms, dfs = terms[starts], np.add.reduceat(dfs, starts)
+        self.set_suggest_vocabulary(terms, dfs)
+        self.set_fuzzy_vocabulary(terms)
+        return True
 
     def refresh(self) -> int:
         """Open segments that completed since this engine loaded — the
@@ -1006,6 +1036,13 @@ class SearchEngine(QueryAlgebra):
         self._docvalues.clear()
         self._docstore = None
         self._invalidate_result_cache()
+        # vocabulary staleness under NRT ingest: a sidecar-installed
+        # suggest/fuzzy vocabulary is a point-in-time df snapshot — re-merge
+        # it over the grown segment set so terms that exist only in the new
+        # segments are immediately completable (suggest) and matchable
+        # (term~d).  Hand-installed vocabularies are left untouched.
+        if self._vocab_from_sidecar:
+            self._install_vocab_sidecars()
         return len(new)
 
     # --- stored fields (ES _source analog) ---------------------------------

@@ -103,6 +103,15 @@ class IndexShardActor:
         # multi-MB posting lists per hot term (F× shard CPU, F× copies)
         self._ref_cache = LruCache(65536)
         self.segments = []
+        # vocabulary stripes (segments built with vocab_sidecar): this
+        # shard's 1/S of each segment's (term, df) text rows, selected by
+        # bucket % n_shards == shard_id — the same membership rule as the
+        # dict buckets, so a shard can complete/fuzzy-match exactly the
+        # terms it serves postings for.  Suggest/fuzzy indexes build
+        # LAZILY (first call) and reset on refresh().
+        self._vocab_parts: "list[tuple[np.ndarray, np.ndarray]]" = []
+        self._suggest = None
+        self._fuzzy = None
         local_doc_parts = []
         # docmeta slice recipe: (file, row_mask|None) pairs — doc-values
         # columns load lazily from exactly this slice (see _local_docvalue)
@@ -126,6 +135,21 @@ class IndexShardActor:
         num_buckets = int(man["config"]["num_buckets"])
         mine = [b for b in range(num_buckets) if b % n_shards == shard_id]
         self.segments.append(_Segment(d, buckets=mine))
+        vdir = os.path.join(d, "vocab")
+        if os.path.isdir(vdir):
+            vt = pq.read_table(vdir, columns=["term", "df", "bucket"])
+            mask = (
+                vt["bucket"].to_numpy(zero_copy_only=False) % n_shards == shard_id
+            )
+            sub = vt.filter(pa.array(mask))
+            self._vocab_parts.append(
+                (
+                    np.asarray(sub["term"].to_pylist(), dtype=str),
+                    sub["df"].to_numpy(zero_copy_only=False).astype(np.int64),
+                )
+            )
+            self._suggest = None
+            self._fuzzy = None
         meta_files = sorted(glob.glob(os.path.join(d, "docmeta", "*.parquet")))
         if len(meta_files) >= n_shards:
             # file-granular slice: each shard READS only ~1/S of the
@@ -253,6 +277,47 @@ class IndexShardActor:
         ok = ids[pos] == sorted_ids
         return sorted_ids[ok], vals[pos[ok]]
 
+    # --- vocabulary services (autocomplete + fuzzy expansion) ------------
+    def _merged_vocab(self):
+        """This shard's (terms, dfs) stripe merged across segments (df
+        sums per term — a term stays in the same shard wherever segments
+        share a bucket count, so the local sum is its global df)."""
+        from bitfunnel_ray.ops.suggest import merge_suggest_partials
+
+        merged = merge_suggest_partials(self._vocab_parts, k=1 << 62)
+        return (
+            np.asarray(merged["term"].to_pylist(), dtype=str),
+            merged["df"].to_numpy(zero_copy_only=False),
+        )
+
+    def suggest(self, prefix: str, k: int = 10):
+        """This shard's top-k prefix completions as (terms list, dfs
+        list), or None when no segment carried a vocab sidecar.  The
+        front merges per-shard partials (ops/suggest.merge_suggest_
+        partials) exactly like search merges per-shard top-ks."""
+        if not self._vocab_parts:
+            return None
+        if self._suggest is None:
+            from bitfunnel_ray.ops.suggest import SuggestIndex
+
+            terms, dfs = self._merged_vocab()
+            self._suggest = SuggestIndex(terms, dfs)
+        t = self._suggest.complete(prefix, k)
+        return (t["term"].to_pylist(), t["df"].to_pylist())
+
+    def fuzzy_match(self, text: str, dist: int):
+        """Vocabulary terms of THIS shard's stripe within edit distance
+        ``dist`` (sorted tuple), or None when no vocab sidecar — the
+        scatter-gather expansion backend ``query/fuzzy.py`` describes for
+        cluster-scale vocabularies."""
+        if not self._vocab_parts:
+            return None
+        if self._fuzzy is None:
+            from bitfunnel_ray.query.fuzzy import VocabFuzzyMatcher
+
+            self._fuzzy = VocabFuzzyMatcher(self._merged_vocab()[0])
+        return self._fuzzy(text, int(dist))
+
     def stats(self) -> dict:
         return {
             "shard_id": self.shard_id,
@@ -340,6 +405,12 @@ class ShardedSearchEngine(QueryAlgebra):
             else None
         )
         self._cache = LruCache(cache_cap)
+        # segments built with vocab sidecars: fuzzy expansion runs where
+        # the vocabulary lives (per-shard stripes) — install the
+        # scatter-gather matcher so ``term~d`` works out of the box on the
+        # sharded front, no hand-installed front-side vocabulary needed
+        if any(os.path.isdir(os.path.join(d, "vocab")) for d in index_dirs):
+            self.fuzzy_matcher = _ShardedFuzzyMatcher(self)
 
     # --- replica failover --------------------------------------------------
     def _rotate(self, s: int) -> None:
@@ -502,6 +573,54 @@ class ShardedSearchEngine(QueryAlgebra):
             if len(ids_p):
                 out[np.searchsorted(sorted_ids, ids_p)] = vals_p
         return out
+
+    # --- autocomplete over the shard vocabulary stripes --------------------
+    def suggest(self, prefix: str, k: int = 10) -> pa.Table:
+        """Top-k prefix completions, scatter-gathered exactly like search:
+        each shard answers from ITS 1/S vocabulary stripe (vocab sidecar,
+        loaded once per actor), the front merges per-shard partials with
+        df summed per term (ops/suggest.merge_suggest_partials).  Falls
+        back to a front-installed vocabulary (set_suggest_vocabulary)
+        when no shard carries a stripe."""
+        from bitfunnel_ray.ops.suggest import merge_suggest_partials
+
+        parts = self._call_all_shards("suggest", prefix, int(k))
+        if all(p is None for p in parts):
+            return super().suggest(prefix, k)  # raises if nothing installed
+        return merge_suggest_partials(
+            [
+                None if p is None else (np.asarray(p[0], dtype=str), p[1])
+                for p in parts
+            ],
+            k,
+        )
+
+
+class _ShardedFuzzyMatcher:
+    """Callable ``(text, dist) -> tuple[str]`` that expands fuzzy terms
+    where the vocabulary already lives: every shard matches its own
+    stripe (IndexShardActor.fuzzy_match) and the front unions the
+    members — the cluster-scale shape query/fuzzy.py documents (no
+    front-side copy of a 10^8-term vocabulary).  Memoized per
+    (text, dist) like VocabFuzzyMatcher."""
+
+    def __init__(self, engine: "ShardedSearchEngine", cache_cap: int = 1024):
+        self._engine = engine
+        self._cache: dict = {}
+        self._cache_cap = int(cache_cap)
+
+    def __call__(self, text: str, dist: int) -> tuple:
+        key = (text, int(dist))
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        parts = self._engine._call_all_shards("fuzzy_match", text, int(dist))
+        out = tuple(sorted({m for p in parts if p is not None for m in p}))
+        if len(self._cache) >= self._cache_cap:
+            self._cache.clear()
+        self._cache[key] = out
+        return out
+
 
 class ShardedQueryActor:
     """map_batches front-end: same output contract as

@@ -1,0 +1,201 @@
+"""Vocab sidecar end-to-end: the build's per-segment (term, df, bucket)
+text stripes power autocomplete and fuzzy expansion on EVERY serving
+surface — local engine (auto-install), term-sharded front (per-shard
+stripes + scatter-gather merge), doc-sharded front (range merge with df
+sums) — and stay fresh under NRT refresh (VERDICT r4 next-round tasks
+#1 and #5)."""
+
+import dataclasses
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from bitfunnel_ray.build.builder import build_index
+from bitfunnel_ray.config import EngineConfig
+from bitfunnel_ray.ops.suggest import SuggestIndex
+from bitfunnel_ray.query.engine import SearchEngine
+from bitfunnel_ray.sources.corpus import _lift_documents_batch, corpus_from_documents
+
+CFG = EngineConfig(max_gram=2, num_buckets=4)
+VCFG = dataclasses.replace(CFG, extra={"vocab_sidecar": True})
+
+
+@pytest.fixture(scope="module")
+def vocab_index(tmp_path_factory, ray_session):
+    """One full-corpus segment built WITH the vocab sidecar + the plain
+    df-table ground truth."""
+    root = tmp_path_factory.mktemp("vocab_idx")
+    seg = str(root / "seg-000")
+    build_index(corpus_from_documents("/root/testdata/sf0.001"), seg, VCFG)
+    return str(root), seg
+
+
+@pytest.fixture(scope="module")
+def local_truth(vocab_index, ray_session):
+    """The reference SuggestIndex/vocab built straight from the sidecar
+    the segment wrote (sum-merged like the engine does)."""
+    _root, seg = vocab_index
+    t = pq.read_table(f"{seg}/vocab", columns=["term", "df"])
+    terms = np.asarray(t["term"].to_pylist())
+    dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return SuggestIndex(terms, dfs)
+
+
+def test_sidecar_written_and_unigram(vocab_index):
+    _root, seg = vocab_index
+    t = pq.read_table(f"{seg}/vocab")
+    assert set(t.column_names) == {"term", "df", "bucket"}
+    assert len(t) > 0
+    assert all(" " not in s for s in t["term"].to_pylist())
+    b = t["bucket"].to_numpy(zero_copy_only=False)
+    assert b.min() >= 0 and b.max() < CFG.num_buckets
+    # stripe rule matches the dict-bucket rule: bucket = hash % B
+    from bitfunnel_ray.functions.hashing import murmur64a
+
+    for term, bucket in zip(t["term"].to_pylist()[:50], b[:50]):
+        assert murmur64a(term) % CFG.num_buckets == bucket
+
+
+def test_local_engine_autoinstalls(vocab_index, local_truth):
+    root, _seg = vocab_index
+    eng = SearchEngine(root)
+    assert eng.suggest_index is not None and eng.fuzzy_matcher is not None
+    for pfx in ("s", "spa", "q", "zz"):
+        got = eng.suggest(pfx, 8)
+        want = local_truth.complete(pfx, 8)
+        assert got.equals(want), pfx
+    # fuzzy works with no manual install
+    t = eng.search("spark~1", k=10)
+    assert len(t) > 0
+
+
+def test_sharded_front_suggest_and_fuzzy(vocab_index, local_truth, ray_session):
+    from bitfunnel_ray.query.sharded import ShardedServer
+
+    root, _seg = vocab_index
+    srv = ShardedServer(root, n_shards=2)
+    try:
+        eng = srv.engine()
+        for pfx in ("s", "spa", "q", "zz", ""):
+            got = eng.suggest(pfx, 8)
+            want = local_truth.complete(pfx, 8)
+            assert got.equals(want), pfx
+        # fuzzy parity: sharded expansion == local expansion ⇒ identical hits
+        local = SearchEngine(root)
+        for q in ("spark~1", "qqqqqq~1", "join~2 table"):
+            a, b = eng.search(q, k=10), local.search(q, k=10)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+    finally:
+        srv.shutdown()
+
+
+def test_docsharded_front_suggest_and_fuzzy(tmp_path_factory, local_truth, ray_session):
+    from bitfunnel_ray.query.docsharded import DocShardedServer
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    root = tmp_path_factory.mktemp("vocab_docshard")
+    build_index(
+        rd.from_arrow(_lift_documents_batch(docs.slice(0, 250))),
+        str(root / "seg-000"), VCFG,
+    )
+    build_index(
+        rd.from_arrow(_lift_documents_batch(docs.slice(250))),
+        str(root / "seg-001"), VCFG,
+    )
+    srv = DocShardedServer(str(root), n_shards=2)
+    try:
+        for pfx in ("s", "spa", "q", "zz"):
+            got = srv.suggest(pfx, 8)
+            want = local_truth.complete(pfx, 8)
+            assert got.equals(want), pfx
+        local = SearchEngine(str(root))
+        for q in ("spark~1", "join~2 table"):
+            a, b = srv.search(q, k=10), local.search(q, k=10)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert a["score"].to_pylist() == b["score"].to_pylist(), q
+    finally:
+        srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def nrt_vocab(tmp_path_factory, ray_session):
+    """Segment 1 from the test corpus; segment 2 adds docs with a term
+    that exists NOWHERE in segment 1 ('zyzzogeton')."""
+    root = tmp_path_factory.mktemp("vocab_nrt")
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    build_index(
+        rd.from_arrow(_lift_documents_batch(docs.slice(0, 400))),
+        str(root / "seg-000"), VCFG,
+    )
+    return str(root), docs
+
+
+def _grow_with_new_term(root, docs):
+    import os
+
+    import pyarrow as pa
+
+    s2 = f"{root}/seg-001"
+    if not os.path.exists(os.path.join(s2, "manifest.json")):
+        tail = _lift_documents_batch(docs.slice(400))
+        texts = [
+            (t or "") + " zyzzogeton" for t in tail["text"].to_pylist()
+        ]
+        tail = tail.set_column(
+            tail.column_names.index("text"), "text", pa.array(texts, pa.string())
+        )
+        build_index(rd.from_arrow(tail), s2, VCFG)
+    return s2
+
+
+def test_local_refresh_updates_vocab(nrt_vocab):
+    root, docs = nrt_vocab
+    eng = SearchEngine(root)
+    assert len(eng.suggest("zyzz", 5)) == 0
+    assert len(eng.search("zyzzogeton~1", k=5)) == 0
+    _grow_with_new_term(root, docs)
+    assert eng.refresh() == 1
+    got = eng.suggest("zyzz", 5)
+    assert got["term"].to_pylist() == ["zyzzogeton"]
+    assert got["df"].to_pylist() == [100]  # 500 - 400 docs grew the term
+    assert len(eng.search("zyzzogeton~1", k=5)) > 0  # fuzzy sees it too
+    # hand-installed vocabularies are NOT clobbered by refresh
+    eng2 = SearchEngine(root)
+    eng2.set_suggest_vocabulary(np.array(["custom"]), np.array([1]))
+    eng2._vocab_from_sidecar = False
+    eng2.segments = eng2.segments[:1]
+    eng2.refresh()
+    assert eng2.suggest("cust", 5)["term"].to_pylist() == ["custom"]
+
+
+def test_sharded_refresh_updates_vocab(nrt_vocab, tmp_path_factory, ray_session):
+    """A term that exists only in a post-refresh segment becomes
+    completable and fuzzy-matchable on the SHARDED front after
+    srv.refresh() — the actor-side vocab stripes re-merge in place."""
+    import os
+
+    from bitfunnel_ray.query.sharded import ShardedServer
+
+    root, docs = nrt_vocab
+    s2 = _grow_with_new_term(root, docs)
+    # staged root: segment 2 appears only after the server is up
+    root2 = str(tmp_path_factory.mktemp("vocab_nrt_sharded"))
+    os.symlink(f"{root}/seg-000", f"{root2}/seg-000")
+    srv = ShardedServer(root2, n_shards=2)
+    try:
+        eng = srv.engine()
+        assert len(eng.suggest("zyzz", 5)) == 0
+        os.symlink(s2, f"{root2}/seg-001")
+        assert srv.refresh() == 1
+        eng = srv.engine()  # fronts are cheap snapshots (see refresh doc)
+        got = eng.suggest("zyzz", 5)
+        assert got["term"].to_pylist() == ["zyzzogeton"]
+        local = SearchEngine(root2)
+        a = eng.search("zyzzogeton~1", k=10)
+        b = local.search("zyzzogeton~1", k=10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    finally:
+        srv.shutdown()
