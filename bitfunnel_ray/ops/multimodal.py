@@ -2,11 +2,13 @@
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-The decode kernels themselves are STUBS — image/audio libraries are not
-in this container — but the Ray-side contract is real and tested: schema,
-actor signature, batch sizing, and output layout are exactly what a real
-decoder would drop into (swap ``_decode_stub`` for PIL/libav in
-``__init__``-loaded form).
+Real codecs are AUTO-DETECTED per actor: Pillow (``backend="pil"``) for
+image decode/resize, PyAV (``backend="av"``) for video frame sampling
+and audio features — each imported once in ``__init__``, never per
+batch.  When neither library is in the environment the honest ``stub``
+backend raises and the deterministic ``fake`` backend keeps the full
+Ray-side contract testable: schema, actor signature, batch sizing, and
+output layout are identical across backends.
 
 Batch-size guidance: binary payload rows are wide — size ``batch_size``
 so batch_bytes × concurrency fits the worker heap (e.g. 32 rows of 4 MB
@@ -49,6 +51,24 @@ def _resolve_image_backend(backend: str) -> str:
         ) from exc
 
 
+def _resolve_video_backend(backend: str) -> str:
+    """``auto`` → ``av`` when PyAV imports, else a clear error naming the
+    alternatives — the video/audio twin of ``_resolve_image_backend``
+    (same once-per-actor resolution discipline)."""
+    if backend != "auto":
+        return backend
+    try:
+        import av  # noqa: F401
+
+        return "av"
+    except ImportError as exc:
+        raise ImportError(
+            "backend='auto' found no video/audio codec (PyAV not "
+            "installed); install av, or use backend='fake' for "
+            "deterministic plumbing tests"
+        ) from exc
+
+
 class DecodeFeatures:
     """Actor stage: binary payload → fixed-dim feature vector.
 
@@ -56,8 +76,11 @@ class DecodeFeatures:
     ``backend="fake"`` produces a deterministic hash-derived vector so the
     downstream plumbing (ANN, dedup) is testable end-to-end;
     ``backend="pil"`` decodes real images with Pillow (loaded once here)
-    and emits a mean-pooled luminance vector; ``backend="auto"`` picks
-    ``pil`` when Pillow is importable and errors clearly otherwise.
+    and emits a mean-pooled luminance vector; ``backend="av"`` decodes
+    real AUDIO payloads with PyAV (loaded once here) and emits dim-bucket
+    mean-absolute-amplitude features of the mono waveform;
+    ``backend="auto"`` picks ``pil`` when Pillow is importable and errors
+    clearly otherwise (pass ``"av"`` explicitly for audio columns).
     A real deployment swaps in its model the same way.
     """
 
@@ -65,12 +88,16 @@ class DecodeFeatures:
         backend = _resolve_image_backend(backend)
         self.backend = backend
         self.dim = dim
-        if backend not in ("stub", "fake", "pil"):
+        if backend not in ("stub", "fake", "pil", "av"):
             raise ValueError(f"unknown backend {backend!r}")
         if backend == "pil":
             import PIL.Image as _Image  # once per actor
 
             self._Image = _Image
+        elif backend == "av":
+            import av as _av  # once per actor
+
+            self._av = _av
 
     def _decode_stub(self, payloads):
         raise NotImplementedError(
@@ -102,12 +129,38 @@ class DecodeFeatures:
             out[i] = v / 255.0 - 0.5
         return out
 
+    def _decode_av_audio(self, payloads) -> np.ndarray:
+        """Mono waveform → ``dim`` bucket mean-|amplitude| features — the
+        minimal real audio content feature (PyAV decodes+resamples; the
+        resampler is built once per actor call-site, not per payload)."""
+        import io
+
+        out = np.zeros((len(payloads), self.dim), dtype=np.float32)
+        resampler = self._av.AudioResampler(format="flt", layout="mono")
+        for i, p in enumerate(payloads):
+            with self._av.open(io.BytesIO(bytes(p or b""))) as container:
+                chunks = []
+                for frame in container.decode(audio=0):
+                    for rf in resampler.resample(frame):
+                        chunks.append(rf.to_ndarray().ravel().astype(np.float32))
+            if not chunks:
+                continue
+            wave = np.abs(np.concatenate(chunks))
+            # dim equal-width buckets over the waveform, mean per bucket
+            edges = np.linspace(0, len(wave), self.dim + 1).astype(np.int64)
+            for j in range(self.dim):
+                seg = wave[edges[j] : edges[j + 1]]
+                out[i, j] = float(seg.mean()) if len(seg) else 0.0
+        return out
+
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
         if self.backend == "fake":
             feats = self._decode_fake(payloads)
         elif self.backend == "pil":
             feats = self._decode_pil(payloads)
+        elif self.backend == "av":
+            feats = self._decode_av_audio(payloads)
         else:
             feats = self._decode_stub(payloads)
         return pa.table(
@@ -338,15 +391,58 @@ class SampleFrames:
     frame_idx + timestamp so downstream stages are order-independent).
 
     ``backend="fake"`` slices the payload into n deterministic chunks (a
-    stand-in for keyframe extraction); ``"stub"`` raises.  A real
-    deployment opens libav once per actor in ``__init__``.
+    stand-in for keyframe extraction); ``"av"`` does REAL evenly-spaced
+    frame extraction with PyAV (container opened per row, codec loaded
+    once per actor; frames re-encode to PNG via Pillow — any env with
+    PyAV has it); ``"auto"`` picks ``av`` when PyAV imports and errors
+    clearly otherwise; ``"stub"`` raises.
     """
 
     def __init__(self, n_frames: int = 4, backend: str = "stub"):
-        if backend not in ("stub", "fake"):
+        backend = _resolve_video_backend(backend)
+        if backend not in ("stub", "fake", "av"):
             raise ValueError(f"unknown backend {backend!r}")
         self.n_frames = int(n_frames)
         self.backend = backend
+        if backend == "av":
+            import av as _av  # once per actor
+            import PIL.Image as _Image
+
+            self._av = _av
+            self._Image = _Image
+
+    def _rows_av(self, payload: bytes, dur_ms: int):
+        """Evenly-spaced real frames: seek to k/n of the duration, decode
+        the next frame, PNG-encode.  Returns [(frame_idx, ts_ms, bytes)]."""
+        import io
+
+        rows = []
+        with self._av.open(io.BytesIO(bytes(payload or b""))) as container:
+            vs = container.streams.video[0]
+            tb = float(vs.time_base) if vs.time_base else 0.0
+            dur_s = (
+                float(vs.duration * vs.time_base)
+                if vs.duration and vs.time_base
+                else float(dur_ms or 0) / 1000.0
+            )
+            for k in range(self.n_frames):
+                t_s = dur_s * k / max(self.n_frames, 1)
+                if tb:
+                    container.seek(int(t_s / tb), stream=vs, backward=True)
+                frame = next(container.decode(vs), None)
+                if frame is None:
+                    break
+                buf = io.BytesIO()
+                self._Image.fromarray(frame.to_ndarray(format="rgb24")).save(
+                    buf, format="PNG"
+                )
+                ts = (
+                    int(frame.time * 1000)
+                    if frame.time is not None
+                    else int(t_s * 1000)
+                )
+                rows.append((k, ts, buf.getvalue()))
+        return rows
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if self.backend == "stub":
@@ -360,6 +456,14 @@ class SampleFrames:
             t["payload"].to_pylist(),
             t["duration_ms"].to_pylist(),
         ):
+            if self.backend == "av":
+                for k, t_ms, png in self._rows_av(payload, dur):
+                    ids.append(mid)
+                    types.append(mtype)
+                    fidx.append(k)
+                    ts.append(t_ms)
+                    payloads.append(png)
+                continue
             src = bytes(payload or b"\x00")
             step = max(1, len(src) // self.n_frames)
             for k in range(self.n_frames):
@@ -389,6 +493,7 @@ def sample_frames(
     """Frame sampling as an actor-pool flat expansion: each input batch
     of B video rows yields B × n_frames frame rows — batch_size is the
     backpressure knob (frames are wide; keep B small)."""
+    backend = _resolve_video_backend(backend)  # clear error driver-side
     return media.map_batches(
         SampleFrames,
         fn_constructor_kwargs={"n_frames": n_frames, "backend": backend},
