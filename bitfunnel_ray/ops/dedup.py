@@ -1015,7 +1015,18 @@ def minhash_cross_dedup(
     The rolling-crawl shape: dedupe this week's crawl against everything
     already kept, without re-deduping history.  All stages distributed
     (hash co-partition joins, pair-keyed verify); requires globally
-    unique doc_ids across the corpora."""
+    unique doc_ids across the corpora.
+
+    Tokenize-cost shape (r5): the NEW side (small: one crawl) is
+    shingled ONCE into a spill that feeds both its banding and the
+    verify; the REF side (large: all history) is deliberately NOT
+    spilled — history is tokenized once for banding, and only its
+    bloom-selected candidate docs are shingled again for the verify
+    (~candidates/|ref| extra work beats materializing every historical
+    shingle in the object store)."""
+    from functools import partial as _p
+
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
     from bitfunnel_ray.ops.joins import anti_join
 
     survivors = new
@@ -1040,7 +1051,44 @@ def minhash_cross_dedup(
     # join AND the final anti-join — lazy, the exact-stage exchange would
     # re-execute three times
     survivors = survivors.materialize()
-    cands = minhash_cross_candidates(survivors, ref, k, bands, max_group).materialize()
+    sh_new = shingle64_rows(survivors, k).materialize()
+
+    def with_side(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            if "band_id" not in t.column_names:  # zero-column empty block
+                return pa.table(
+                    {
+                        "band_id": pa.array([], pa.int32()),
+                        "band_key": pa.array([], pa.int64()),
+                        "doc_id": pa.array([], pa.int64()),
+                        "side": pa.array([], pa.int8()),
+                    }
+                )
+            return t.append_column("side", pa.array(np.full(len(t), v, np.int8)))
+
+        return f
+
+    band_rows = (
+        sh_new.map_batches(BandsFromShingles(bands), batch_format="pyarrow")
+        .map_batches(with_side(1), batch_format="pyarrow")
+        .union(
+            ref.select_columns(["doc_id", "text"])
+            .map_batches(MinhashBands(k, bands), batch_format="pyarrow")
+            .map_batches(with_side(0), batch_format="pyarrow")
+        )
+    )
+    n_blocks = tune_hash_shuffle(band_rows.context)
+    cands = (
+        band_rows.repartition(num_blocks=n_blocks, keys=["band_id", "band_key"])
+        .map_batches(
+            _p(_pairs_from_block, max_group=max_group, cross=True),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        .repartition(num_blocks=n_blocks, keys=["doc_a", "doc_b"])
+        .map_batches(_dedup_pairs_block, batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
     skipped = cands.filter(expr="doc_a < 0")
     n_skipped_groups = sum(
         r["n_bands"] for r in skipped.take_all()
@@ -1054,11 +1102,18 @@ def minhash_cross_dedup(
             "those groups were NOT checked; raise max_group to cover them",
             stacklevel=2,
         )
-    cands = cands.filter(expr="doc_a >= 0")
-    union_slim = survivors.select_columns(["doc_id", "text"]).union(
-        ref.select_columns(["doc_id", "text"])
+    cands = cands.filter(expr="doc_a >= 0").materialize()
+    bloom_ref = _candidate_bloom_ref(cands)
+    if bloom_ref is None:
+        return survivors
+    # verify payload: new side narrows its existing spill; ref side
+    # shingles only its bloom-selected candidate docs
+    pay = _payload32_rows(sh_new, bloom_ref).union(
+        shingle_rows(
+            _bloom_filter_ids(ref.select_columns(["doc_id", "text"]), bloom_ref), k
+        )
     )
-    pairs = jaccard_verify(union_slim, cands, k, threshold)
+    pairs = _payload_join(cands, pay, _p(_reduce_jaccard, threshold=threshold))
     drop = pairs.map_batches(
         lambda t: pa.table({"doc_id": t["doc_a"]}), batch_format="pyarrow"
     )
