@@ -684,6 +684,12 @@ def build_index(
             "docstore sidecar is written by the spill pass); drop "
             'extra={"shuffle": "ray"} or the store_fields'
         )
+    if cfg.extra.get("vocab_sidecar") and shuffle_mode == "ray":
+        raise ValueError(
+            "vocab_sidecar needs the fused external-shuffle build (the "
+            "df/cf partials are written by the spill pass); drop "
+            'extra={"shuffle": "ray"} or the vocab_sidecar flag'
+        )
     n_docs = sum_dl = None
     avgdl = 1.0
     t1 = t0

@@ -340,9 +340,12 @@ def cmd_build(args):
         )
         n_docs_est = corpus.count()
         bands = optimal_bands_from_df(dfs, n_docs_est)
-        cfg = EngineConfig(
-            max_gram=args.gram, num_buckets=args.buckets, treatment_bands=bands
-        )
+        # dataclasses.replace keeps every earlier flag (e.g. --vocab's
+        # extra['vocab_sidecar']) — rebuilding cfg from scratch here once
+        # silently dropped the vocab sidecar when both flags were given
+        import dataclasses as _dc2
+
+        cfg = _dc2.replace(cfg, treatment_bands=bands)
         out["auto_bands"] = [list(b) for b in bands]
     else:
         corpus = _load_corpus(args.corpus)

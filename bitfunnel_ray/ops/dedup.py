@@ -948,12 +948,33 @@ def minhash_dedup_pairs_table(
 # --- cross-corpus (incremental) dedup --------------------------------------
 
 
+def _with_side(v: int):
+    """Tag band rows with an int8 ``side`` column (1=new, 0=ref),
+    tolerating the zero-column empty blocks Ray 2.49 emits for empty
+    upstream partitions."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if "band_id" not in t.column_names:  # zero-column empty block
+            return pa.table(
+                {
+                    "band_id": pa.array([], pa.int32()),
+                    "band_key": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
+        return t.append_column("side", pa.array(np.full(len(t), v, np.int8)))
+
+    return f
+
+
 def minhash_cross_candidates(
     new: "ray.data.Dataset",
     ref: "ray.data.Dataset",
     k: int = 3,
     bands: int = 16,
     max_group: int = 1024,
+    new_band_rows: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Distinct NEW×REF candidate pairs from LSH band collisions.
     Requires globally unique doc_ids across the two corpora (the usual
@@ -964,28 +985,26 @@ def minhash_cross_candidates(
     cap sized for one crawl silently drops exactly the new×ref pairs
     this op exists to find.  Skipped oversized groups surface as one
     (doc_a=-1, doc_b=-1, n_bands=count) marker row — callers filter it
-    (``minhash_cross_dedup`` warns with the count)."""
+    (``minhash_cross_dedup`` warns with the count).
+
+    ``new_band_rows``: prebuilt (band_id, band_key, doc_id) rows for the
+    new side (e.g. ``BandsFromShingles`` over a shingle64 spill) — lets
+    ``minhash_cross_dedup`` reuse its one-tokenize spill; ``new`` is
+    ignored for banding when given."""
     from functools import partial
 
     from bitfunnel_ray.build.builder import tune_hash_shuffle
 
-    def with_side(v: int):
-        def f(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "side", pa.array(np.full(len(t), v, np.int8))
-            )
-
-        return f
-
-    band_rows = (
-        new.select_columns(["doc_id", "text"])
-        .map_batches(MinhashBands(k, bands), batch_format="pyarrow")
-        .map_batches(with_side(1), batch_format="pyarrow")
-        .union(
-            ref.select_columns(["doc_id", "text"])
-            .map_batches(MinhashBands(k, bands), batch_format="pyarrow")
-            .map_batches(with_side(0), batch_format="pyarrow")
+    if new_band_rows is None:
+        new_band_rows = new.select_columns(["doc_id", "text"]).map_batches(
+            MinhashBands(k, bands), batch_format="pyarrow"
         )
+    band_rows = new_band_rows.map_batches(
+        _with_side(1), batch_format="pyarrow"
+    ).union(
+        ref.select_columns(["doc_id", "text"])
+        .map_batches(MinhashBands(k, bands), batch_format="pyarrow")
+        .map_batches(_with_side(0), batch_format="pyarrow")
     )
     n_blocks = tune_hash_shuffle(band_rows.context)
     pairs = band_rows.repartition(
@@ -1026,7 +1045,6 @@ def minhash_cross_dedup(
     shingle in the object store)."""
     from functools import partial as _p
 
-    from bitfunnel_ray.build.builder import tune_hash_shuffle
     from bitfunnel_ray.ops.joins import anti_join
 
     survivors = new
@@ -1052,43 +1070,16 @@ def minhash_cross_dedup(
     # re-execute three times
     survivors = survivors.materialize()
     sh_new = shingle64_rows(survivors, k).materialize()
-
-    def with_side(v: int):
-        def f(t: pa.Table) -> pa.Table:
-            if "band_id" not in t.column_names:  # zero-column empty block
-                return pa.table(
-                    {
-                        "band_id": pa.array([], pa.int32()),
-                        "band_key": pa.array([], pa.int64()),
-                        "doc_id": pa.array([], pa.int64()),
-                        "side": pa.array([], pa.int8()),
-                    }
-                )
-            return t.append_column("side", pa.array(np.full(len(t), v, np.int8)))
-
-        return f
-
-    band_rows = (
-        sh_new.map_batches(BandsFromShingles(bands), batch_format="pyarrow")
-        .map_batches(with_side(1), batch_format="pyarrow")
-        .union(
-            ref.select_columns(["doc_id", "text"])
-            .map_batches(MinhashBands(k, bands), batch_format="pyarrow")
-            .map_batches(with_side(0), batch_format="pyarrow")
-        )
-    )
-    n_blocks = tune_hash_shuffle(band_rows.context)
-    cands = (
-        band_rows.repartition(num_blocks=n_blocks, keys=["band_id", "band_key"])
-        .map_batches(
-            _p(_pairs_from_block, max_group=max_group, cross=True),
-            batch_size=None,
-            batch_format="pyarrow",
-        )
-        .repartition(num_blocks=n_blocks, keys=["doc_a", "doc_b"])
-        .map_batches(_dedup_pairs_block, batch_size=None, batch_format="pyarrow")
-        .materialize()
-    )
+    cands = minhash_cross_candidates(
+        survivors,
+        ref,
+        k,
+        bands,
+        max_group,
+        new_band_rows=sh_new.map_batches(
+            BandsFromShingles(bands), batch_format="pyarrow"
+        ),
+    ).materialize()
     skipped = cands.filter(expr="doc_a < 0")
     n_skipped_groups = sum(
         r["n_bands"] for r in skipped.take_all()

@@ -132,17 +132,28 @@ class DecodeFeatures:
     def _decode_av_audio(self, payloads) -> np.ndarray:
         """Mono waveform → ``dim`` bucket mean-|amplitude| features — the
         minimal real audio content feature (PyAV decodes+resamples; the
-        resampler is built once per actor call-site, not per payload)."""
+        resampler is built once per actor call-site, not per payload).
+
+        Per-ROW error isolation: web-crawled media routinely contains
+        null/empty/truncated payloads, and av.open raises on them — an
+        unguarded decode would kill the whole map task for one bad row.
+        Undecodable rows emit the all-zero vector (same shape contract as
+        an empty decode); downstream filters drop them by norm."""
         import io
 
         out = np.zeros((len(payloads), self.dim), dtype=np.float32)
         resampler = self._av.AudioResampler(format="flt", layout="mono")
         for i, p in enumerate(payloads):
-            with self._av.open(io.BytesIO(bytes(p or b""))) as container:
-                chunks = []
-                for frame in container.decode(audio=0):
-                    for rf in resampler.resample(frame):
-                        chunks.append(rf.to_ndarray().ravel().astype(np.float32))
+            try:
+                with self._av.open(io.BytesIO(bytes(p or b""))) as container:
+                    chunks = []
+                    for frame in container.decode(audio=0):
+                        for rf in resampler.resample(frame):
+                            chunks.append(
+                                rf.to_ndarray().ravel().astype(np.float32)
+                            )
+            except Exception:  # corrupt/empty payload — av raises varied types
+                continue
             if not chunks:
                 continue
             wave = np.abs(np.concatenate(chunks))
@@ -413,35 +424,43 @@ class SampleFrames:
 
     def _rows_av(self, payload: bytes, dur_ms: int):
         """Evenly-spaced real frames: seek to k/n of the duration, decode
-        the next frame, PNG-encode.  Returns [(frame_idx, ts_ms, bytes)]."""
+        the next frame, PNG-encode.  Returns [(frame_idx, ts_ms, bytes)].
+
+        Per-ROW error isolation (see ``_decode_av_audio``): a corrupt or
+        empty payload yields NO frame rows for that video instead of
+        killing the whole map task — the flat-map contract already allows
+        fewer than n_frames rows per input."""
         import io
 
         rows = []
-        with self._av.open(io.BytesIO(bytes(payload or b""))) as container:
-            vs = container.streams.video[0]
-            tb = float(vs.time_base) if vs.time_base else 0.0
-            dur_s = (
-                float(vs.duration * vs.time_base)
-                if vs.duration and vs.time_base
-                else float(dur_ms or 0) / 1000.0
-            )
-            for k in range(self.n_frames):
-                t_s = dur_s * k / max(self.n_frames, 1)
-                if tb:
-                    container.seek(int(t_s / tb), stream=vs, backward=True)
-                frame = next(container.decode(vs), None)
-                if frame is None:
-                    break
-                buf = io.BytesIO()
-                self._Image.fromarray(frame.to_ndarray(format="rgb24")).save(
-                    buf, format="PNG"
+        try:
+            with self._av.open(io.BytesIO(bytes(payload or b""))) as container:
+                vs = container.streams.video[0]
+                tb = float(vs.time_base) if vs.time_base else 0.0
+                dur_s = (
+                    float(vs.duration * vs.time_base)
+                    if vs.duration and vs.time_base
+                    else float(dur_ms or 0) / 1000.0
                 )
-                ts = (
-                    int(frame.time * 1000)
-                    if frame.time is not None
-                    else int(t_s * 1000)
-                )
-                rows.append((k, ts, buf.getvalue()))
+                for k in range(self.n_frames):
+                    t_s = dur_s * k / max(self.n_frames, 1)
+                    if tb:
+                        container.seek(int(t_s / tb), stream=vs, backward=True)
+                    frame = next(container.decode(vs), None)
+                    if frame is None:
+                        break
+                    buf = io.BytesIO()
+                    self._Image.fromarray(
+                        frame.to_ndarray(format="rgb24")
+                    ).save(buf, format="PNG")
+                    ts = (
+                        int(frame.time * 1000)
+                        if frame.time is not None
+                        else int(t_s * 1000)
+                    )
+                    rows.append((k, ts, buf.getvalue()))
+        except Exception:  # corrupt/empty/truncated payload — keep any
+            pass  # frames decoded before the error; the row set may be short
         return rows
 
     def __call__(self, t: pa.Table) -> pa.Table:

@@ -224,18 +224,21 @@ class DocShardActor:
         """This shard's FULL prefix-matching (terms, dfs) slice (df-desc
         capped at ``cap``), or None without a vocab sidecar.  Doc shards
         hold PARTIAL dfs (a term's docs span shards), so the front must
-        sum per term before the top-k cut — hence a range, not a top-k."""
-        si = self.engine.suggest_index
+        sum per term before the top-k cut — hence a range, not a top-k.
+        Raises (via the engine's sidecar loader) when only SOME of this
+        shard's segments carry a sidecar — a partial vocabulary would be
+        silently wrong.  Fuzzy queries need no counterpart RPC: each
+        shard's engine expands ``term~d`` against its own sidecar
+        vocabulary during scoring, and ``_stats_round`` unions the
+        resulting scoring pairs across shards."""
+        eng = self.engine
+        if eng.suggest_index is None:
+            eng._materialize_vocab()  # lazy sidecar load; no-op without one
+        si = eng.suggest_index
         if si is None:
             return None
         terms, dfs = si.prefix_range(prefix, cap)
         return (terms.tolist(), dfs.tolist())
-
-    def fuzzy_match(self, text: str, dist: int):
-        """Local-vocabulary fuzzy expansion members (or None without a
-        sidecar) — the front unions shards to get the global expansion."""
-        m = self.engine.fuzzy_matcher
-        return None if m is None else m(text, int(dist))
 
 
 class DocShardedServer:
@@ -486,6 +489,12 @@ class DocShardedServer:
             raise RuntimeError(
                 "no vocab sidecar in any shard's segments — build with "
                 "EngineConfig.extra['vocab_sidecar']=True (cli build --vocab)"
+            )
+        if any(p is None for p in parts):
+            raise RuntimeError(
+                "some doc shards have no vocab sidecar — their terms would "
+                "be silently missing from completions; rebuild those "
+                "segments with vocab_sidecar (cli build --vocab)"
             )
         return merge_suggest_partials(
             [

@@ -246,6 +246,10 @@ class QueryAlgebra:
     # set_fuzzy_vocabulary (from the df table / TermToText sidecar), the
     # same lifecycle as the dictionaries themselves
     fuzzy_matcher = None
+    # True once a CALLER installed a vocabulary via set_*; sidecar
+    # auto-installs never set it, so refresh() can tell the two apart and
+    # leave hand-installed vocabularies untouched
+    _vocab_user_installed = False
 
     def set_fuzzy_vocabulary(self, terms) -> None:
         """Install the vocabulary used to expand ``term~d`` fuzzy queries
@@ -254,6 +258,14 @@ class QueryAlgebra:
         from bitfunnel_ray.query.fuzzy import VocabFuzzyMatcher
 
         self.fuzzy_matcher = VocabFuzzyMatcher(terms)
+        self._vocab_user_installed = True
+
+    def _materialize_vocab(self) -> None:
+        """Hook: engines with a DEFERRED vocabulary source (the per-
+        segment vocab sidecar) load and install it here, on first
+        suggest/fuzzy use — never in __init__ (a 10^8-term vocabulary
+        costs seconds + GBs; most engines never touch it).  Base class:
+        no-op."""
 
     # --- prefix autocomplete ----------------------------------------------
     # same lifecycle as the fuzzy vocabulary: dictionaries store hashes,
@@ -267,10 +279,13 @@ class QueryAlgebra:
         from bitfunnel_ray.ops.suggest import SuggestIndex
 
         self.suggest_index = SuggestIndex(terms, dfs)
+        self._vocab_user_installed = True
 
     def suggest(self, prefix: str, k: int = 10) -> pa.Table:
         """Top-k prefix completions (df desc, term asc) — search-as-you-
         type over the installed vocabulary."""
+        if self.suggest_index is None:
+            self._materialize_vocab()
         if self.suggest_index is None:
             raise RuntimeError(
                 "no suggest vocabulary installed — call "
@@ -306,6 +321,8 @@ class QueryAlgebra:
         if synonyms:
             node = ast.expand_synonyms(node, synonyms)
         if ast.has_fuzzy(node):
+            if self.fuzzy_matcher is None:
+                self._materialize_vocab()
             if self.fuzzy_matcher is None:
                 raise ValueError(
                     "query uses the fuzzy operator (~d) but no vocabulary is "
@@ -953,22 +970,50 @@ class SearchEngine(QueryAlgebra):
         self._cache: dict[tuple[int, int], Postings] = {}
         self._docvalues: dict[str, np.ndarray] = {}
         # vocab sidecar (built with EngineConfig.extra["vocab_sidecar"]):
-        # segments carry their (term, df) text stripes — install suggest +
-        # fuzzy automatically, and re-merge on refresh() so NRT-ingested
-        # terms become completable/fuzzy-matchable without a rebuild
-        self._vocab_from_sidecar = self._install_vocab_sidecars()
+        # segments carry their (term, df) text stripes — suggest + fuzzy
+        # install LAZILY from them on first use (_materialize_vocab), and
+        # re-merge on refresh() so NRT-ingested terms become
+        # completable/fuzzy-matchable without a rebuild.  Detection here
+        # is isdir-cheap; nothing is read until a suggest/fuzzy call.
+        self._vocab_from_sidecar = False
+        self._vocab_pending = self._any_vocab_sidecar()
 
-    def _install_vocab_sidecars(self) -> bool:
+    def _any_vocab_sidecar(self) -> bool:
+        return any(
+            os.path.isdir(os.path.join(s.dir, "vocab")) for s in self.segments
+        )
+
+    def _materialize_vocab(self) -> None:
         """Merge every segment's ``vocab/`` sidecar (term, df; df sums per
-        term across segments) into the suggest + fuzzy vocabularies.
-        Returns False (and installs nothing) when no segment has one."""
-        parts = []
-        for s in self.segments:
-            vdir = os.path.join(s.dir, "vocab")
-            if os.path.isdir(vdir):
-                parts.append(pq.read_table(vdir, columns=["term", "df"]))
-        if not parts:
-            return False
+        term across segments) into the suggest + fuzzy vocabularies —
+        called on FIRST suggest/fuzzy use, never in __init__.  A mix of
+        sidecar and sidecar-less segments raises (a silently partial
+        vocabulary would complete/expand with missing terms and
+        undercounted dfs); rebuild the old segments with --vocab or
+        install a vocabulary explicitly via set_*."""
+        if not self._vocab_pending or self._vocab_user_installed:
+            return
+        from bitfunnel_ray.ops.suggest import SuggestIndex
+        from bitfunnel_ray.query.fuzzy import VocabFuzzyMatcher
+
+        missing = [
+            s.dir
+            for s in self.segments
+            if not os.path.isdir(os.path.join(s.dir, "vocab"))
+        ]
+        if missing:
+            raise RuntimeError(
+                "segments without a vocab sidecar alongside segments that "
+                f"have one: {missing} — a partial vocabulary would return "
+                "silently wrong completions/expansions; rebuild those "
+                "segments with vocab_sidecar (cli build --vocab) or install "
+                "a vocabulary explicitly via set_suggest_vocabulary/"
+                "set_fuzzy_vocabulary"
+            )
+        parts = [
+            pq.read_table(os.path.join(s.dir, "vocab"), columns=["term", "df"])
+            for s in self.segments
+        ]
         t = pa.concat_tables(parts)
         terms = np.asarray(t["term"].to_pylist())
         dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -979,9 +1024,12 @@ class SearchEngine(QueryAlgebra):
                 np.concatenate([[True], terms[1:] != terms[:-1]])
             )
             terms, dfs = terms[starts], np.add.reduceat(dfs, starts)
-        self.set_suggest_vocabulary(terms, dfs)
-        self.set_fuzzy_vocabulary(terms)
-        return True
+        # install directly (NOT via set_*: those latch the user-installed
+        # flag that protects hand-installed vocabularies from refresh)
+        self.suggest_index = SuggestIndex(terms, dfs)
+        self.fuzzy_matcher = VocabFuzzyMatcher(terms)
+        self._vocab_from_sidecar = True
+        self._vocab_pending = False
 
     def refresh(self) -> int:
         """Open segments that completed since this engine loaded — the
@@ -1037,12 +1085,19 @@ class SearchEngine(QueryAlgebra):
         self._docstore = None
         self._invalidate_result_cache()
         # vocabulary staleness under NRT ingest: a sidecar-installed
-        # suggest/fuzzy vocabulary is a point-in-time df snapshot — re-merge
-        # it over the grown segment set so terms that exist only in the new
-        # segments are immediately completable (suggest) and matchable
-        # (term~d).  Hand-installed vocabularies are left untouched.
-        if self._vocab_from_sidecar:
-            self._install_vocab_sidecars()
+        # suggest/fuzzy vocabulary is a point-in-time df snapshot — drop it
+        # so the next suggest/fuzzy use re-merges over the grown segment
+        # set (terms that exist only in the new segments become
+        # immediately completable and matchable).  Hand-installed
+        # vocabularies (set_* latches _vocab_user_installed) are left
+        # untouched; an engine that opened WITHOUT sidecars also picks up
+        # sidecar-built segments added later (pending re-detects).
+        if not self._vocab_user_installed:
+            if self._vocab_from_sidecar:
+                self.suggest_index = None
+                self.fuzzy_matcher = None
+                self._vocab_from_sidecar = False
+            self._vocab_pending = self._any_vocab_sidecar()
         return len(new)
 
     # --- stored fields (ES _source analog) ---------------------------------

@@ -110,6 +110,7 @@ class IndexShardActor:
         # terms it serves postings for.  Suggest/fuzzy indexes build
         # LAZILY (first call) and reset on refresh().
         self._vocab_parts: "list[tuple[np.ndarray, np.ndarray]]" = []
+        self._vocab_missing: "list[str]" = []  # segments without a stripe
         self._suggest = None
         self._fuzzy = None
         local_doc_parts = []
@@ -150,6 +151,8 @@ class IndexShardActor:
             )
             self._suggest = None
             self._fuzzy = None
+        else:
+            self._vocab_missing.append(d)
         meta_files = sorted(glob.glob(os.path.join(d, "docmeta", "*.parquet")))
         if len(meta_files) >= n_shards:
             # file-granular slice: each shard READS only ~1/S of the
@@ -278,6 +281,21 @@ class IndexShardActor:
         return sorted_ids[ok], vals[pos[ok]]
 
     # --- vocabulary services (autocomplete + fuzzy expansion) ------------
+    def _vocab_guard(self) -> bool:
+        """False = no vocab anywhere (caller returns None); raises on a
+        MIX of sidecar and sidecar-less segments — a partial stripe would
+        return silently wrong completions/expansions."""
+        if not self._vocab_parts:
+            return False
+        if self._vocab_missing:
+            raise RuntimeError(
+                "segments without a vocab sidecar alongside segments that "
+                f"have one: {self._vocab_missing} — rebuild them with "
+                "vocab_sidecar (cli build --vocab) so the shard stripes "
+                "cover every segment"
+            )
+        return True
+
     def _merged_vocab(self):
         """This shard's (terms, dfs) stripe merged across segments (df
         sums per term — a term stays in the same shard wherever segments
@@ -290,27 +308,31 @@ class IndexShardActor:
             merged["df"].to_numpy(zero_copy_only=False),
         )
 
-    def suggest(self, prefix: str, k: int = 10):
-        """This shard's top-k prefix completions as (terms list, dfs
-        list), or None when no segment carried a vocab sidecar.  The
-        front merges per-shard partials (ops/suggest.merge_suggest_
-        partials) exactly like search merges per-shard top-ks."""
-        if not self._vocab_parts:
+    def suggest(self, prefix: str, k: int = 10, cap: int = 4096):
+        """This shard's prefix-matching (terms list, dfs list) RANGE
+        (df-desc, capped at max(cap, k)), or None when no segment carried
+        a vocab sidecar.  A range, not a top-k: when segments use
+        DIFFERENT bucket counts a term's stripe rows can land in
+        different shards, so its df is split and only the front's
+        sum-then-cut merge (ops/suggest.merge_suggest_partials) ranks
+        correctly — a shard-side k-cut on partial dfs would drop split
+        terms that belong in the global top-k."""
+        if not self._vocab_guard():
             return None
         if self._suggest is None:
             from bitfunnel_ray.ops.suggest import SuggestIndex
 
             terms, dfs = self._merged_vocab()
             self._suggest = SuggestIndex(terms, dfs)
-        t = self._suggest.complete(prefix, k)
-        return (t["term"].to_pylist(), t["df"].to_pylist())
+        t, d = self._suggest.prefix_range(prefix, max(int(cap), int(k)))
+        return (t.tolist(), d.tolist())
 
     def fuzzy_match(self, text: str, dist: int):
         """Vocabulary terms of THIS shard's stripe within edit distance
         ``dist`` (sorted tuple), or None when no vocab sidecar — the
         scatter-gather expansion backend ``query/fuzzy.py`` describes for
         cluster-scale vocabularies."""
-        if not self._vocab_parts:
+        if not self._vocab_guard():
             return None
         if self._fuzzy is None:
             from bitfunnel_ray.query.fuzzy import VocabFuzzyMatcher

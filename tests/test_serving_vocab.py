@@ -61,7 +61,10 @@ def test_sidecar_written_and_unigram(vocab_index):
 def test_local_engine_autoinstalls(vocab_index, local_truth):
     root, _seg = vocab_index
     eng = SearchEngine(root)
-    assert eng.suggest_index is not None and eng.fuzzy_matcher is not None
+    # LAZY contract: nothing is read in __init__ (a 10^8-term vocabulary
+    # costs seconds + GBs); first suggest/fuzzy use materializes both
+    assert eng.suggest_index is None and eng.fuzzy_matcher is None
+    assert eng._vocab_pending
     for pfx in ("s", "spa", "q", "zz"):
         got = eng.suggest(pfx, 8)
         want = local_truth.complete(pfx, 8)
@@ -120,6 +123,74 @@ def test_docsharded_front_suggest_and_fuzzy(tmp_path_factory, local_truth, ray_s
         srv.shutdown()
 
 
+def test_split_df_across_shards_exact(tmp_path_factory, ray_session):
+    """Segments with DIFFERENT bucket counts put the same term's stripe
+    in different shards (bucket = hash % B differs per segment), so each
+    shard holds a PARTIAL df.  The shard-side range + front-side
+    sum-then-cut merge must still return the exact global top-k — a
+    shard-side k-cut on partial dfs would drop split terms."""
+    from bitfunnel_ray.query.sharded import ShardedServer
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    root = tmp_path_factory.mktemp("vocab_split")
+    cfg_a = dataclasses.replace(
+        CFG, num_buckets=4, extra={"vocab_sidecar": True}
+    )
+    cfg_b = dataclasses.replace(
+        CFG, num_buckets=6, extra={"vocab_sidecar": True}
+    )
+    build_index(
+        rd.from_arrow(_lift_documents_batch(docs.slice(0, 250))),
+        str(root / "seg-000"), cfg_a,
+    )
+    build_index(
+        rd.from_arrow(_lift_documents_batch(docs.slice(250))),
+        str(root / "seg-001"), cfg_b,
+    )
+    import pyarrow as pa
+
+    both = pa.concat_tables(
+        [
+            pq.read_table(f"{root}/{seg}/vocab", columns=["term", "df"])
+            for seg in ("seg-000", "seg-001")
+        ]
+    )
+    # duplicate term rows (one per segment) sum like the engine merge does
+    agg = both.to_pandas().groupby("term", as_index=False)["df"].sum()
+    truth = SuggestIndex(agg["term"].to_numpy(), agg["df"].to_numpy())
+    srv = ShardedServer(str(root), n_shards=2)
+    try:
+        eng = srv.engine()
+        for pfx in ("s", "sp", "q", "a", ""):
+            assert eng.suggest(pfx, 8).equals(truth.complete(pfx, 8)), pfx
+    finally:
+        srv.shutdown()
+
+
+def test_mixed_vocab_segments_raise(tmp_path_factory, ray_session):
+    """A root mixing sidecar and sidecar-less segments must raise loudly
+    on suggest/fuzzy — silently partial vocabularies are worse than an
+    error (review finding r5)."""
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    root = tmp_path_factory.mktemp("vocab_mixed")
+    build_index(
+        rd.from_arrow(_lift_documents_batch(docs.slice(0, 250))),
+        str(root / "seg-000"), VCFG,
+    )
+    build_index(
+        rd.from_arrow(_lift_documents_batch(docs.slice(250))),
+        str(root / "seg-001"), CFG,  # no sidecar
+    )
+    eng = SearchEngine(str(root))
+    with pytest.raises(RuntimeError, match="without a vocab sidecar"):
+        eng.suggest("sp", 5)
+    with pytest.raises((RuntimeError, ValueError)):
+        eng.search("spark~1", k=5)
+    # explicit install still works and wins over the broken sidecar state
+    eng.set_suggest_vocabulary(np.array(["ok"]), np.array([3]))
+    assert eng.suggest("o", 5)["term"].to_pylist() == ["ok"]
+
+
 @pytest.fixture(scope="module")
 def nrt_vocab(tmp_path_factory, ray_session):
     """Segment 1 from the test corpus; segment 2 adds docs with a term
@@ -162,11 +233,11 @@ def test_local_refresh_updates_vocab(nrt_vocab):
     assert got["term"].to_pylist() == ["zyzzogeton"]
     assert got["df"].to_pylist() == [100]  # 500 - 400 docs grew the term
     assert len(eng.search("zyzzogeton~1", k=5)) > 0  # fuzzy sees it too
-    # hand-installed vocabularies are NOT clobbered by refresh
+    # hand-installed vocabularies are NOT clobbered by refresh: set_* is
+    # the public install API and must survive NRT segment growth
     eng2 = SearchEngine(root)
     eng2.set_suggest_vocabulary(np.array(["custom"]), np.array([1]))
-    eng2._vocab_from_sidecar = False
-    eng2.segments = eng2.segments[:1]
+    eng2.segments = eng2.segments[:1]  # make seg-001 look new again
     eng2.refresh()
     assert eng2.suggest("cust", 5)["term"].to_pylist() == ["custom"]
 
