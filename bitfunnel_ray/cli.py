@@ -596,6 +596,7 @@ _REPL_HELP = """commands (BitFunnel Environment registry analog):
   script <file>  execute commands from a file (reproducible sessions)
   fetch <doc_id> stored-field row for one document (needs a docstore)
   suggest <pfx>  df-ranked prefix completions (needs a suggest vocabulary)
+  correct <q>    "did you mean" per out-of-vocabulary query token
   help           this text
   exit / quit    leave"""
 
@@ -633,6 +634,24 @@ def repl_execute(eng, line: str, *, _depth: int = 0) -> str:
             return str(e)
         return json.dumps(
             [{"term": a, "df": b} for a, b in zip(t["term"].to_pylist(), t["df"].to_pylist())]
+        )
+    if cmd == "correct":
+        if not rest:
+            return "usage: correct <query>"
+        try:
+            t = eng.correct(rest)
+        except RuntimeError as e:
+            return str(e)
+        return json.dumps(
+            [
+                {"token": a, "suggestion": b, "dist": c, "df": d}
+                for a, b, c, d in zip(
+                    t["token"].to_pylist(),
+                    t["suggestion"].to_pylist(),
+                    t["dist"].to_pylist(),
+                    t["df"].to_pylist(),
+                )
+            ]
         )
     if cmd == "fetch":
         try:

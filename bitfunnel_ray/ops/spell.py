@@ -120,6 +120,68 @@ def levenshtein(a: str, b: str) -> int:
     return int(prev[len(b)])
 
 
+def serve_correct(
+    query: str, cand_fn, max_dist: int = 2
+) -> pa.Table:
+    """Serve-time "did you mean" over an installed/striped vocabulary —
+    the ONLINE twin of ``correct_terms`` (which is the offline Dataset
+    op): for each plain query token, ``cand_fn(token, max_dist)`` yields
+    [(term, df, dist)] vocabulary candidates (df already summed across
+    shards by the caller; dist exact Levenshtein; the exact token
+    appears with dist 0 when in-vocabulary).  Tokens that are
+    in-vocabulary (a dist-0 candidate) or uncorrectable (no candidates)
+    emit no row; otherwise the best candidate by (dist asc, df desc,
+    term asc) does — the same ranking contract as ``correct_terms`` and
+    the ``spell_correct`` oracle.
+
+    Query operators (quotes, parens, |, -, ~d, field:, ranges) are left
+    alone: only bare word tokens are candidates for correction."""
+    rows = {"token": [], "suggestion": [], "dist": [], "df": []}
+    special = set('"()|~:*[]')
+    for tok in query.split():
+        if not tok or tok[0] == "-" or any(c in special for c in tok):
+            continue
+        cands = cand_fn(tok, max_dist)
+        if not cands:
+            continue
+        if any(d == 0 for _t, _df, d in cands):
+            continue  # in vocabulary — nothing to correct
+        best = min(cands, key=lambda c: (c[2], -int(c[1]), str(c[0])))
+        rows["token"].append(tok)
+        rows["suggestion"].append(str(best[0]))
+        rows["dist"].append(int(best[2]))
+        rows["df"].append(int(best[1]))
+    return pa.table(
+        {
+            "token": pa.array(rows["token"], pa.string()),
+            "suggestion": pa.array(rows["suggestion"], pa.string()),
+            "dist": pa.array(rows["dist"], pa.int64()),
+            "df": pa.array(rows["df"], pa.int64()),
+        }
+    )
+
+
+def merge_candidate_partials(parts):
+    """Merge per-shard [(terms, dfs, dists)] candidate partials: df SUMS
+    per term (doc shards hold partial dfs; split stripes likewise), dist
+    is term-intrinsic (min just collapses duplicates).  None entries
+    (shards without a vocabulary) are skipped; returns [(term, df,
+    dist)]."""
+    acc: dict[str, list[int]] = {}
+    for p in parts:
+        if p is None:
+            continue
+        terms, dfs, dists = p
+        for t, df, d in zip(terms, dfs, dists):
+            hit = acc.get(str(t))
+            if hit is None:
+                acc[str(t)] = [int(df), int(d)]
+            else:
+                hit[0] += int(df)
+                hit[1] = min(hit[1], int(d))
+    return [(t, df, d) for t, (df, d) in acc.items()]
+
+
 def _harvest(t: pa.Table, *, want_ref) -> pa.Table:
     want = ray.get(want_ref) if isinstance(want_ref, ray.ObjectRef) else want_ref
     vh = t["variant_hash"].to_numpy(zero_copy_only=False)

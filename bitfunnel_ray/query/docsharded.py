@@ -240,6 +240,20 @@ class DocShardActor:
         terms, dfs = si.prefix_range(prefix, cap)
         return (terms.tolist(), dfs.tolist())
 
+    def correct_candidates(self, token: str, max_dist: int = 2):
+        """Did-you-mean candidates from this shard's engine vocabulary as
+        (terms, dfs, dists) lists — dfs are LOCAL (this shard's docs);
+        the front sums them per term for the exact global ranking.  None
+        without a vocab sidecar."""
+        c = self.engine.correct_candidates(token, int(max_dist))
+        if c is None:
+            return None
+        return (
+            [t for t, _df, _d in c],
+            [df for _t, df, _d in c],
+            [d for _t, _df, d in c],
+        )
+
 
 class DocShardedServer:
     """Segment-partitioned serving with exact global BM25.
@@ -496,6 +510,11 @@ class DocShardedServer:
                 "be silently missing from completions; rebuild those "
                 "segments with vocab_sidecar (cli build --vocab)"
             )
+        return self._merge_suggest(parts, k)
+
+    def _merge_suggest(self, parts, k):
+        from bitfunnel_ray.ops.suggest import merge_suggest_partials
+
         return merge_suggest_partials(
             [
                 None
@@ -505,6 +524,34 @@ class DocShardedServer:
             ],
             k,
         )
+
+    def correct(self, query: str, max_dist: int = 2) -> pa.Table:
+        """Serve-time "did you mean" over the doc-sharded corpus: per
+        out-of-vocabulary plain token the best replacement by (edit
+        distance asc, GLOBAL df desc, term asc) — each shard matches its
+        local vocabulary, the front sums partial dfs per candidate term
+        (a document lives in exactly one shard, so the sum is exact).
+        Returns (token, suggestion, dist, df) rows; same ranking contract
+        as the offline ``ops/spell.correct_terms`` and the local
+        ``SearchEngine.correct``."""
+        from bitfunnel_ray.ops.spell import (
+            merge_candidate_partials,
+            serve_correct,
+        )
+
+        def cand_fn(token: str, d: int):
+            parts = ray.get(
+                [s.correct_candidates.remote(token, int(d)) for s in self.shards]
+            )
+            if all(p is None for p in parts):
+                raise RuntimeError(
+                    "no vocab sidecar in any shard's segments — build with "
+                    "EngineConfig.extra['vocab_sidecar']=True (cli build "
+                    "--vocab)"
+                )
+            return merge_candidate_partials(parts)
+
+        return serve_correct(query, cand_fn, int(max_dist))
 
     def search_selective(self, query: str, k: int = 10, wave: int = 2) -> pa.Table:
         """Exact top-k probing as FEW shards as the scores allow — the

@@ -294,6 +294,46 @@ class QueryAlgebra:
             )
         return self.suggest_index.complete(prefix, k)
 
+    # --- "did you mean" (serve-time spelling correction) -------------------
+    def correct_candidates(self, token: str, max_dist: int = 2):
+        """Vocabulary candidates for one query token as [(term, df,
+        dist)] — exact-token included with dist 0 when in-vocabulary, or
+        None when no vocabulary is installed/available.  Backs
+        ``correct()`` locally; the sharded fronts scatter this per shard
+        and sum-merge dfs."""
+        if self.fuzzy_matcher is None or self.suggest_index is None:
+            self._materialize_vocab()
+        if self.fuzzy_matcher is None or self.suggest_index is None:
+            return None
+        from bitfunnel_ray.ops.spell import levenshtein
+
+        si = self.suggest_index
+        out = []
+        for cand in self.fuzzy_matcher(token, int(max_dist)):
+            i = int(np.searchsorted(si.terms, cand))
+            if i >= len(si.terms) or si.terms[i] != cand:
+                continue
+            out.append((str(cand), int(si.dfs[i]), levenshtein(token, str(cand))))
+        return out
+
+    def correct(self, query: str, max_dist: int = 2) -> pa.Table:
+        """Serve-time "did you mean": per misspelled (out-of-vocabulary)
+        plain token, the best vocabulary replacement by (edit distance
+        asc, df desc, term asc) — the online twin of the offline
+        ``ops/spell.correct_terms`` Dataset op, powered by the same
+        vocabulary the suggest/fuzzy surfaces use (vocab sidecar or
+        set_* install).  Returns (token, suggestion, dist, df) rows."""
+        from bitfunnel_ray.ops.spell import serve_correct
+
+        probe = self.correct_candidates("", 0)
+        if probe is None:
+            raise RuntimeError(
+                "correct() needs a vocabulary — build segments with "
+                "vocab_sidecar (cli build --vocab) or install one via "
+                "set_suggest_vocabulary + set_fuzzy_vocabulary"
+            )
+        return serve_correct(query, self.correct_candidates, int(max_dist))
+
     # --- result cache -------------------------------------------------------
     # bounded LRU over (query, k) for the static-argument search path; a
     # hit skips parse/eval/score entirely.  Engines clear it on refresh()

@@ -113,6 +113,7 @@ class IndexShardActor:
         self._vocab_missing: "list[str]" = []  # segments without a stripe
         self._suggest = None
         self._fuzzy = None
+        self._vsorted = None
         local_doc_parts = []
         # docmeta slice recipe: (file, row_mask|None) pairs — doc-values
         # columns load lazily from exactly this slice (see _local_docvalue)
@@ -151,6 +152,7 @@ class IndexShardActor:
             )
             self._suggest = None
             self._fuzzy = None
+            self._vsorted = None
         else:
             self._vocab_missing.append(d)
         meta_files = sorted(glob.glob(os.path.join(d, "docmeta", "*.parquet")))
@@ -339,6 +341,36 @@ class IndexShardActor:
 
             self._fuzzy = VocabFuzzyMatcher(self._merged_vocab()[0])
         return self._fuzzy(text, int(dist))
+
+    def _sorted_vocab(self):
+        if self._vsorted is None:
+            t, d = self._merged_vocab()
+            o = np.argsort(t, kind="stable")
+            self._vsorted = (t[o], d[o])
+        return self._vsorted
+
+    def correct_candidates(self, token: str, max_dist: int = 2):
+        """Did-you-mean candidates from THIS shard's stripe as (terms,
+        dfs, dists) lists (dfs PARTIAL when a term's stripe is split
+        across shards — the front sum-merges), or None when no vocab
+        sidecar."""
+        if not self._vocab_guard():
+            return None
+        if self._fuzzy is None:
+            from bitfunnel_ray.query.fuzzy import VocabFuzzyMatcher
+
+            self._fuzzy = VocabFuzzyMatcher(self._merged_vocab()[0])
+        from bitfunnel_ray.ops.spell import levenshtein
+
+        terms, dfs = self._sorted_vocab()
+        out_t, out_df, out_d = [], [], []
+        for cand in self._fuzzy(token, int(max_dist)):
+            i = int(np.searchsorted(terms, cand))
+            if i < len(terms) and terms[i] == cand:
+                out_t.append(str(cand))
+                out_df.append(int(dfs[i]))
+                out_d.append(levenshtein(token, str(cand)))
+        return (out_t, out_df, out_d)
 
     def stats(self) -> dict:
         return {
@@ -616,6 +648,18 @@ class ShardedSearchEngine(QueryAlgebra):
             ],
             k,
         )
+
+    def correct_candidates(self, token: str, max_dist: int = 2):
+        """Scatter-gather did-you-mean candidates: each shard matches its
+        stripe, the front sum-merges partial dfs (split stripes) — same
+        shape as suggest.  Falls back to a front-installed vocabulary
+        when no shard carries a stripe."""
+        from bitfunnel_ray.ops.spell import merge_candidate_partials
+
+        parts = self._call_all_shards("correct_candidates", token, int(max_dist))
+        if all(p is None for p in parts):
+            return super().correct_candidates(token, max_dist)
+        return merge_candidate_partials(parts)
 
 
 class _ShardedFuzzyMatcher:

@@ -498,3 +498,26 @@ def test_repl_vocab_enables_suggest_and_fuzzy(idx, tmp_path):
     out = r.stdout
     assert '"term": "spark"' in out          # suggest completion
     assert "doc_id" in out                   # fuzzy query matched and ranked
+
+
+def test_repl_correct_command(idx, tmp_path):
+    """REPL `correct <q>`: did-you-mean per OOV token from the installed
+    vocabulary (same vocabulary lifecycle as suggest/fuzzy)."""
+    from bitfunnel_ray.build.stats import document_frequency_table
+
+    stats = str(tmp_path / "docfreq")
+    document_frequency_table(
+        corpus_from_documents("/root/testdata/sf0.001"), EngineConfig(max_gram=1)
+    ).write_parquet(stats)
+    import subprocess, sys
+
+    script = tmp_path / "script.txt"
+    script.write_text("correct spurk table\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "bitfunnel_ray.cli", "repl", idx,
+         "--vocab", stats, "--script", str(script)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert '"suggestion": "spark"' in r.stdout   # OOV token corrected
+    assert '"token": "table"' not in r.stdout    # in-vocab token untouched

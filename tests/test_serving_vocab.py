@@ -123,6 +123,43 @@ def test_docsharded_front_suggest_and_fuzzy(tmp_path_factory, local_truth, ray_s
         srv.shutdown()
 
 
+def test_serve_correct_all_fronts(vocab_index, tmp_path_factory, ray_session):
+    """Serve-time "did you mean" parity: local engine, term-sharded
+    front and doc-sharded front return identical (token, suggestion,
+    dist, df) rows — the doc-sharded path proves the partial-df
+    sum-merge (each shard holds local dfs only)."""
+    from bitfunnel_ray.query.docsharded import DocShardedServer
+    from bitfunnel_ray.query.sharded import ShardedServer
+
+    root, _seg = vocab_index
+    q = "sparkk tble zzzzqqqq spark"
+    local = SearchEngine(root).correct(q)
+    toks = local["token"].to_pylist()
+    assert "sparkk" in toks and "spark" not in toks  # OOV corrected, in-vocab skipped
+    assert "zzzzqqqq" not in toks  # uncorrectable emits nothing
+    srv = ShardedServer(root, n_shards=2)
+    try:
+        assert srv.engine().correct(q).equals(local)
+    finally:
+        srv.shutdown()
+    # doc-sharded over TWO segments: dfs are split per shard and must sum
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    root2 = tmp_path_factory.mktemp("correct_docshard")
+    build_index(
+        rd.from_arrow(_lift_documents_batch(docs.slice(0, 250))),
+        str(root2 / "seg-000"), VCFG,
+    )
+    build_index(
+        rd.from_arrow(_lift_documents_batch(docs.slice(250))),
+        str(root2 / "seg-001"), VCFG,
+    )
+    ds_srv = DocShardedServer(str(root2), n_shards=2)
+    try:
+        assert ds_srv.correct(q).equals(local)
+    finally:
+        ds_srv.shutdown()
+
+
 def test_split_df_across_shards_exact(tmp_path_factory, ray_session):
     """Segments with DIFFERENT bucket counts put the same term's stripe
     in different shards (bucket = hash % B differs per segment), so each
