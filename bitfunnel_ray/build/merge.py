@@ -359,6 +359,64 @@ def merge_segments(
             os.path.join(out_dir, "heads.parquet"),
         )
 
+    # --- vocab sidecar merge (all-or-nothing, like docstore) -------------
+    # Distributed group-sum of (term, df) across the sources, re-striped
+    # to the MERGED config's bucket space — so a compacted index keeps
+    # suggest/fuzzy/correct working (without this, a --vocab user's
+    # compaction produced a sidecar-less segment and the serving fronts'
+    # mixed-state guard made the whole index refuse vocabulary queries).
+    # Tombstoned docs' df contributions are NOT subtracted (df is not
+    # per-doc decomposable from the sidecar alone) — the same freshness
+    # class as posting-level df before compaction; a fresh build resets.
+    vocab_srcs = [os.path.join(d, "vocab") for d in seg_dirs]
+    vocab_dir = os.path.join(out_dir, "vocab")
+    if all(os.path.isdir(v) for v in vocab_srcs) and not os.path.isdir(vocab_dir):
+        from bitfunnel_ray.build.builder import tune_hash_shuffle
+        from bitfunnel_ray.functions.hashing import hash_terms
+
+        def vocab_combine(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or "term" not in t.column_names:
+                return pa.table(
+                    {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+                )
+            out = t.select(["term", "df"]).group_by("term").aggregate([("df", "sum")])
+            return pa.table(
+                {"term": out["term"], "df": out["df_sum"].cast(pa.int64())}
+            )
+
+        def restripe(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or "term" not in t.column_names:
+                return pa.table(
+                    {
+                        "term": pa.array([], pa.string()),
+                        "df": pa.array([], pa.int64()),
+                        "bucket": pa.array([], pa.int32()),
+                    }
+                )
+            h = hash_terms(np.asarray(t["term"].to_pylist(), dtype=object))
+            return pa.table(
+                {
+                    "term": t["term"],
+                    "df": t["df"],
+                    "bucket": pa.array(
+                        (h % np.uint64(cfg.num_buckets)).astype(np.int32), pa.int32()
+                    ),
+                }
+            )
+
+        vds = ray.data.read_parquet(vocab_srcs, file_extensions=["parquet"])
+        n_vb = tune_hash_shuffle(vds.context)
+        merged_vocab = (
+            vds.map_batches(vocab_combine, batch_format="pyarrow")
+            .repartition(num_blocks=n_vb, keys=["term"])
+            .map_batches(vocab_combine, batch_size=None, batch_format="pyarrow")
+            .map_batches(restripe, batch_format="pyarrow")
+        )
+        vocab_tmp = vocab_dir + ".tmp"
+        shutil.rmtree(vocab_tmp, ignore_errors=True)
+        merged_vocab.write_parquet(vocab_tmp)
+        os.replace(vocab_tmp, vocab_dir)
+
     # --- bucket-aligned merge (one task per missing bucket, no shuffle) --
     done = seglib.completed_buckets(out_dir)
     todo = [b for b in range(cfg.num_buckets) if b not in done]

@@ -120,6 +120,10 @@ def build_web_index(
         max_gram=1,
         num_buckets=8,
         streams=(("body", "text", 0), ("anchor", "anchor_text", 1)),
+        # the flagship pipeline serves users directly — ship the vocab
+        # sidecar so suggest / term~d fuzzy / correct work on every
+        # front out of the box (same spill pass, no extra corpus read)
+        extra={"vocab_sidecar": True},
     )
     manifest = build_index(joined, out_dir, cfg)
     return manifest, rank_path

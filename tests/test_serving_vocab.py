@@ -204,6 +204,43 @@ def test_split_df_across_shards_exact(tmp_path_factory, ray_session):
         srv.shutdown()
 
 
+def test_compaction_preserves_vocab(tmp_path_factory, ray_session):
+    """merge_segments over vocab-sidecar segments writes a merged vocab
+    (distributed group-sum, re-striped to the merged bucket space), so a
+    compacted index keeps suggest/fuzzy/correct working with the SAME
+    results as serving the uncompacted segments."""
+    from bitfunnel_ray.build.merge import merge_segments
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    root = tmp_path_factory.mktemp("vocab_merge")
+    s1, s2 = str(root / "seg-000"), str(root / "seg-001")
+    build_index(rd.from_arrow(_lift_documents_batch(docs.slice(0, 250))), s1, VCFG)
+    build_index(rd.from_arrow(_lift_documents_batch(docs.slice(250))), s2, VCFG)
+    merged = str(root / "merged")
+    merge_segments([s1, s2], merged)
+    import os
+
+    assert os.path.isdir(f"{merged}/vocab")
+    eng_m = SearchEngine(merged)
+    eng_u = SearchEngine([s1, s2])
+    for pfx in ("s", "sp", "q", ""):
+        assert eng_m.suggest(pfx, 10).equals(eng_u.suggest(pfx, 10)), pfx
+    assert eng_m.correct("spurk").equals(eng_u.correct("spurk"))
+    # bucket column re-striped to the MERGED config's bucket count
+    from bitfunnel_ray.functions.hashing import murmur64a
+
+    vt = pq.read_table(f"{merged}/vocab")
+    import json
+
+    man = json.load(open(f"{merged}/manifest.json"))
+    nb = int(man["config"]["num_buckets"])
+    for term, bucket in zip(
+        vt["term"].to_pylist()[:20],
+        vt["bucket"].to_numpy(zero_copy_only=False)[:20],
+    ):
+        assert murmur64a(term) % nb == bucket
+
+
 def test_mixed_vocab_segments_raise(tmp_path_factory, ray_session):
     """A root mixing sidecar and sidecar-less segments must raise loudly
     on suggest/fuzzy — silently partial vocabularies are worse than an
