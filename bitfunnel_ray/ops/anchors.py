@@ -142,32 +142,92 @@ def anchor_corpus(
     num_partitions: int | None = None,
 ):
     """Left-outer hash join: every corpus row gains ``anchor_text`` (''
-    when nobody links to it).  Distributed join — neither side is
-    broadcast, both are hash-partitioned on ``doc_col``."""
+    when nobody links to it).  Distributed — neither side is broadcast,
+    both are hash-partitioned on ``doc_col``.
+
+    In-house co-partitioned attach rather than ``Dataset.join``: an
+    anchorless corpus (or an anchorless shuffle partition) emits
+    zero-column empty blocks, and on this Ray (2.49) those skip upstream
+    schema-changing maps and kill the pyarrow join operator ("No match
+    for FieldRef doc_id"); the tag maps here pin the transport schema
+    and the block kernel guards empties."""
+    from functools import partial as _p
+
     from bitfunnel_ray.build.builder import tune_hash_shuffle
 
-    n_parts = num_partitions or tune_hash_shuffle(corpus.context)
-    key_type = corpus.schema().base_schema.field(doc_col).type
-
-    def align_key(t: pa.Table) -> pa.Table:
-        i = t.schema.get_field_index(doc_col)
-        return t.set_column(i, doc_col, t[doc_col].cast(key_type))
-
-    joined = corpus.join(
-        anchors.select_columns([doc_col, anchor_text_col]).map_batches(
-            align_key, batch_format="pyarrow"
-        ),
-        "left_outer",
-        num_partitions=n_parts,
-        on=(doc_col,),
+    base = corpus.schema().base_schema
+    key_type = base.field(doc_col).type
+    transport = pa.schema(
+        [f for f in base]
+        + [pa.field(anchor_text_col, pa.string()), pa.field("_side", pa.int8())]
+    )
+    out_schema = pa.schema(
+        [f for f in base] + [pa.field(anchor_text_col, pa.string())]
     )
 
-    def fill(t: pa.Table) -> pa.Table:
-        i = t.schema.get_field_index(anchor_text_col)
-        return t.set_column(
-            i,
-            anchor_text_col,
-            pc.fill_null(pc.cast(t[anchor_text_col], pa.string()), ""),
-        )
+    def tag_c(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or doc_col not in t.column_names:
+            return transport.empty_table()
+        t = t.select([f.name for f in base])
+        t = t.append_column(anchor_text_col, pa.array([""] * len(t), pa.string()))
+        return t.append_column(
+            "_side", pa.array(np.zeros(len(t), np.int8))
+        ).cast(transport)
 
-    return joined.map_batches(fill, batch_format="pyarrow")
+    def tag_a(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or doc_col not in t.column_names:
+            return transport.empty_table()
+        cols = {}
+        for f in base:
+            cols[f.name] = (
+                t[doc_col].cast(key_type)
+                if f.name == doc_col
+                else pa.nulls(len(t), f.type)
+            )
+        cols[anchor_text_col] = pc.cast(
+            pc.fill_null(t[anchor_text_col], ""), pa.string()
+        )
+        cols["_side"] = pa.array(np.ones(len(t), np.int8))
+        return pa.table(cols, schema=transport)
+
+    def attach(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "_side" not in t.column_names:
+            return out_schema.empty_table()
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        docs = t[doc_col].to_numpy(zero_copy_only=False)
+        is_c = side == 0
+        left = t.filter(pa.array(is_c)).drop_columns(["_side"])
+        if len(left) == 0:
+            return out_schema.empty_table()
+        a_docs = docs[~is_c]
+        a_text = t[anchor_text_col].combine_chunks().filter(pa.array(~is_c))
+        if len(a_docs):
+            order = np.argsort(a_docs, kind="stable")
+            a_sorted = a_docs[order]
+            want = docs[is_c]
+            pos = np.searchsorted(a_sorted, want)
+            pos[pos == len(a_sorted)] = 0
+            found = a_sorted[pos] == want
+            texts = np.asarray([""] * len(want), dtype=object)
+            if found.any():
+                take = pa.array(order[pos[found]].astype(np.int64))
+                texts[found] = np.asarray(a_text.take(take).to_pylist(), dtype=object)
+            left = left.set_column(
+                left.schema.get_field_index(anchor_text_col),
+                anchor_text_col,
+                pa.array(texts.tolist(), pa.string()),
+            )
+        return left.cast(out_schema)
+
+    # always configure the hash-shuffle strategy (keyed repartition needs
+    # it), even when the caller pins the partition count
+    default_parts = tune_hash_shuffle(corpus.context)
+    n_parts = num_partitions or default_parts
+    both = corpus.map_batches(tag_c, batch_format="pyarrow").union(
+        anchors.select_columns([doc_col, anchor_text_col]).map_batches(
+            tag_a, batch_format="pyarrow"
+        )
+    )
+    return both.repartition(num_blocks=n_parts, keys=[doc_col]).map_batches(
+        attach, batch_size=None, batch_format="pyarrow"
+    )

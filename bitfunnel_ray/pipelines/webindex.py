@@ -33,43 +33,100 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _resolve_join_block(t: pa.Table) -> pa.Table:
+    """Inner join within one key-partitioned block: side-1 rows (src,
+    key) × side-0 rows (dst, key) → (src, dst) for every key match
+    (full many-to-many cross product per key).  Vectorized: sort the
+    page side by key, locate each link row's match range with two
+    searchsorteds, expand with the standard arange-minus-offsets trick."""
+    empty = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    if len(t) == 0 or "key" not in t.column_names:
+        return empty
+    side = t["side"].to_numpy(zero_copy_only=False)
+    key = t["key"].to_numpy(zero_copy_only=False)
+    val = t["val"].to_numpy(zero_copy_only=False)
+    lk, lv = key[side == 1], val[side == 1]  # links: key -> src
+    rk, rv = key[side == 0], val[side == 0]  # pages: key -> dst
+    if not len(lk) or not len(rk):
+        return empty
+    order = np.argsort(rk, kind="stable")
+    rk, rv = rk[order], rv[order]
+    lo = np.searchsorted(rk, lk, side="left")
+    hi = np.searchsorted(rk, lk, side="right")
+    lens = hi - lo
+    total = int(lens.sum())
+    if total == 0:
+        return empty
+    flat = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(lens) - lens, lens)
+        + np.repeat(lo, lens)
+    )
+    return pa.table(
+        {
+            "src": pa.array(np.repeat(lv, lens), pa.int64()),
+            "dst": pa.array(rv[flat], pa.int64()),
+        }
+    )
+
+
 def resolve_links(links, pages_urls, *, href_col: str = "href",
                   url_col: str = "url", id_col: str = "doc_id",
                   num_partitions: int | None = None):
     """(src, href) × (doc_id, url) → (src, dst) edges: canonicalize BOTH
-    sides with the same recipe (ops/urls), then one distributed inner
-    hash join on the canonical string.  Hrefs pointing outside the
-    corpus simply don't join (dropped) — exactly what a crawler's
-    frontier/dedup layer does with out-of-scope links."""
+    sides with the same recipe (ops/urls), then one co-partitioned inner
+    join on the 64-bit hash of the canonical url — the same hash-identity
+    space every other exchange in this engine uses (term hashes, content
+    hashes; collision odds ~n²/2^64).  Hrefs pointing outside the corpus
+    simply don't join (dropped) — exactly what a crawler's frontier/dedup
+    layer does with out-of-scope links.
+
+    In-house join rather than ``Dataset.join``: link extraction yields
+    EMPTY blocks for linkless page batches, and on this Ray (2.49) empty
+    blocks skip upstream schema-changing maps, so a wrong-schema empty
+    block reaches the join operator and kills it ("No match for
+    FieldRef.Name(curl)"); the block kernel here guards them, and the
+    exchange carries fixed-width (id, key, side) rows instead of
+    canonical-url strings."""
+    from functools import partial as _p
+
     from bitfunnel_ray.build.builder import tune_hash_shuffle
+    from bitfunnel_ray.functions.hashing import hash_terms
     from bitfunnel_ray.ops.urls import canonicalize_url_array
 
-    n_parts = num_partitions or tune_hash_shuffle(links.context)
-
-    def canon_links(t: pa.Table) -> pa.Table:
+    def tag(t: pa.Table, *, col: str, side: int) -> pa.Table:
+        if len(t) == 0 or col not in t.column_names:
+            return pa.table(
+                {
+                    "val": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
+        curl = canonicalize_url_array(t[col])
+        h = hash_terms(np.asarray(curl.to_pylist(), dtype=object))
         return pa.table(
             {
-                "src": t[id_col].cast(pa.int64()),
-                "curl": canonicalize_url_array(t[href_col]),
+                "val": t[id_col].cast(pa.int64()),
+                "key": pa.array(h.view(np.int64), pa.int64()),
+                "side": pa.array(np.full(len(t), side, np.int8)),
             }
         )
 
-    def canon_pages(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "dst": t[id_col].cast(pa.int64()),
-                "curl": canonicalize_url_array(t[url_col]),
-            }
+    both = links.select_columns([id_col, href_col]).map_batches(
+        _p(tag, col=href_col, side=1), batch_format="pyarrow"
+    ).union(
+        pages_urls.select_columns([id_col, url_col]).map_batches(
+            _p(tag, col=url_col, side=0), batch_format="pyarrow"
         )
-
-    left = links.select_columns([id_col, href_col]).map_batches(
-        canon_links, batch_format="pyarrow"
     )
-    right = pages_urls.select_columns([id_col, url_col]).map_batches(
-        canon_pages, batch_format="pyarrow"
+    # always configure the hash-shuffle strategy (keyed repartition
+    # needs it), even when the caller pins the partition count
+    default_parts = tune_hash_shuffle(both.context)
+    n_parts = num_partitions or default_parts
+    return both.repartition(num_blocks=n_parts, keys=["key"]).map_batches(
+        _resolve_join_block, batch_size=None, batch_format="pyarrow"
     )
-    joined = left.join(right, "inner", num_partitions=n_parts, on=("curl",))
-    return joined.select_columns(["src", "dst"])
 
 
 def build_web_index(
@@ -129,36 +186,112 @@ def build_web_index(
     return manifest, rank_path
 
 
+def _anchor_join_block(t: pa.Table) -> pa.Table:
+    """Inner join within one key-partitioned block: side-1 link rows
+    (key, anchor) × side-0 page rows (key, tgt) → (doc_id=tgt, anchor)
+    for every key match — the anchor-carrying twin of
+    ``_resolve_join_block`` (same empty-block guard)."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "anchor": pa.array([], pa.string())}
+    )
+    if len(t) == 0 or "key" not in t.column_names:
+        return empty
+    side = t["side"].to_numpy(zero_copy_only=False)
+    key = t["key"].to_numpy(zero_copy_only=False)
+    is_l = side == 1
+    lk = key[is_l]
+    la = t["anchor"].combine_chunks().filter(pa.array(is_l))
+    rk = key[~is_l]
+    rv = t["val"].to_numpy(zero_copy_only=False)[~is_l]
+    if not len(lk) or not len(rk):
+        return empty
+    order = np.argsort(rk, kind="stable")
+    rk, rv = rk[order], rv[order]
+    lo = np.searchsorted(rk, lk, side="left")
+    hi = np.searchsorted(rk, lk, side="right")
+    lens = hi - lo
+    total = int(lens.sum())
+    if total == 0:
+        return empty
+    flat = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(lens) - lens, lens)
+        + np.repeat(lo, lens)
+    )
+    anchor_idx = pa.array(np.repeat(np.arange(len(lk), dtype=np.int64), lens))
+    return pa.table(
+        {
+            "doc_id": pa.array(rv[flat], pa.int64()),
+            "anchor": la.take(anchor_idx),
+        }
+    )
+
+
 def _resolve_anchor_targets(links, pages, *, num_partitions: int | None = None):
     """(src, href, anchor) × pages(doc_id, url) → (doc_id=target, anchor):
-    same canonical-url join as resolve_links, carrying the anchor text."""
+    same co-partitioned canonical-url-hash join as ``resolve_links``,
+    carrying the anchor text (and with the same empty-block immunity —
+    see resolve_links' docstring for why ``Dataset.join`` is avoided)."""
+    from functools import partial as _p
+
     from bitfunnel_ray.build.builder import tune_hash_shuffle
+    from bitfunnel_ray.functions.hashing import hash_terms
     from bitfunnel_ray.ops.urls import canonicalize_url_array
 
-    n_parts = num_partitions or tune_hash_shuffle(links.context)
-
-    def canon_l(t: pa.Table) -> pa.Table:
+    def tag_l(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "href" not in t.column_names:
+            return _ANCHOR_TAG_SCHEMA.empty_table()
+        h = hash_terms(
+            np.asarray(canonicalize_url_array(t["href"]).to_pylist(), dtype=object)
+        )
         return pa.table(
-            {"curl": canonicalize_url_array(t["href"]), "anchor": t["anchor"]}
+            {
+                "key": pa.array(h.view(np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(t), np.int8)),
+                "val": pa.array(np.zeros(len(t), np.int64)),
+                "anchor": t["anchor"].cast(pa.string()),
+            },
+            schema=_ANCHOR_TAG_SCHEMA,
         )
 
-    def canon_p(t: pa.Table) -> pa.Table:
+    def tag_p(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "url" not in t.column_names:
+            return _ANCHOR_TAG_SCHEMA.empty_table()
+        h = hash_terms(
+            np.asarray(canonicalize_url_array(t["url"]).to_pylist(), dtype=object)
+        )
         return pa.table(
-            {"tgt": t["doc_id"].cast(pa.int64()), "curl": canonicalize_url_array(t["url"])}
+            {
+                "key": pa.array(h.view(np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(t), np.int8)),
+                "val": t["doc_id"].cast(pa.int64()),
+                "anchor": pa.array([""] * len(t), pa.string()),
+            },
+            schema=_ANCHOR_TAG_SCHEMA,
         )
 
-    joined = links.map_batches(canon_l, batch_format="pyarrow").join(
+    both = links.select_columns(["href", "anchor"]).map_batches(
+        tag_l, batch_format="pyarrow"
+    ).union(
         pages.select_columns(["doc_id", "url"]).map_batches(
-            canon_p, batch_format="pyarrow"
-        ),
-        "inner",
-        num_partitions=n_parts,
-        on=("curl",),
+            tag_p, batch_format="pyarrow"
+        )
     )
-    return joined.map_batches(
-        lambda t: pa.table({"doc_id": t["tgt"], "anchor": t["anchor"]}),
-        batch_format="pyarrow",
+    default_parts = tune_hash_shuffle(both.context)
+    n_parts = num_partitions or default_parts
+    return both.repartition(num_blocks=n_parts, keys=["key"]).map_batches(
+        _anchor_join_block, batch_size=None, batch_format="pyarrow"
     )
+
+
+_ANCHOR_TAG_SCHEMA = pa.schema(
+    [
+        ("key", pa.int64()),
+        ("side", pa.int8()),
+        ("val", pa.int64()),
+        ("anchor", pa.string()),
+    ]
+)
 
 
 def load_static_rank(rank_path: str) -> dict:

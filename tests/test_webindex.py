@@ -66,6 +66,38 @@ def webidx(ray_session, tmp_path_factory):
     return SearchEngine(out, load_urls=False), rank_path
 
 
+def test_linkless_corpus_builds(ray_session, tmp_path_factory):
+    """A corpus whose pages contain NO extractable links must still build
+    and serve: link extraction emits empty blocks, and on this Ray (2.49)
+    empty blocks skip schema-changing maps — the in-house co-partitioned
+    url joins (resolve_links/_resolve_anchor_targets/anchor_corpus)
+    tolerate them where Dataset.join died with a FieldRef error."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bitfunnel_ray.pipelines.webindex import build_web_index
+    from bitfunnel_ray.query.engine import SearchEngine
+
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(20), pa.int64()),
+                "url": [f"http://example.org/p{i}" for i in range(20)],
+                "html": [
+                    f"<html><body>page {i} spark nolinks</body></html>".encode()
+                    for i in range(20)
+                ],
+            }
+        )
+    )
+    out = str(tmp_path_factory.mktemp("linkless") / "idx")
+    man, rank_path = build_web_index(pages, out, pagerank_iters=1)
+    assert man["n_docs"] == 20
+    eng = SearchEngine(out, load_urls=False)
+    assert len(eng.search("spark", k=5)) == 5
+    assert eng.suggest("sp", 2)["term"].to_pylist() == ["spark"]  # sidecar shipped
+
+
 def test_robots_dropped_docs_absent(webidx):
     eng, _ = webidx
     # tok5 exists only in blocked doc 5 → zero hits
