@@ -1280,8 +1280,11 @@ def hits(edges, *, n_iter: int = 2, scale: int = 10**6):
         lambda t: pa.table({"node": t["node"], "authority": t["rank"]}),
         batch_format="pyarrow",
     )
-    n_j = max(2, n_parts // 2)
-    return hub.join(auth, "inner", num_partitions=n_j, on=("node",))
+    from bitfunnel_ray.ops.joins import inner_join_cp
+
+    # engine's co-partitioned join (not Dataset.join — it dies on the
+    # zero-column empty blocks an empty shuffle partition emits upstream)
+    return inner_join_cp(hub, auth, key="node", num_partitions=max(2, n_parts // 2))
 
 
 class _ScalarParts:

@@ -377,6 +377,113 @@ def range_join(
     )
 
 
+def _cp_join_block(
+    t: pa.Table, *, key: str, lnames: tuple, rnames: tuple, out_schema: pa.Schema
+) -> pa.Table:
+    """Inner equi-join within one key-partitioned block: side-1 (left)
+    rows × side-0 (right) rows → full many-to-many match per key.
+    Vectorized: sort the right side's keys, locate each left row's match
+    range with two searchsorteds, expand with the arange-minus-offsets
+    trick; payload columns ride along via Arrow ``take``.  Guards the
+    zero-column empty blocks Ray 2.49 lets through skipped maps."""
+    if len(t) == 0 or "_side" not in t.column_names:
+        return out_schema.empty_table()
+    side = t["_side"].to_numpy(zero_copy_only=False)
+    kv = t[key].to_numpy(zero_copy_only=False)
+    is_l = side == 1
+    lk, rk = kv[is_l], kv[~is_l]
+    if not len(lk) or not len(rk):
+        return out_schema.empty_table()
+    lt = t.filter(pa.array(is_l)).combine_chunks()
+    rt = t.filter(pa.array(~is_l)).combine_chunks()
+    order = np.argsort(rk, kind="stable")
+    rk_sorted = rk[order]
+    lo = np.searchsorted(rk_sorted, lk, side="left")
+    hi = np.searchsorted(rk_sorted, lk, side="right")
+    lens = hi - lo
+    total = int(lens.sum())
+    if total == 0:
+        return out_schema.empty_table()
+    flat = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(lens) - lens, lens)
+        + np.repeat(lo, lens)
+    )
+    lidx = pa.array(np.repeat(np.arange(len(lk), dtype=np.int64), lens))
+    ridx = pa.array(order[flat].astype(np.int64))
+    cols = {key: lt[key].take(lidx)}
+    for n in lnames:
+        cols[n] = lt[n].take(lidx)
+    for n in rnames:
+        cols[n] = rt[n].take(ridx)
+    return pa.table(cols, schema=out_schema)
+
+
+def inner_join_cp(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    key: str,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Co-partitioned inner equi-join on ``key`` (an integer column both
+    sides share) — the engine's replacement for ``Dataset.join``, which
+    on this Ray (2.49) dies when an input contains the zero-column empty
+    blocks that skipped upstream schema-changing maps ("No match for
+    FieldRef...").  Both sides are tagged into ONE transport schema
+    (other side's payload columns null), hash-exchanged on ``key``, and
+    joined by a vectorized block kernel (full many-to-many semantics).
+    Output columns: key + left payload + right payload (names must be
+    disjoint apart from ``key``).  Exchange volume = both sides once —
+    the same as a shuffle join, minus the string keys when callers
+    pre-hash."""
+    from functools import partial as _p
+
+    from bitfunnel_ray.build.builder import tune_hash_shuffle
+
+    lbase = left.schema().base_schema
+    rbase = right.schema().base_schema
+    lnames = tuple(f.name for f in lbase if f.name != key)
+    rnames = tuple(f.name for f in rbase if f.name != key)
+    clash = set(lnames) & set(rnames)
+    if clash:
+        raise ValueError(f"inner_join_cp payload column clash: {sorted(clash)}")
+    key_type = lbase.field(key).type
+    transport = pa.schema(
+        [pa.field(key, key_type), pa.field("_side", pa.int8())]
+        + [lbase.field(n) for n in lnames]
+        + [rbase.field(n) for n in rnames]
+    )
+    out_schema = pa.schema(
+        [pa.field(key, key_type)]
+        + [lbase.field(n) for n in lnames]
+        + [rbase.field(n) for n in rnames]
+    )
+
+    def tag(t: pa.Table, *, side: int) -> pa.Table:
+        if len(t) == 0 or key not in t.column_names:
+            return transport.empty_table()
+        mine = lnames if side == 1 else rnames
+        cols = {key: t[key].cast(key_type), "_side": pa.array(np.full(len(t), side, np.int8))}
+        for f in transport:
+            if f.name in (key, "_side"):
+                continue
+            cols[f.name] = t[f.name] if f.name in mine else pa.nulls(len(t), f.type)
+        return pa.table(cols, schema=transport)
+
+    both = left.map_batches(_p(tag, side=1), batch_format="pyarrow").union(
+        right.map_batches(_p(tag, side=0), batch_format="pyarrow")
+    )
+    # always configure the hash-shuffle strategy, even with a pinned count
+    default_parts = tune_hash_shuffle(both.context)
+    n_parts = num_partitions or default_parts
+    return both.repartition(num_blocks=n_parts, keys=[key]).map_batches(
+        _p(_cp_join_block, key=key, lnames=lnames, rnames=rnames, out_schema=out_schema),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
 def anti_join_bloom(
     big: "ray.data.Dataset",
     blocklist: "ray.data.Dataset",

@@ -330,11 +330,12 @@ def perplexity_buckets(
     bucket)."""
     scored = perplexity_scores(corpus, model)
     if group_col is not None:
-        groups = corpus.select_columns(["doc_id", group_col])
-        from bitfunnel_ray.build.builder import tune_hash_shuffle
+        from bitfunnel_ray.ops.joins import inner_join_cp
 
-        n_parts = tune_hash_shuffle(scored.context)
-        scored = scored.join(groups, "inner", num_partitions=n_parts, on=("doc_id",))
+        groups = corpus.select_columns(["doc_id", group_col])
+        # engine's co-partitioned join (not Dataset.join — it dies on the
+        # zero-column empty blocks of empty upstream partitions)
+        scored = inner_join_cp(scored, groups, key="doc_id")
     t = scored.to_arrow_refs()
     tables = [x for x in ray.get(t) if len(x)]
     all_rows = pa.concat_tables(tables) if tables else None

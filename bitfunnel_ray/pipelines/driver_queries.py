@@ -4779,8 +4779,10 @@ def q_canonical_by_rank(sf_dir):
         lambda t: pa.table({"doc_id": t["node"], "rank": t["rank"]}),
         batch_format="pyarrow",
     )
-    n_parts = tune_hash_shuffle(canon.context)
-    joined = canon.join(pr, "inner", num_partitions=n_parts, on=("doc_id",))
+    from bitfunnel_ray.ops.joins import inner_join_cp
+
+    tune_hash_shuffle(canon.context)
+    joined = inner_join_cp(canon, pr, key="doc_id")
     best = top_k_per_group(
         joined, group_col="canon_url", order_col="rank", k=1,
         descending=True, tiebreak_col="doc_id",

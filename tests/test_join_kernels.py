@@ -141,3 +141,62 @@ def test_range_block_rejects_overlap():
     )
     with _pytest.raises(ValueError, match="overlapping"):
         _range_block(t)
+
+
+# --- inner_join_cp (co-partitioned inner equi-join) -----------------------
+
+
+def test_inner_join_cp_matches_bruteforce(ray_session):
+    """Many-to-many semantics, payload carry, and missing-key drops all
+    match a hand-computed inner join; empty-block immunity is exercised
+    by routing one side through a filter that empties some partitions."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bitfunnel_ray.ops.joins import inner_join_cp
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3, 5], pa.int64()),
+            "lv": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 2, 2, 4], pa.int64()),
+            "rv": pa.array([10.0, 20.0, 21.0, 40.0], pa.float64()),
+        }
+    )
+    got = (
+        inner_join_cp(rd.from_arrow(left), rd.from_arrow(right), key="k")
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.to_pandas()
+        .merge(right.to_pandas(), on="k", how="inner")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+    assert list(got.columns) == ["k", "lv", "rv"]
+
+    # a side whose blocks can be EMPTY after an upstream filter (the
+    # Dataset.join killer) still joins fine
+    lds = rd.from_arrow(left).repartition(4).filter(expr="k >= 99")
+    out = inner_join_cp(lds, rd.from_arrow(right), key="k").to_pandas()
+    assert len(out) == 0
+
+
+def test_inner_join_cp_rejects_column_clash(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from bitfunnel_ray.ops.joins import inner_join_cp
+
+    t = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1], pa.int64())})
+    with _pytest.raises(ValueError, match="clash"):
+        inner_join_cp(rd.from_arrow(t), rd.from_arrow(t), key="k")
