@@ -53,25 +53,34 @@ def murmur64a(data: bytes | str, seed: int = MURMUR_SEED_TEXT) -> int:
 _memo: dict[str, int] = {}
 
 
-def hash_terms(terms) -> np.ndarray:
+def hash_terms(terms, memoize: bool = True) -> np.ndarray:
     """Hash an array/sequence of term strings → uint64 array.
 
     Only unique values are hashed (memoized per process); duplicates are
     scattered back with the inverse index from np.unique.
+
+    ``memoize=False`` skips the process-global memo entirely — use it for
+    HIGH-CARDINALITY non-term inputs (URLs, content strings): near-unique
+    keys would pin hundreds of MB of strings per worker AND fill the
+    4M-entry cap so real corpus terms stop being memoized.
     """
     arr = np.asarray(terms, dtype=object)
     if arr.size == 0:
         return np.empty(0, dtype=np.uint64)
     uniq, inv = np.unique(arr, return_inverse=True)
     out = np.empty(len(uniq), dtype=np.uint64)
-    memo = _memo
-    for i, t in enumerate(uniq.tolist()):
-        v = memo.get(t)
-        if v is None:
-            v = murmur64a(t)
-            if len(memo) < 4_000_000:  # bound the memo
-                memo[t] = v
-        out[i] = v
+    if memoize:
+        memo = _memo
+        for i, t in enumerate(uniq.tolist()):
+            v = memo.get(t)
+            if v is None:
+                v = murmur64a(t)
+                if len(memo) < 4_000_000:  # bound the memo
+                    memo[t] = v
+            out[i] = v
+    else:
+        for i, t in enumerate(uniq.tolist()):
+            out[i] = murmur64a(t)
     return out[inv]
 
 

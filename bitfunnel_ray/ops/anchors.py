@@ -27,8 +27,9 @@ Scale shape (100 TB corpus):
   lexicographic (sorted before grouping), so the result is
   deterministic under any block layout and matches a
   ``string_agg(anchor ORDER BY anchor)`` SQL oracle.
-* ``anchor_corpus`` — distributed left-outer hash join
-  (``Dataset.join``) of the corpus against the per-target anchor table;
+* ``anchor_corpus`` — distributed left-outer attach (in-house
+  co-partitioned exchange) of the corpus against the per-target anchor
+  table (unique per doc, enforced);
   docs nobody links to get an empty anchor stream.
 """
 
@@ -141,9 +142,15 @@ def anchor_corpus(
     anchor_text_col: str = "anchor_text",
     num_partitions: int | None = None,
 ):
-    """Left-outer hash join: every corpus row gains ``anchor_text`` (''
-    when nobody links to it).  Distributed — neither side is broadcast,
-    both are hash-partitioned on ``doc_col``.
+    """Left-outer ATTACH: every corpus row appears exactly once and gains
+    ``anchor_text`` ('' when nobody links to it).  Distributed — neither
+    side is broadcast, both are hash-partitioned on ``doc_col``.
+
+    Contract: ``anchors`` must be UNIQUE per ``doc_col`` (the
+    ``aggregate_anchor_text`` output).  Duplicate anchor rows for a doc
+    RAISE in the block kernel (they are co-located after the exchange,
+    so the check is free) — the old ``Dataset.join`` silently duplicated
+    corpus rows instead, which double-ingested documents downstream.
 
     In-house co-partitioned attach rather than ``Dataset.join``: an
     anchorless corpus (or an anchorless shuffle partition) emits
@@ -151,8 +158,6 @@ def anchor_corpus(
     schema-changing maps and kill the pyarrow join operator ("No match
     for FieldRef doc_id"); the tag maps here pin the transport schema
     and the block kernel guards empties."""
-    from functools import partial as _p
-
     from bitfunnel_ray.build.builder import tune_hash_shuffle
 
     base = corpus.schema().base_schema
@@ -202,6 +207,12 @@ def anchor_corpus(
         a_docs = docs[~is_c]
         a_text = t[anchor_text_col].combine_chunks().filter(pa.array(~is_c))
         if len(a_docs):
+            if len(np.unique(a_docs)) != len(a_docs):
+                raise ValueError(
+                    "anchor_corpus needs anchors UNIQUE per doc "
+                    "(aggregate_anchor_text output) — duplicate anchor "
+                    "rows for the same doc_id found"
+                )
             order = np.argsort(a_docs, kind="stable")
             a_sorted = a_docs[order]
             want = docs[is_c]

@@ -425,6 +425,8 @@ def inner_join_cp(
     *,
     key: str,
     num_partitions: int | None = None,
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
 ) -> "ray.data.Dataset":
     """Co-partitioned inner equi-join on ``key`` (an integer column both
     sides share) — the engine's replacement for ``Dataset.join``, which
@@ -441,8 +443,18 @@ def inner_join_cp(
 
     from bitfunnel_ray.build.builder import tune_hash_shuffle
 
-    lbase = left.schema().base_schema
-    rbase = right.schema().base_schema
+    # schema inference EXECUTES a sample and returns None on an
+    # all-empty side — callers that can feed an empty dataset (e.g. a
+    # linkless corpus's link side) pass the schemas explicitly
+    ls = left_schema or left.schema()
+    rs = right_schema or right.schema()
+    if ls is None or rs is None:
+        raise ValueError(
+            "inner_join_cp could not infer a side's schema (empty "
+            "dataset?) — pass left_schema/right_schema explicitly"
+        )
+    lbase = ls if isinstance(ls, pa.Schema) else ls.base_schema
+    rbase = rs if isinstance(rs, pa.Schema) else rs.base_schema
     lnames = tuple(f.name for f in lbase if f.name != key)
     rnames = tuple(f.name for f in rbase if f.name != key)
     clash = set(lnames) & set(rnames)
@@ -463,6 +475,16 @@ def inner_join_cp(
     def tag(t: pa.Table, *, side: int) -> pa.Table:
         if len(t) == 0 or key not in t.column_names:
             return transport.empty_table()
+        # SQL inner-join null semantics: null keys never match — drop them
+        # here (they would otherwise surface as NaN after to_numpy, where
+        # NaN==NaN ranges falsely match and int64 keys degrade to float64)
+        kcol = t[key]
+        if kcol.null_count:
+            import pyarrow.compute as _pc
+
+            t = t.filter(_pc.is_valid(kcol))
+            if len(t) == 0:
+                return transport.empty_table()
         mine = lnames if side == 1 else rnames
         cols = {key: t[key].cast(key_type), "_side": pa.array(np.full(len(t), side, np.int8))}
         for f in transport:

@@ -138,9 +138,13 @@ def serve_correct(
     alone: only bare word tokens are candidates for correction."""
     rows = {"token": [], "suggestion": [], "dist": [], "df": []}
     special = set('"()|~:*[]')
+    seen: set[str] = set()
     for tok in query.split():
         if not tok or tok[0] == "-" or any(c in special for c in tok):
             continue
+        if tok in seen:  # one row (and one shard round) per distinct token
+            continue
+        seen.add(tok)
         cands = cand_fn(tok, max_dist)
         if not cands:
             continue

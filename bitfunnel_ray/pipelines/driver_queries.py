@@ -4769,7 +4769,6 @@ def q_canonical_by_rank(sf_dir):
     from bitfunnel_ray.ops.graph import pagerank
     from bitfunnel_ray.ops.grouped import top_k_per_group
     from bitfunnel_ray.ops.urls import canonicalize_urls
-    from bitfunnel_ray.build.builder import tune_hash_shuffle
 
     urls = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
@@ -4781,7 +4780,6 @@ def q_canonical_by_rank(sf_dir):
     )
     from bitfunnel_ray.ops.joins import inner_join_cp
 
-    tune_hash_shuffle(canon.context)
     joined = inner_join_cp(canon, pr, key="doc_id")
     best = top_k_per_group(
         joined, group_col="canon_url", order_col="rank", k=1,

@@ -33,41 +33,30 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _resolve_join_block(t: pa.Table) -> pa.Table:
-    """Inner join within one key-partitioned block: side-1 rows (src,
-    key) × side-0 rows (dst, key) → (src, dst) for every key match
-    (full many-to-many cross product per key).  Vectorized: sort the
-    page side by key, locate each link row's match range with two
-    searchsorteds, expand with the standard arange-minus-offsets trick."""
-    empty = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-    if len(t) == 0 or "key" not in t.column_names:
-        return empty
-    side = t["side"].to_numpy(zero_copy_only=False)
-    key = t["key"].to_numpy(zero_copy_only=False)
-    val = t["val"].to_numpy(zero_copy_only=False)
-    lk, lv = key[side == 1], val[side == 1]  # links: key -> src
-    rk, rv = key[side == 0], val[side == 0]  # pages: key -> dst
-    if not len(lk) or not len(rk):
-        return empty
-    order = np.argsort(rk, kind="stable")
-    rk, rv = rk[order], rv[order]
-    lo = np.searchsorted(rk, lk, side="left")
-    hi = np.searchsorted(rk, lk, side="right")
-    lens = hi - lo
-    total = int(lens.sum())
-    if total == 0:
-        return empty
-    flat = (
-        np.arange(total, dtype=np.int64)
-        - np.repeat(np.cumsum(lens) - lens, lens)
-        + np.repeat(lo, lens)
+def _url_key_rows(t, *, col: str, id_col: str, out: str, payload_col: str | None = None):
+    """One side of a url join: (key = 64-bit hash of the canonical url,
+    ``out`` = id or payload).  Canonical-url hashing is NON-memoized —
+    urls are near-unique, and the term-hash memo must stay for terms
+    (functions/hashing.hash_terms docstring).  Zero-column empty blocks
+    (Ray 2.49 skip-map artifacts) pass through typed."""
+    import pyarrow as pa
+
+    from bitfunnel_ray.functions.hashing import hash_terms
+    from bitfunnel_ray.ops.urls import canonicalize_url_array
+
+    out_type = pa.string() if payload_col else pa.int64()
+    if len(t) == 0 or col not in t.column_names:
+        return pa.table(
+            {"key": pa.array([], pa.int64()), out: pa.array([], out_type)}
+        )
+    curl = canonicalize_url_array(t[col])
+    h = hash_terms(np.asarray(curl.to_pylist(), dtype=object), memoize=False)
+    val = (
+        t[payload_col].cast(pa.string())
+        if payload_col
+        else t[id_col].cast(pa.int64())
     )
-    return pa.table(
-        {
-            "src": pa.array(np.repeat(lv, lens), pa.int64()),
-            "dst": pa.array(rv[flat], pa.int64()),
-        }
-    )
+    return pa.table({"key": pa.array(h.view(np.int64), pa.int64()), out: val})
 
 
 def resolve_links(links, pages_urls, *, href_col: str = "href",
@@ -75,58 +64,34 @@ def resolve_links(links, pages_urls, *, href_col: str = "href",
                   num_partitions: int | None = None):
     """(src, href) × (doc_id, url) → (src, dst) edges: canonicalize BOTH
     sides with the same recipe (ops/urls), then one co-partitioned inner
-    join on the 64-bit hash of the canonical url — the same hash-identity
-    space every other exchange in this engine uses (term hashes, content
-    hashes; collision odds ~n²/2^64).  Hrefs pointing outside the corpus
-    simply don't join (dropped) — exactly what a crawler's frontier/dedup
-    layer does with out-of-scope links.
-
-    In-house join rather than ``Dataset.join``: link extraction yields
-    EMPTY blocks for linkless page batches, and on this Ray (2.49) empty
-    blocks skip upstream schema-changing maps, so a wrong-schema empty
-    block reaches the join operator and kills it ("No match for
-    FieldRef.Name(curl)"); the block kernel here guards them, and the
-    exchange carries fixed-width (id, key, side) rows instead of
-    canonical-url strings."""
+    join (ops/joins.inner_join_cp) on the 64-bit hash of the canonical
+    url — the same hash-identity space every other exchange in this
+    engine uses (term hashes, content hashes; collision odds ~n²/2^64).
+    Hrefs pointing outside the corpus simply don't join (dropped) —
+    exactly what a crawler's frontier/dedup layer does with out-of-scope
+    links.  inner_join_cp (not ``Dataset.join``) because link extraction
+    yields EMPTY blocks for linkless page batches, which on this Ray
+    (2.49) skip upstream schema-changing maps and kill the pyarrow join
+    operator."""
     from functools import partial as _p
 
-    from bitfunnel_ray.build.builder import tune_hash_shuffle
-    from bitfunnel_ray.functions.hashing import hash_terms
-    from bitfunnel_ray.ops.urls import canonicalize_url_array
+    from bitfunnel_ray.ops.joins import inner_join_cp
 
-    def tag(t: pa.Table, *, col: str, side: int) -> pa.Table:
-        if len(t) == 0 or col not in t.column_names:
-            return pa.table(
-                {
-                    "val": pa.array([], pa.int64()),
-                    "key": pa.array([], pa.int64()),
-                    "side": pa.array([], pa.int8()),
-                }
-            )
-        curl = canonicalize_url_array(t[col])
-        h = hash_terms(np.asarray(curl.to_pylist(), dtype=object))
-        return pa.table(
-            {
-                "val": t[id_col].cast(pa.int64()),
-                "key": pa.array(h.view(np.int64), pa.int64()),
-                "side": pa.array(np.full(len(t), side, np.int8)),
-            }
-        )
-
-    both = links.select_columns([id_col, href_col]).map_batches(
-        _p(tag, col=href_col, side=1), batch_format="pyarrow"
-    ).union(
-        pages_urls.select_columns([id_col, url_col]).map_batches(
-            _p(tag, col=url_col, side=0), batch_format="pyarrow"
-        )
+    left = links.select_columns([id_col, href_col]).map_batches(
+        _p(_url_key_rows, col=href_col, id_col=id_col, out="src"),
+        batch_format="pyarrow",
     )
-    # always configure the hash-shuffle strategy (keyed repartition
-    # needs it), even when the caller pins the partition count
-    default_parts = tune_hash_shuffle(both.context)
-    n_parts = num_partitions or default_parts
-    return both.repartition(num_blocks=n_parts, keys=["key"]).map_batches(
-        _resolve_join_block, batch_size=None, batch_format="pyarrow"
+    right = pages_urls.select_columns([id_col, url_col]).map_batches(
+        _p(_url_key_rows, col=url_col, id_col=id_col, out="dst"),
+        batch_format="pyarrow",
     )
+    return inner_join_cp(
+        left, right, key="key", num_partitions=num_partitions,
+        # explicit: the link side is EMPTY for a linkless corpus and
+        # schema inference would return None
+        left_schema=pa.schema([("key", pa.int64()), ("src", pa.int64())]),
+        right_schema=pa.schema([("key", pa.int64()), ("dst", pa.int64())]),
+    ).select_columns(["src", "dst"])
 
 
 def build_web_index(
@@ -186,112 +151,28 @@ def build_web_index(
     return manifest, rank_path
 
 
-def _anchor_join_block(t: pa.Table) -> pa.Table:
-    """Inner join within one key-partitioned block: side-1 link rows
-    (key, anchor) × side-0 page rows (key, tgt) → (doc_id=tgt, anchor)
-    for every key match — the anchor-carrying twin of
-    ``_resolve_join_block`` (same empty-block guard)."""
-    empty = pa.table(
-        {"doc_id": pa.array([], pa.int64()), "anchor": pa.array([], pa.string())}
-    )
-    if len(t) == 0 or "key" not in t.column_names:
-        return empty
-    side = t["side"].to_numpy(zero_copy_only=False)
-    key = t["key"].to_numpy(zero_copy_only=False)
-    is_l = side == 1
-    lk = key[is_l]
-    la = t["anchor"].combine_chunks().filter(pa.array(is_l))
-    rk = key[~is_l]
-    rv = t["val"].to_numpy(zero_copy_only=False)[~is_l]
-    if not len(lk) or not len(rk):
-        return empty
-    order = np.argsort(rk, kind="stable")
-    rk, rv = rk[order], rv[order]
-    lo = np.searchsorted(rk, lk, side="left")
-    hi = np.searchsorted(rk, lk, side="right")
-    lens = hi - lo
-    total = int(lens.sum())
-    if total == 0:
-        return empty
-    flat = (
-        np.arange(total, dtype=np.int64)
-        - np.repeat(np.cumsum(lens) - lens, lens)
-        + np.repeat(lo, lens)
-    )
-    anchor_idx = pa.array(np.repeat(np.arange(len(lk), dtype=np.int64), lens))
-    return pa.table(
-        {
-            "doc_id": pa.array(rv[flat], pa.int64()),
-            "anchor": la.take(anchor_idx),
-        }
-    )
-
-
 def _resolve_anchor_targets(links, pages, *, num_partitions: int | None = None):
     """(src, href, anchor) × pages(doc_id, url) → (doc_id=target, anchor):
-    same co-partitioned canonical-url-hash join as ``resolve_links``,
-    carrying the anchor text (and with the same empty-block immunity —
-    see resolve_links' docstring for why ``Dataset.join`` is avoided)."""
+    same co-partitioned canonical-url-hash join as ``resolve_links``
+    (ops/joins.inner_join_cp), carrying the anchor text."""
     from functools import partial as _p
 
-    from bitfunnel_ray.build.builder import tune_hash_shuffle
-    from bitfunnel_ray.functions.hashing import hash_terms
-    from bitfunnel_ray.ops.urls import canonicalize_url_array
+    from bitfunnel_ray.ops.joins import inner_join_cp
 
-    def tag_l(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or "href" not in t.column_names:
-            return _ANCHOR_TAG_SCHEMA.empty_table()
-        h = hash_terms(
-            np.asarray(canonicalize_url_array(t["href"]).to_pylist(), dtype=object)
-        )
-        return pa.table(
-            {
-                "key": pa.array(h.view(np.int64), pa.int64()),
-                "side": pa.array(np.ones(len(t), np.int8)),
-                "val": pa.array(np.zeros(len(t), np.int64)),
-                "anchor": t["anchor"].cast(pa.string()),
-            },
-            schema=_ANCHOR_TAG_SCHEMA,
-        )
-
-    def tag_p(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or "url" not in t.column_names:
-            return _ANCHOR_TAG_SCHEMA.empty_table()
-        h = hash_terms(
-            np.asarray(canonicalize_url_array(t["url"]).to_pylist(), dtype=object)
-        )
-        return pa.table(
-            {
-                "key": pa.array(h.view(np.int64), pa.int64()),
-                "side": pa.array(np.zeros(len(t), np.int8)),
-                "val": t["doc_id"].cast(pa.int64()),
-                "anchor": pa.array([""] * len(t), pa.string()),
-            },
-            schema=_ANCHOR_TAG_SCHEMA,
-        )
-
-    both = links.select_columns(["href", "anchor"]).map_batches(
-        tag_l, batch_format="pyarrow"
-    ).union(
-        pages.select_columns(["doc_id", "url"]).map_batches(
-            tag_p, batch_format="pyarrow"
-        )
+    left = links.select_columns(["href", "anchor"]).map_batches(
+        _p(_url_key_rows, col="href", id_col="doc_id", out="anchor",
+           payload_col="anchor"),
+        batch_format="pyarrow",
     )
-    default_parts = tune_hash_shuffle(both.context)
-    n_parts = num_partitions or default_parts
-    return both.repartition(num_blocks=n_parts, keys=["key"]).map_batches(
-        _anchor_join_block, batch_size=None, batch_format="pyarrow"
+    right = pages.select_columns(["doc_id", "url"]).map_batches(
+        _p(_url_key_rows, col="url", id_col="doc_id", out="doc_id"),
+        batch_format="pyarrow",
     )
-
-
-_ANCHOR_TAG_SCHEMA = pa.schema(
-    [
-        ("key", pa.int64()),
-        ("side", pa.int8()),
-        ("val", pa.int64()),
-        ("anchor", pa.string()),
-    ]
-)
+    return inner_join_cp(
+        left, right, key="key", num_partitions=num_partitions,
+        left_schema=pa.schema([("key", pa.int64()), ("anchor", pa.string())]),
+        right_schema=pa.schema([("key", pa.int64()), ("doc_id", pa.int64())]),
+    ).select_columns(["doc_id", "anchor"])
 
 
 def load_static_rank(rank_path: str) -> dict:

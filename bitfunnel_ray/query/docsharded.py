@@ -549,6 +549,15 @@ class DocShardedServer:
                     "EngineConfig.extra['vocab_sidecar']=True (cli build "
                     "--vocab)"
                 )
+            if any(p is None for p in parts):
+                # same mixed-state contract as suggest(): partial dfs
+                # would mark in-vocabulary tokens as misspelled (their
+                # dist-0 candidate may live only in a vocab-less shard)
+                raise RuntimeError(
+                    "some doc shards have no vocab sidecar — corrections "
+                    "would be silently wrong; rebuild those segments with "
+                    "vocab_sidecar (cli build --vocab)"
+                )
             return merge_candidate_partials(parts)
 
         return serve_correct(query, cand_fn, int(max_dist))

@@ -200,3 +200,48 @@ def test_inner_join_cp_rejects_column_clash(ray_session):
     t = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1], pa.int64())})
     with _pytest.raises(ValueError, match="clash"):
         inner_join_cp(rd.from_arrow(t), rd.from_arrow(t), key="k")
+
+
+def test_inner_join_cp_null_keys_never_match(ray_session):
+    """SQL inner-join null semantics: null keys on either side join
+    nothing (and don't degrade int64 keys to float64)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bitfunnel_ray.ops.joins import inner_join_cp
+
+    left = pa.table(
+        {"k": pa.array([1, None, 3], pa.int64()), "lv": pa.array([1, 2, 3], pa.int64())}
+    )
+    right = pa.table(
+        {"k": pa.array([None, 3], pa.int64()), "rv": pa.array([9, 30], pa.int64())}
+    )
+    got = inner_join_cp(rd.from_arrow(left), rd.from_arrow(right), key="k").to_pandas()
+    assert got.values.tolist() == [[3, 3, 30]]
+
+
+def test_anchor_corpus_rejects_duplicate_anchor_rows(ray_session):
+    """anchor_corpus enforces unique-anchors-per-doc (the
+    aggregate_anchor_text contract) — the silent corpus-row duplication
+    the old Dataset.join produced is now a loud error."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from bitfunnel_ray.ops.anchors import anchor_corpus
+
+    corpus = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([7], pa.int64()), "text": pa.array(["body"], pa.string())}
+        )
+    )
+    dup = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([7, 7], pa.int64()),
+                "anchor_text": pa.array(["home", "main"], pa.string()),
+            }
+        )
+    )
+    with _pytest.raises(Exception, match="UNIQUE per doc"):
+        anchor_corpus(corpus, dup).to_pandas()
