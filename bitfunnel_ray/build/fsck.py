@@ -143,7 +143,9 @@ def audit_bucket(seg_dir: str, bucket_file: str) -> dict:
 
 
 def audit_docmeta(seg_dir: str) -> dict:
-    """Manifest ↔ docmeta cross-check; one summary row (bucket = -1)."""
+    """Manifest ↔ docmeta (+ docstore + vocab sidecar when present)
+    cross-check; one summary row (bucket = -1; vocab issues surface in
+    its ``decode_errors`` column)."""
     with open(os.path.join(seg_dir, "manifest.json")) as f:
         man = json.load(f)
     files = sorted(glob.glob(os.path.join(seg_dir, "docmeta", "*.parquet")))
@@ -173,18 +175,50 @@ def audit_docmeta(seg_dir: str) -> dict:
                 store_bad += 1
         if store_rows != n_docs:  # lost/duplicated part, or sidecar gone
             store_bad += 1
+    # vocab sidecar, when present: parts readable with the (term, df,
+    # bucket) schema, every bucket = term_hash % num_buckets and in
+    # range, df ≥ 1, terms unique within the segment — the serving
+    # stripes (suggest/fuzzy/correct) silently mis-shard on any of these
+    vocab_bad = 0
+    vdir = os.path.join(seg_dir, "vocab")
+    if os.path.isdir(vdir):
+        from bitfunnel_ray.functions.hashing import hash_terms
+
+        nb = int(man["config"]["num_buckets"])
+        vterms, vdfs, vbuckets = [], [], []
+        for p in sorted(glob.glob(os.path.join(vdir, "*.parquet"))):
+            try:
+                vt = pq.read_table(p, columns=["term", "df", "bucket"])
+            except Exception:
+                vocab_bad += 1
+                continue
+            vterms.append(np.asarray(vt["term"].to_pylist(), dtype=object))
+            vdfs.append(vt["df"].to_numpy(zero_copy_only=False))
+            vbuckets.append(vt["bucket"].to_numpy(zero_copy_only=False))
+        if vterms:
+            terms_all = np.concatenate(vterms)
+            dfs_all = np.concatenate(vdfs)
+            buckets_all = np.concatenate(vbuckets)
+            if len(np.unique(terms_all.astype(str))) != len(terms_all):
+                vocab_bad += 1
+            if (dfs_all < 1).any():
+                vocab_bad += 1
+            want = (hash_terms(terms_all) % np.uint64(nb)).astype(np.int64)
+            if not np.array_equal(want, buckets_all.astype(np.int64)):
+                vocab_bad += 1
     bad = (
         (n_docs != int(man["n_docs"]))
         + (sum_dl != int(man["sum_doclen"]))
         + (uniq != n_docs)
         + store_bad
+        + vocab_bad
     )
     return {
         "segment": seg_dir,
         "bucket": -1,
         "n_terms": 0,
         "n_postings": 0,
-        "decode_errors": 0,
+        "decode_errors": int(vocab_bad),
         "unsorted_chunks": 0,
         "cf_mismatches": int(n_docs != int(man["n_docs"])) + int(sum_dl != int(man["sum_doclen"])),
         "tf_zero_chunks": 0,

@@ -141,3 +141,32 @@ def test_fsck_tolerates_empty_buckets(tmp_path, ray_session):
     rep = fsck_index(out).to_pandas()
     assert rep["ok"].all(), rep[~rep["ok"]]
     assert n_dicts < 16 or rep["misrouted_terms"].sum() == 0
+
+
+def test_fsck_vocab_sidecar_checks(tmp_path, ray_session):
+    """Vocab sidecar audited when present: healthy passes; a corrupted
+    bucket column (mis-sharded serving stripes) is flagged on the
+    segment summary row."""
+    import glob
+    import os
+
+    out = str(tmp_path / "seg_vocab")
+    build_index(
+        corpus_from_documents("/root/testdata/sf0.001"),
+        out,
+        EngineConfig(max_gram=2, num_buckets=6, extra={"vocab_sidecar": True}),
+    )
+    t = fsck_index(out)
+    assert all(t["ok"].to_pylist())
+    # plant corruption: shift every bucket value by one (wrong stripe)
+    part = sorted(glob.glob(os.path.join(out, "vocab", "*.parquet")))[0]
+    vt = pq.read_table(part)
+    bad = (vt["bucket"].to_numpy(zero_copy_only=False) + 1) % 6
+    vt = vt.set_column(
+        vt.column_names.index("bucket"), "bucket", pa.array(bad, pa.int32())
+    )
+    pq.write_table(vt, part)
+    t2 = fsck_index(out)
+    summary = t2.filter(pa.compute.equal(t2["bucket"], -1))
+    assert not summary["ok"].to_pylist()[0]
+    assert summary["decode_errors"].to_pylist()[0] >= 1
