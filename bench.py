@@ -366,6 +366,59 @@ def run_bench() -> dict:
             extras["wide_or_16_champion_overlap_at_10"] = round(ov / 10, 2)
         server.shutdown()
 
+        # --- suggest + did-you-mean micro-bench over the REAL 600k-doc
+        # vocabulary (the serving surfaces the vocab sidecar powers).
+        # extras-only, untimed in the headline: index construction from
+        # the already-computed full df table, then measured keystroke
+        # completion and correction rates.
+        try:  # an extras failure must not sink the whole bench run
+            from bitfunnel_ray.build.stats import document_frequency_table
+            from bitfunnel_ray.config import EngineConfig as _EC2
+            from bitfunnel_ray.ops.spell import levenshtein as _lev
+            from bitfunnel_ray.ops.suggest import SuggestIndex
+            from bitfunnel_ray.query.fuzzy import VocabFuzzyMatcher
+
+            # full unigram vocabulary: fused partials when available
+            # (BFR_STATS_MODE=fused), else one untimed scan
+            if os.path.isdir(stats_dir):
+                full_src = combine_fused_stats(stats_dir)
+            else:
+                full_src = document_frequency_table(
+                    rd.read_parquet(parquet_files), _EC2(max_gram=1)
+                )
+            full_dft = full_src.select_columns(["term", "df"]).to_pandas()
+            si = SuggestIndex(
+                full_dft["term"].to_numpy(), full_dft["df"].to_numpy()
+            )
+            extras["suggest_vocab_terms"] = int(len(si.terms))
+            prefixes = [t[: 1 + (i % 4)] for i, t in
+                        enumerate(uni[: 2000])] or ["a"]
+            t0 = time.perf_counter()
+            for p in prefixes:
+                si.complete(p, 10)
+            extras["suggest_qps"] = round(len(prefixes) / (time.perf_counter() - t0), 1)
+            fm = VocabFuzzyMatcher(si.terms)
+
+            def _cands(tok, d):
+                out = []
+                for c in fm(tok, d):
+                    i = int(np.searchsorted(si.terms, c))
+                    if i < len(si.terms) and si.terms[i] == c:
+                        out.append((c, int(si.dfs[i]), _lev(tok, c)))
+                return out
+
+            from bitfunnel_ray.ops.spell import serve_correct
+
+            typos = [(w[:-1] + "zq")[: max(3, len(w))] for w in uni[100:140]]
+            t0 = time.perf_counter()
+            for w in typos:
+                serve_correct(w, _cands, 2)
+            extras["correct_p50_ms"] = round(
+                (time.perf_counter() - t0) / max(1, len(typos)) * 1000, 2
+            )
+        except Exception as e:  # noqa: BLE001
+            extras["suggest_bench_error"] = repr(e)
+
         # --- serve UNDER ingest (NRT): QPS/p99 while a wave build and a
         # compaction run concurrently, then refresh() picks the new
         # segment up with zero errors (the reference's REPL serves while
