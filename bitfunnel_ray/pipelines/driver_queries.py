@@ -6012,6 +6012,57 @@ FROM best WHERE rk = 1
 """
 
 
+def q_serve_correct(sf_dir):
+    """Serve-time "did you mean" (the path the engines/fronts run —
+    ops/spell.serve_correct over SuggestIndex + VocabFuzzyMatcher
+    candidates) checked against the same brute-force levenshtein oracle
+    as the offline SymSpell twin.  Serve contract difference the SQL
+    mirrors: IN-vocabulary tokens (a dist-0 candidate exists) emit no
+    correction row (``dist > 0`` filter)."""
+    import numpy as _np
+
+    from bitfunnel_ray.ops.spell import levenshtein, serve_correct
+    from bitfunnel_ray.ops.suggest import SuggestIndex
+    from bitfunnel_ray.query.fuzzy import VocabFuzzyMatcher
+
+    vocab = (
+        document_frequency_table(
+            corpus_from_documents(sf_dir), EngineConfig(max_gram=1)
+        )
+        .select_columns(["term", "df"])
+        .to_pandas()
+    )
+    si = SuggestIndex(vocab["term"].to_numpy(), vocab["df"].to_numpy())
+    fm = VocabFuzzyMatcher(si.terms)
+
+    def cands(tok, d):
+        out = []
+        for c in fm(tok, int(d)):
+            i = int(_np.searchsorted(si.terms, c))
+            if i < len(si.terms) and si.terms[i] == c:
+                out.append((str(c), int(si.dfs[i]), levenshtein(tok, str(c))))
+        return out
+
+    return serve_correct(" ".join(_SPELL_QUERIES), cands, 2)
+
+
+SQL_SERVE_CORRECT = f"""
+WITH vocab AS (SELECT term AS w, count(DISTINCT doc_id) AS df
+               FROM ({_tokens_sql()}) GROUP BY term),
+q AS (SELECT unnest([{_SPELL_LIST_SQL}]) AS query),
+cand AS (SELECT q.query, v.w, levenshtein(q.query, v.w) AS dist, v.df
+         FROM q CROSS JOIN vocab v
+         WHERE levenshtein(q.query, v.w) <= 2),
+best AS (SELECT query, w, dist, df,
+                row_number() OVER (PARTITION BY query
+                                   ORDER BY dist, df DESC, w) AS rk
+         FROM cand)
+SELECT query AS token, w AS suggestion, CAST(dist AS BIGINT) AS dist,
+       CAST(df AS BIGINT) AS df
+FROM best WHERE rk = 1 AND dist > 0
+"""
+
+
 def q_snippets(sf_dir):
     """Best highlight window (8 tokens) covering the most distinct query
     terms per matching document — SERP snippet generation."""
@@ -6044,6 +6095,7 @@ FROM best WHERE rk = 1 AND n_hits >= 1
 
 REGISTRY: dict[str, tuple] = {
     "snippets": (q_snippets, SQL_SNIPPETS),
+    "serve_correct": (q_serve_correct, SQL_SERVE_CORRECT),
     "spell_correct": (q_spell_correct, SQL_SPELL_CORRECT),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "ppl_buckets": (q_ppl_buckets, SQL_PPL_BUCKETS),
