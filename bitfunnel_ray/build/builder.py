@@ -1062,6 +1062,9 @@ def build_index(
                 "streams": [list(s) for s in cfg.streams],
                 "facts": [list(f) for f in cfg.facts],
                 "store_fields": list(cfg.store_fields),
+                # recorded so fsck can flag a LOST vocab sidecar (a dir
+                # check alone passes clean when the whole dir is gone)
+                "vocab_sidecar": bool(cfg.extra.get("vocab_sidecar")),
             },
             "n_head_terms": n_head_terms,
             "input_files": input_files[:4096],

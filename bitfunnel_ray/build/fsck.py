@@ -181,6 +181,9 @@ def audit_docmeta(seg_dir: str) -> dict:
     # stripes (suggest/fuzzy/correct) silently mis-shard on any of these
     vocab_bad = 0
     vdir = os.path.join(seg_dir, "vocab")
+    wants_vocab = bool(man.get("config", {}).get("vocab_sidecar"))
+    if wants_vocab and not os.path.isdir(vdir):
+        vocab_bad += 1  # sidecar LOST — the dir check alone passed clean
     if os.path.isdir(vdir):
         from bitfunnel_ray.functions.hashing import hash_terms
 
@@ -203,7 +206,12 @@ def audit_docmeta(seg_dir: str) -> dict:
                 vocab_bad += 1
             if (dfs_all < 1).any():
                 vocab_bad += 1
-            want = (hash_terms(terms_all) % np.uint64(nb)).astype(np.int64)
+            # memoize=False: the audit hashes each vocab term exactly once
+            # — the process-global memo would pin the whole vocabulary in
+            # this worker for zero hit-rate benefit
+            want = (hash_terms(terms_all, memoize=False) % np.uint64(nb)).astype(
+                np.int64
+            )
             if not np.array_equal(want, buckets_all.astype(np.int64)):
                 vocab_bad += 1
     bad = (

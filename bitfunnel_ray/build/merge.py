@@ -454,6 +454,9 @@ def merge_segments(
             "facts": [list(f) for f in cfg.facts],
             "treatment_bands": [list(b) for b in cfg.treatment_bands] if cfg.treatment_bands else None,
             "store_fields": list(cfg.store_fields),
+            # merged segment carries a vocab sidecar iff every source did
+            # (the all-or-nothing merge above) — recorded for fsck
+            "vocab_sidecar": os.path.isdir(vocab_dir),
         },
         "n_head_terms": n_head_terms,
         "merged_from": [os.path.abspath(d) for d in seg_dirs],

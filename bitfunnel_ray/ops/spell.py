@@ -165,6 +165,27 @@ def serve_correct(
     )
 
 
+def make_cand_fn(terms_sorted, dfs, matcher):
+    """The canonical did-you-mean candidate harvest shared by every
+    caller (local engine, shard actors, bench, oracle entry): fuzzy
+    matcher members → (term, df, exact levenshtein dist) triples via one
+    searchsorted df lookup per member.  ``terms_sorted`` must be sorted
+    ascending with ``dfs`` aligned (``SuggestIndex.terms/.dfs`` or a
+    shard's sorted stripe)."""
+    terms = np.asarray(terms_sorted)
+    d_arr = np.asarray(dfs)
+
+    def cand_fn(token: str, max_dist: int):
+        out = []
+        for c in matcher(token, int(max_dist)):
+            i = int(np.searchsorted(terms, c))
+            if i < len(terms) and terms[i] == c:
+                out.append((str(c), int(d_arr[i]), levenshtein(token, str(c))))
+        return out
+
+    return cand_fn
+
+
 def merge_candidate_partials(parts):
     """Merge per-shard [(terms, dfs, dists)] candidate partials: df SUMS
     per term (doc shards hold partial dfs; split stripes likewise), dist

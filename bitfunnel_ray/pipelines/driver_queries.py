@@ -6019,9 +6019,7 @@ def q_serve_correct(sf_dir):
     as the offline SymSpell twin.  Serve contract difference the SQL
     mirrors: IN-vocabulary tokens (a dist-0 candidate exists) emit no
     correction row (``dist > 0`` filter)."""
-    import numpy as _np
-
-    from bitfunnel_ray.ops.spell import levenshtein, serve_correct
+    from bitfunnel_ray.ops.spell import make_cand_fn, serve_correct
     from bitfunnel_ray.ops.suggest import SuggestIndex
     from bitfunnel_ray.query.fuzzy import VocabFuzzyMatcher
 
@@ -6033,16 +6031,7 @@ def q_serve_correct(sf_dir):
         .to_pandas()
     )
     si = SuggestIndex(vocab["term"].to_numpy(), vocab["df"].to_numpy())
-    fm = VocabFuzzyMatcher(si.terms)
-
-    def cands(tok, d):
-        out = []
-        for c in fm(tok, int(d)):
-            i = int(_np.searchsorted(si.terms, c))
-            if i < len(si.terms) and si.terms[i] == c:
-                out.append((str(c), int(si.dfs[i]), levenshtein(tok, str(c))))
-        return out
-
+    cands = make_cand_fn(si.terms, si.dfs, VocabFuzzyMatcher(si.terms))
     return serve_correct(" ".join(_SPELL_QUERIES), cands, 2)
 
 

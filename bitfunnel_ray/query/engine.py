@@ -305,16 +305,12 @@ class QueryAlgebra:
             self._materialize_vocab()
         if self.fuzzy_matcher is None or self.suggest_index is None:
             return None
-        from bitfunnel_ray.ops.spell import levenshtein
+        from bitfunnel_ray.ops.spell import make_cand_fn
 
         si = self.suggest_index
-        out = []
-        for cand in self.fuzzy_matcher(token, int(max_dist)):
-            i = int(np.searchsorted(si.terms, cand))
-            if i >= len(si.terms) or si.terms[i] != cand:
-                continue
-            out.append((str(cand), int(si.dfs[i]), levenshtein(token, str(cand))))
-        return out
+        return make_cand_fn(si.terms, si.dfs, self.fuzzy_matcher)(
+            token, int(max_dist)
+        )
 
     def correct(self, query: str, max_dist: int = 2) -> pa.Table:
         """Serve-time "did you mean": per misspelled (out-of-vocabulary)

@@ -360,17 +360,15 @@ class IndexShardActor:
             from bitfunnel_ray.query.fuzzy import VocabFuzzyMatcher
 
             self._fuzzy = VocabFuzzyMatcher(self._merged_vocab()[0])
-        from bitfunnel_ray.ops.spell import levenshtein
+        from bitfunnel_ray.ops.spell import make_cand_fn
 
         terms, dfs = self._sorted_vocab()
-        out_t, out_df, out_d = [], [], []
-        for cand in self._fuzzy(token, int(max_dist)):
-            i = int(np.searchsorted(terms, cand))
-            if i < len(terms) and terms[i] == cand:
-                out_t.append(str(cand))
-                out_df.append(int(dfs[i]))
-                out_d.append(levenshtein(token, str(cand)))
-        return (out_t, out_df, out_d)
+        cands = make_cand_fn(terms, dfs, self._fuzzy)(token, int(max_dist))
+        return (
+            [t for t, _df, _d in cands],
+            [df for _t, df, _d in cands],
+            [d for _t, _df, d in cands],
+        )
 
     def stats(self) -> dict:
         return {

@@ -170,3 +170,9 @@ def test_fsck_vocab_sidecar_checks(tmp_path, ray_session):
     summary = t2.filter(pa.compute.equal(t2["bucket"], -1))
     assert not summary["ok"].to_pylist()[0]
     assert summary["decode_errors"].to_pylist()[0] >= 1
+    # a LOST sidecar is also flagged: the manifest records
+    # vocab_sidecar=True, so absence is corruption, not "not built"
+    shutil.rmtree(os.path.join(out, "vocab"))
+    t3 = fsck_index(out)
+    summary3 = t3.filter(pa.compute.equal(t3["bucket"], -1))
+    assert not summary3["ok"].to_pylist()[0]
